@@ -1,0 +1,113 @@
+"""Binlog wire-format constants.
+
+Mirrors the reference's enums:
+- event type codes: /root/reference/src/events/event_type.rs
+- column type codes: /root/reference/src/constants/column_type.rs:7-100
+- checksum types: /root/reference/src/constants/checksum_type.rs:4-11
+- sizes/magic: /root/reference/src/constants/mod.rs:16-18,
+  /root/reference/src/binlog_reader.rs:10
+"""
+
+MAGIC_NUMBER = bytes([0xFE, 0x62, 0x69, 0x6E])
+EVENT_HEADER_SIZE = 19
+FIRST_EVENT_POSITION = 4
+
+
+class EventType:
+    UNKNOWN = 0
+    QUERY = 2
+    STOP = 3
+    ROTATE = 4
+    INTVAR = 5
+    RAND = 13
+    USER_VAR = 14
+    FORMAT_DESCRIPTION = 15
+    XID = 16
+    TABLE_MAP = 19
+    WRITE_ROWS_V1 = 23
+    UPDATE_ROWS_V1 = 24
+    DELETE_ROWS_V1 = 25
+    HEARTBEAT = 27
+    MYSQL_ROWS_QUERY = 29
+    MYSQL_WRITE_ROWS_V2 = 30
+    MYSQL_UPDATE_ROWS_V2 = 31
+    MYSQL_DELETE_ROWS_V2 = 32
+    MYSQL_GTID = 33
+    MYSQL_PREVIOUS_GTIDS = 35
+    MYSQL_XA_PREPARE = 38
+    MARIADB_ANNOTATE_ROWS = 160
+    MARIADB_BINLOG_CHECKPOINT = 161
+    MARIADB_GTID = 162
+    MARIADB_GTID_LIST = 163
+    MARIADB_START_ENCRYPTION = 164
+
+
+ROW_EVENTS_V1 = {
+    EventType.WRITE_ROWS_V1,
+    EventType.UPDATE_ROWS_V1,
+    EventType.DELETE_ROWS_V1,
+}
+ROW_EVENTS_V2 = {
+    EventType.MYSQL_WRITE_ROWS_V2,
+    EventType.MYSQL_UPDATE_ROWS_V2,
+    EventType.MYSQL_DELETE_ROWS_V2,
+}
+WRITE_EVENTS = {EventType.WRITE_ROWS_V1, EventType.MYSQL_WRITE_ROWS_V2}
+UPDATE_EVENTS = {EventType.UPDATE_ROWS_V1, EventType.MYSQL_UPDATE_ROWS_V2}
+DELETE_EVENTS = {EventType.DELETE_ROWS_V1, EventType.MYSQL_DELETE_ROWS_V2}
+
+
+class ColumnType:
+    DECIMAL = 0
+    TINY = 1
+    SHORT = 2
+    LONG = 3
+    FLOAT = 4
+    DOUBLE = 5
+    NULL = 6
+    TIMESTAMP = 7
+    LONGLONG = 8
+    INT24 = 9
+    DATE = 10
+    TIME = 11
+    DATETIME = 12
+    YEAR = 13
+    NEWDATE = 14
+    VARCHAR = 15
+    BIT = 16
+    TIMESTAMP2 = 17
+    DATETIME2 = 18
+    TIME2 = 19
+    JSON = 245
+    NEWDECIMAL = 246
+    ENUM = 247
+    SET = 248
+    TINY_BLOB = 249
+    MEDIUM_BLOB = 250
+    LONG_BLOB = 251
+    BLOB = 252
+    VAR_STRING = 253
+    STRING = 254
+    GEOMETRY = 255
+
+
+class ChecksumType:
+    NONE = 0
+    CRC32 = 1
+
+
+class MetadataType:
+    """TableMetadata TLV section tags; /root/reference/src/metadata/metadata_type.rs:3-16."""
+
+    SIGNEDNESS = 1
+    DEFAULT_CHARSET = 2
+    COLUMN_CHARSET = 3
+    COLUMN_NAME = 4
+    SET_STR_VALUE = 5
+    ENUM_STR_VALUE = 6
+    GEOMETRY_TYPE = 7
+    SIMPLE_PRIMARY_KEY = 8
+    PRIMARY_KEY_WITH_PREFIX = 9
+    ENUM_AND_SET_DEFAULT_CHARSET = 10
+    ENUM_AND_SET_COLUMN_CHARSET = 11
+    VISIBILITY = 12

@@ -1,0 +1,434 @@
+"""Binlog frame scan + typed event parse (S1/S4/S5 in SURVEY.md §2.1).
+
+Re-expresses the reference's offline read path:
+
+- magic validation + header/payload framing: binlog_reader.rs:20-59
+- 19-byte header layout: event_header.rs:10-42
+- event-type dispatch (17 branches): event_parser.rs:41-122
+- FDE checksum negotiation + CRC trim: event_parser.rs:47-50,113-115,
+  format_description_event.rs:28-76
+- TableMap cache keyed by table_id: event_parser.rs:30,117-119
+
+Within one binlog file the scan is inherently sequential (headers chain via
+``next_event_position``) — exactly the reference's model.  Parallelism in the
+Spark engine is *across files* (see decoder.py); this module is the per-task
+sequential kernel.
+
+Events are returned as plain dicts (cheap to build, Arrow-friendly).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+from . import kernels as K
+from .constants import (
+    EVENT_HEADER_SIZE,
+    FIRST_EVENT_POSITION,
+    MAGIC_NUMBER,
+    ChecksumType,
+    ColumnType,
+    EventType,
+    MetadataType,
+)
+
+HEADER_STRUCT = struct.Struct("<IBIIIH")  # event_header.rs:32-42
+
+
+def parse_event_header(buf: bytes, off: int):
+    """(timestamp, event_type, server_id, event_length, next_position, flags)."""
+    return HEADER_STRUCT.unpack_from(buf, off)
+
+
+def parse_table_map(payload: bytes) -> dict:
+    """TableMapEvent payload; table_map_event.rs:37-87 + per-type metadata
+    rules at :89-123 and optional TableMetadata sections
+    (metadata/table_metadata.rs:12-48, TLV tags metadata_type.rs:3-16)."""
+    off = 0
+    table_id = int.from_bytes(payload[0:6], "little")
+    off = 8  # 6-byte table_id + 2 reserved bytes (table_map_event.rs:40)
+    db_len = payload[off]
+    off += 1
+    database_name, off = K.read_string(payload, off, db_len)
+    off += 1  # null terminator
+    tbl_len = payload[off]
+    off += 1
+    table_name, off = K.read_string(payload, off, tbl_len)
+    off += 1  # null terminator
+
+    columns_number, off = K.read_len_enc_num(payload, off)
+    column_types = list(payload[off : off + columns_number])
+    off += columns_number
+
+    _metadata_length, off = K.read_len_enc_num(payload, off)
+    column_metadata = [0] * columns_number
+    for i, ct in enumerate(column_types):
+        # 1-byte metadata types (table_map_event.rs:96-107)
+        if ct in (
+            ColumnType.GEOMETRY,
+            ColumnType.JSON,
+            ColumnType.TINY_BLOB,
+            ColumnType.MEDIUM_BLOB,
+            ColumnType.LONG_BLOB,
+            ColumnType.BLOB,
+            ColumnType.FLOAT,
+            ColumnType.DOUBLE,
+            ColumnType.TIMESTAMP2,
+            ColumnType.DATETIME2,
+            ColumnType.TIME2,
+        ):
+            column_metadata[i] = payload[off]
+            off += 1
+        # 2-byte little-endian (table_map_event.rs:109-112)
+        elif ct in (
+            ColumnType.BIT,
+            ColumnType.VARCHAR,
+            ColumnType.VAR_STRING,
+            ColumnType.NEWDECIMAL,
+        ):
+            column_metadata[i] = struct.unpack_from("<H", payload, off)[0]
+            off += 2
+        # 2-byte big-endian (table_map_event.rs:114-117)
+        elif ct in (ColumnType.ENUM, ColumnType.SET, ColumnType.STRING):
+            column_metadata[i] = struct.unpack_from(">H", payload, off)[0]
+            off += 2
+
+    null_bitmap, off = K.read_bitmap_little_endian(payload, off, columns_number)
+
+    column_names: Optional[list[str]] = None
+    simple_primary_keys: Optional[list[int]] = None
+    signedness: Optional[list[bool]] = None
+    # Optional TableMetadata TLV sections (MySQL 5.6+ / MariaDB 10.5+);
+    # table_map_event.rs:66-70 → table_metadata.rs:55-130
+    while off < len(payload):
+        mtype = payload[off]
+        off += 1
+        mlen, off = K.read_len_enc_num(payload, off)
+        section = payload[off : off + mlen]
+        off += mlen
+        if mtype == MetadataType.COLUMN_NAME:
+            column_names = []
+            soff = 0
+            while soff < len(section):
+                name, soff = K.read_len_enc_str(section, soff)
+                column_names.append(name)
+        elif mtype == MetadataType.SIMPLE_PRIMARY_KEY:
+            simple_primary_keys = []
+            soff = 0
+            while soff < len(section):
+                pk, soff = K.read_len_enc_num(section, soff)
+                simple_primary_keys.append(pk)
+        elif mtype == MetadataType.SIGNEDNESS:
+            # one bit per *numeric* column, big-endian reverted bitmap
+            # (table_metadata.rs:137-141,182-201)
+            nbits = mlen * 8
+            bits, _ = K.read_bitmap_big_endian(section, 0, nbits)
+            signedness = bits.tolist()
+        # other sections tolerated and skipped
+
+    return {
+        "table_id": table_id,
+        "database_name": database_name,
+        "table_name": table_name,
+        "column_types": column_types,
+        "column_metadata": column_metadata,
+        "null_bitmap": null_bitmap.tolist(),
+        "column_names": column_names,
+        "simple_primary_keys": simple_primary_keys,
+        "signedness": signedness,
+    }
+
+
+def parse_cell(buf: bytes, off: int, column_type: int, metadata: int):
+    """Single typed cell; row_parser.rs:130-184. Returns (value, new_off)."""
+    C = ColumnType
+    if column_type == C.TINY:
+        return buf[off], off + 1
+    if column_type == C.SHORT:
+        return struct.unpack_from("<H", buf, off)[0], off + 2
+    if column_type == C.INT24:
+        return int.from_bytes(buf[off : off + 3], "little"), off + 3
+    if column_type == C.LONG:
+        return struct.unpack_from("<I", buf, off)[0], off + 4
+    if column_type == C.LONGLONG:
+        return struct.unpack_from("<Q", buf, off)[0], off + 8
+    if column_type == C.FLOAT:
+        return struct.unpack_from("<f", buf, off)[0], off + 4
+    if column_type == C.DOUBLE:
+        return struct.unpack_from("<d", buf, off)[0], off + 8
+    if column_type == C.NEWDECIMAL:
+        return K.parse_decimal(buf, off, metadata)
+    if column_type in (C.STRING, C.VARCHAR, C.VAR_STRING):
+        return K.parse_string_cell(buf, off, metadata)
+    if column_type == C.BIT:
+        return K.parse_bit(buf, off, metadata)
+    if column_type == C.ENUM:
+        return K.parse_enum(buf, off, metadata)
+    if column_type == C.SET:
+        return K.parse_set(buf, off, metadata)
+    if column_type in (C.TINY_BLOB, C.MEDIUM_BLOB, C.LONG_BLOB, C.BLOB, C.GEOMETRY, C.JSON):
+        return K.parse_blob(buf, off, metadata)
+    if column_type == C.YEAR:
+        return K.parse_year(buf, off)
+    if column_type == C.DATE:
+        return K.parse_date(buf, off)
+    if column_type == C.TIME:
+        return K.parse_time(buf, off)
+    if column_type == C.TIMESTAMP:
+        return K.parse_timestamp(buf, off)
+    if column_type == C.DATETIME:
+        return K.parse_date_time(buf, off)
+    if column_type == C.TIME2:
+        return K.parse_time2(buf, off, metadata)
+    if column_type == C.TIMESTAMP2:
+        return K.parse_timestamp2(buf, off, metadata)
+    if column_type == C.DATETIME2:
+        return K.parse_date_time2(buf, off, metadata)
+    raise ValueError(f"Parsing column type {column_type} is not supported")
+
+
+TABLE_MAP_NOT_FOUND = (
+    "No preceding TableMapEvent event was found for the row event. "
+    "You possibly started replication in the middle of logical event group."
+)
+
+
+def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included: int):
+    """One row image; row_parser.rs:97-128."""
+    null_bitmap, off = K.read_bitmap_little_endian(buf, off, cells_included)
+    column_types = table["column_types"]
+    column_metadata = table["column_metadata"]
+    row = []
+    skipped = 0
+    for i in range(len(column_types)):
+        if not columns_present[i]:
+            # Data is missing if binlog_row_image != full (row_parser.rs:108-111)
+            skipped += 1
+            row.append(None)
+        elif null_bitmap[i - skipped]:
+            row.append(None)
+        else:
+            ct = column_types[i]
+            md = column_metadata[i]
+            if ct == ColumnType.STRING:
+                ct, md = K.get_actual_string_type(ct, md)
+            value, off = parse_cell(buf, off, ct, md)
+            row.append(value)
+    return row, off
+
+
+def parse_rows_head(payload: bytes, row_event_version: int):
+    """Common rows-event head; row_parser.rs:79-95."""
+    table_id = int.from_bytes(payload[0:6], "little")
+    off = 6
+    flags = struct.unpack_from("<H", payload, off)[0]
+    off += 2
+    if row_event_version == 2:
+        extra_data_length = struct.unpack_from("<H", payload, off)[0]
+        off += 2 + (extra_data_length - 2)
+    columns_number, off = K.read_len_enc_num(payload, off)
+    return table_id, flags, columns_number, off
+
+
+def parse_write_or_delete_rows(payload: bytes, table_map: dict, version: int):
+    """write_rows_event.rs:31-46 / delete_rows_event.rs (same layout)."""
+    table_id, flags, ncols, off = parse_rows_head(payload, version)
+    columns_present, off = K.read_bitmap_little_endian(payload, off, ncols)
+    table = table_map.get(table_id)
+    if table is None:
+        raise ValueError(TABLE_MAP_NOT_FOUND)
+    cells = int(columns_present.sum())
+    rows = []
+    n = len(payload)
+    while off < n:
+        row, off = parse_row(payload, off, table, columns_present, cells)
+        rows.append(row)
+    return {"table_id": table_id, "flags": flags, "rows": rows}
+
+
+def parse_update_rows(payload: bytes, table_map: dict, version: int):
+    """update_rows_event.rs:36-64; rows are (before, after) pairs."""
+    table_id, flags, ncols, off = parse_rows_head(payload, version)
+    before_present, off = K.read_bitmap_little_endian(payload, off, ncols)
+    after_present, off = K.read_bitmap_little_endian(payload, off, ncols)
+    table = table_map.get(table_id)
+    if table is None:
+        raise ValueError(TABLE_MAP_NOT_FOUND)
+    cells_before = int(before_present.sum())
+    cells_after = int(after_present.sum())
+    rows = []
+    n = len(payload)
+    while off < n:
+        before, off = parse_row(payload, off, table, before_present, cells_before)
+        after, off = parse_row(payload, off, table, after_present, cells_after)
+        rows.append((before, after))
+    return {"table_id": table_id, "flags": flags, "rows": rows}
+
+
+def parse_format_description(payload: bytes, event_length: int):
+    """format_description_event.rs:28-76 → (binlog_version, server_version,
+    checksum_type)."""
+    binlog_version = struct.unpack_from("<H", payload, 0)[0]
+    raw = payload[2:52]
+    zero = raw.find(b"\x00")
+    server_version = (raw[:zero] if zero >= 0 else raw).decode("utf-8")
+    # skip redundant timestamp(4) + header length(1), then the post-header
+    # length array entry for FDE itself (type 15 → index 14)
+    pos = 57 + (EventType.FORMAT_DESCRIPTION - 1)
+    payload_length = payload[pos]
+    checksum_type = ChecksumType.NONE
+    if payload_length != event_length - EVENT_HEADER_SIZE:
+        skip = payload_length - 57 - EventType.FORMAT_DESCRIPTION
+        checksum_type = payload[pos + 1 + skip]
+        if checksum_type not in (ChecksumType.NONE, ChecksumType.CRC32):
+            raise ValueError(f"The master checksum type is not supported: {checksum_type}")
+    return binlog_version, server_version, checksum_type
+
+
+def parse_query(payload: bytes) -> dict:
+    """query_event.rs:30-63."""
+    thread_id, duration = struct.unpack_from("<II", payload, 0)
+    db_len = payload[8]
+    error_code, status_len = struct.unpack_from("<HH", payload, 9)
+    off = 13 + status_len
+    database_name, off = K.read_string(payload, off, db_len)
+    off += 1
+    sql = bytes(payload[off:]).decode("utf-8")
+    return {
+        "thread_id": thread_id,
+        "duration": duration,
+        "error_code": error_code,
+        "database_name": database_name,
+        "sql_statement": sql,
+    }
+
+
+def parse_rotate(payload: bytes) -> dict:
+    """rotate_event.rs:20-31."""
+    position = struct.unpack_from("<Q", payload, 0)[0]
+    filename = bytes(payload[8:]).decode("utf-8")
+    return {"binlog_position": position, "binlog_filename": filename}
+
+
+def parse_mysql_gtid(payload: bytes) -> dict:
+    """mysql/events/gtid_event.rs:20-33."""
+    flags = payload[0]
+    from ..gtid import Uuid
+
+    source_id = Uuid.from_bytes(bytes(payload[1:17]))
+    txid = struct.unpack_from("<Q", payload, 17)[0]
+    return {"flags": flags, "source_uuid": source_id.uuid, "transaction_id": txid}
+
+
+def parse_mariadb_gtid(payload: bytes, server_id: int) -> dict:
+    """mariadb/events/gtid_event.rs:20-29 (server_id comes from the header)."""
+    sequence = struct.unpack_from("<Q", payload, 0)[0]
+    domain_id = struct.unpack_from("<I", payload, 8)[0]
+    flags = payload[12]
+    return {
+        "flags": flags,
+        "domain_id": domain_id,
+        "server_id": server_id,
+        "sequence": sequence,
+    }
+
+
+def parse_heartbeat(payload: bytes) -> dict:
+    """heartbeat_event.rs:9-21 — payload is the current binlog filename."""
+    return {"binlog_filename": bytes(payload).decode("utf-8")}
+
+
+def parse_xid(payload: bytes) -> int:
+    """xid_event.rs:17-21."""
+    return struct.unpack_from("<Q", payload, 0)[0]
+
+
+class BinlogFileReader:
+    """Sequential (header, event) iterator over one binlog file's bytes.
+
+    Equivalent of BinlogReader (binlog_reader.rs:14-77) + EventParser state
+    (checksum type and table-map cache, event_parser.rs:25-31).
+    """
+
+    def __init__(self, content: bytes, filename: str = ""):
+        if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+            raise ValueError("Invalid binary log file header")
+        self.content = content
+        self.filename = filename
+        self.checksum_type = ChecksumType.NONE
+        self.table_map: dict[int, dict] = {}
+
+    def __iter__(self) -> Iterator[tuple[tuple, int, str, object]]:
+        """Yields (header_tuple, pos, kind, event_dict_or_None).
+
+        kind is one of: 'format_description', 'table_map', 'write_rows',
+        'update_rows', 'delete_rows', 'mysql_gtid', 'mariadb_gtid', 'xid',
+        'query', 'rotate', 'heartbeat', 'prev_gtids', 'uservar',
+        'rows_query', 'unknown'.
+        """
+        content = self.content
+        n = len(content)
+        pos = FIRST_EVENT_POSITION
+        while pos + EVENT_HEADER_SIZE <= n:
+            header = parse_event_header(content, pos)
+            (_ts, etype, server_id, event_length, _next_pos, _flags) = header
+            payload_start = pos + EVENT_HEADER_SIZE
+            payload_end = pos + event_length
+            if payload_end > n:
+                break  # truncated tail — mirror EOF → stop (binlog_reader.rs:66-74)
+            payload = content[payload_start:payload_end]
+            if self.checksum_type == ChecksumType.CRC32 and etype != EventType.FORMAT_DESCRIPTION:
+                payload = payload[:-4]  # event_parser.rs:47-50
+
+            kind, event = self._parse(etype, server_id, payload, event_length)
+            yield header, pos, kind, event
+            pos = payload_end
+
+    def _parse(self, etype: int, server_id: int, payload: bytes, event_length: int):
+        E = EventType
+        if etype == E.FORMAT_DESCRIPTION:
+            binlog_version, server_version, checksum = parse_format_description(
+                payload, event_length
+            )
+            self.checksum_type = checksum  # event_parser.rs:113-115
+            return "format_description", {
+                "binlog_version": binlog_version,
+                "server_version": server_version,
+                "checksum_type": checksum,
+            }
+        if etype == E.TABLE_MAP:
+            tm = parse_table_map(payload)
+            self.table_map[tm["table_id"]] = tm  # event_parser.rs:117-119
+            return "table_map", tm
+        if etype in (E.WRITE_ROWS_V1, E.MYSQL_WRITE_ROWS_V2):
+            version = 2 if etype == E.MYSQL_WRITE_ROWS_V2 else 1
+            return "write_rows", parse_write_or_delete_rows(payload, self.table_map, version)
+        if etype in (E.UPDATE_ROWS_V1, E.MYSQL_UPDATE_ROWS_V2):
+            version = 2 if etype == E.MYSQL_UPDATE_ROWS_V2 else 1
+            return "update_rows", parse_update_rows(payload, self.table_map, version)
+        if etype in (E.DELETE_ROWS_V1, E.MYSQL_DELETE_ROWS_V2):
+            version = 2 if etype == E.MYSQL_DELETE_ROWS_V2 else 1
+            return "delete_rows", parse_write_or_delete_rows(payload, self.table_map, version)
+        if etype == E.MYSQL_GTID:
+            return "mysql_gtid", parse_mysql_gtid(payload)
+        if etype == E.MARIADB_GTID:
+            return "mariadb_gtid", parse_mariadb_gtid(payload, server_id)
+        if etype == E.XID:
+            return "xid", {"xid": parse_xid(payload)}
+        if etype == E.QUERY:
+            return "query", parse_query(payload)
+        if etype == E.ROTATE:
+            return "rotate", parse_rotate(payload)
+        if etype == E.HEARTBEAT:
+            return "heartbeat", parse_heartbeat(payload)
+        if etype == E.MYSQL_PREVIOUS_GTIDS:
+            return "prev_gtids", {"gtid_set": str(K.parse_prev_gtids(payload))}
+        if etype == E.USER_VAR:
+            name, value = K.parse_uservar(payload)
+            return "uservar", {"name": name, "value": value}
+        if etype in (E.MYSQL_ROWS_QUERY, E.MARIADB_ANNOTATE_ROWS):
+            # rows_query_event.rs: mysql variant skips a leading length byte
+            text = payload[1:] if etype == E.MYSQL_ROWS_QUERY else payload
+            return "rows_query", {"query": bytes(text).decode("utf-8", "replace")}
+        return "unknown", None
