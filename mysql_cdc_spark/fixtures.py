@@ -1,0 +1,315 @@
+"""Deterministic transcript-changelog fixtures (SURVEY.md §7 step 1).
+
+Generates, from a seed and scale knobs, a synthetic multi-turn conversation
+transcript changelog with the reference's transaction grammar
+(``/root/reference/README.md:69-75``)::
+
+    GTID → QUERY(BEGIN) → TABLE_MAP → (WRITE|UPDATE|DELETE)_ROWS → XID
+
+and encodes it into **real binlog-format byte files** (via binlog/encoder.py)
+so the engine's input is the same wire format the reference decodes.
+
+Knobs: conversation/turn counts, update/delete ratios, hot-key skew share
+(a few conversations carry a disproportionate share of events — the
+north_rule's skew case), duplicate-transaction injection (dedup tests),
+mid-stream ``tool`` column addition (additive schema evolution via
+TABLE_MAP column_names, table_metadata.rs:23), and events-per-file
+(file rotation → decode parallelism).
+
+Also provides the single-threaded pandas oracle ``apply_changelog_oracle``
+that applies the same ops sequentially — exactly like the reference's
+consume loop — to produce the expected final table state.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from .binlog.constants import ColumnType, EventType
+from .binlog.encoder import BinlogWriter
+
+SOURCE_UUID = "24bc7850-2c16-11e6-a073-0242ac110001"
+BASE_TS = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+
+# transcript schema pre/post evolution (BASELINE.json input_hint)
+PRE_COLUMNS = ["conv_id", "turn_idx", "role", "text", "ts"]
+POST_COLUMNS = ["conv_id", "turn_idx", "role", "text", "ts", "tool"]
+COLUMN_TYPES = {
+    "conv_id": (ColumnType.VARCHAR, 64),
+    "turn_idx": (ColumnType.LONG, 0),
+    "role": (ColumnType.VARCHAR, 16),
+    "text": (ColumnType.VARCHAR, 2048),  # metadata ≥ 256 → 2-byte length prefix
+    "ts": (ColumnType.TIMESTAMP2, 3),  # fsp=3 → millisecond precision
+    "tool": (ColumnType.VARCHAR, 64),
+}
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = [None, "search", "python", "browser", "calculator"]
+
+TABLE_ID_PRE = 100
+TABLE_ID_POST = 101  # ALTER TABLE assigns a fresh table id
+
+
+@dataclass
+class Op:
+    kind: str  # 'insert' | 'update' | 'delete'
+    before: list | None
+    after: list | None
+
+
+@dataclass
+class Txn:
+    seq: int
+    ops: list[Op] = field(default_factory=list)
+    evolved: bool = False  # rows carry the post-evolution 6-column shape
+    timestamp: int = 0
+
+
+def _ts_millis(i: int) -> int:
+    return (BASE_TS + i) * 1000 + (i * 7) % 1000
+
+
+def _row(conv: str, turn: int, role: str, text: str, ts_millis: int, tool=None, evolved=False):
+    row = [conv, turn, role, text, ts_millis]
+    if evolved:
+        row.append(tool)
+    return row
+
+
+def generate_changelog(
+    n_conversations: int = 50,
+    max_turns: int = 12,
+    n_extra_ops: int = 200,
+    seed: int = 42,
+    update_ratio: float = 0.55,
+    delete_ratio: float = 0.12,
+    hot_conversations: int = 3,
+    hot_share: float = 0.5,
+    evolve_after_frac: float | None = 0.6,
+    duplicate_txns: int = 0,
+) -> list[Txn]:
+    """Build the transaction list (driver-side spec, not yet encoded).
+
+    Hot-key skew: ``hot_share`` of all update/delete ops target the first
+    ``hot_conversations`` conversations.
+    """
+    rng = random.Random(seed)
+    txns: list[Txn] = []
+    state: dict[tuple[str, int], list] = {}
+    seq = 0
+    tick = 0
+
+    convs = [f"conv-{i:05d}" for i in range(n_conversations)]
+
+    # Phase 1: insert initial turns, one transaction per conversation
+    for conv in convs:
+        seq += 1
+        txn = Txn(seq=seq, timestamp=BASE_TS + tick)
+        n_turns = rng.randint(2, max_turns)
+        for turn in range(n_turns):
+            tick += 1
+            role = ROLES[turn % 2] if turn < 2 else rng.choice(ROLES)
+            text = f"{conv} turn {turn} {role}: " + " ".join(
+                rng.choice(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+                for _ in range(rng.randint(3, 20))
+            )
+            row = _row(conv, turn, role, text, _ts_millis(tick))
+            txn.ops.append(Op("insert", None, list(row)))
+            state[(conv, turn)] = row
+        txns.append(txn)
+
+    # Phase 2: skewed updates/deletes/appends
+    evolve_at = int(n_extra_ops * evolve_after_frac) if evolve_after_frac is not None else None
+    evolved = False
+    for i in range(n_extra_ops):
+        if evolve_at is not None and i == evolve_at:
+            evolved = True
+        seq += 1
+        tick += 1
+        txn = Txn(seq=seq, evolved=evolved, timestamp=BASE_TS + tick)
+        if rng.random() < hot_share:
+            conv = convs[rng.randrange(hot_conversations)]
+        else:
+            conv = convs[rng.randrange(n_conversations)]
+        live_turns = sorted(t for (c, t) in state if c == conv)
+        r = rng.random()
+        n_ops = rng.randint(1, 4)
+        for _ in range(n_ops):
+            tick += 1
+            if live_turns and r < update_ratio:
+                turn = rng.choice(live_turns)
+                before = state[(conv, turn)]
+                text = before[3] + f" [edit@{seq}]"
+                tool = rng.choice(TOOLS) if evolved else None
+                after = _row(conv, turn, before[2], text, _ts_millis(tick), tool, evolved)
+                bef = list(before)
+                if evolved and len(bef) == 5:
+                    bef = bef + [None]  # before-image under the evolved map
+                elif not evolved and len(bef) == 6:
+                    bef = bef[:5]
+                txn.ops.append(Op("update", bef, after))
+                state[(conv, turn)] = after
+            elif live_turns and r < update_ratio + delete_ratio:
+                turn = live_turns.pop()
+                before = state.pop((conv, turn))
+                bef = list(before)
+                if evolved and len(bef) == 5:
+                    bef = bef + [None]
+                elif not evolved and len(bef) == 6:
+                    bef = bef[:5]
+                txn.ops.append(Op("delete", bef, None))
+            else:
+                turn = (live_turns[-1] + 1) if live_turns else 0
+                live_turns.append(turn)
+                role = rng.choice(ROLES)
+                text = f"{conv} turn {turn} {role}: appended at seq {seq}"
+                tool = rng.choice(TOOLS) if evolved else None
+                row = _row(conv, turn, role, text, _ts_millis(tick), tool, evolved)
+                txn.ops.append(Op("insert", None, row))
+                state[(conv, turn)] = row
+        txns.append(txn)
+
+    # Duplicate-transaction injection: re-deliver some already-committed
+    # transactions verbatim (same GTID) — idempotence test (ST5,
+    # uuid_set.rs:46-48). LWW dedup + gtid ledger must absorb them.
+    if duplicate_txns:
+        dup_candidates = [t for t in txns if t.ops]
+        for i in range(duplicate_txns):
+            src = dup_candidates[rng.randrange(len(dup_candidates))]
+            txns.append(Txn(seq=src.seq, ops=src.ops, evolved=src.evolved, timestamp=src.timestamp))
+
+    return txns
+
+
+def apply_changelog_oracle(txns: list[Txn]) -> pd.DataFrame:
+    """Sequential single-threaded apply — the reference-equivalent oracle.
+
+    Mirrors how a consumer of the reference library would maintain the table
+    (process events in file order, one at a time; README.md:56-64), with
+    at-most-once per GTID (duplicate redeliveries of an already-applied
+    transaction are skipped — uuid_set.rs:46-48 idempotence).
+    """
+    state: dict[tuple[str, int], list] = {}
+    applied: set[int] = set()
+    for txn in txns:
+        if txn.seq in applied:
+            continue
+        applied.add(txn.seq)
+        for op in txn.ops:
+            if op.kind == "insert" or op.kind == "update":
+                row = op.after
+                key = (row[0], row[1])
+                state[key] = row
+            elif op.kind == "delete":
+                key = (op.before[0], op.before[1])
+                state.pop(key, None)
+    records = []
+    for (conv, turn), row in sorted(state.items()):
+        tool = row[5] if len(row) > 5 else None
+        records.append(
+            {
+                "conv_id": conv,
+                "turn_idx": turn,
+                "role": row[2],
+                "text": row[3],
+                "tool": tool,
+                "ts": pd.Timestamp(row[4], unit="ms"),
+            }
+        )
+    return pd.DataFrame(
+        records, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+def write_binlog_files(
+    txns: list[Txn],
+    outdir: str,
+    txns_per_file: int = 200,
+    file_prefix: str = "binlog",
+    source_uuid: str = SOURCE_UUID,
+    server_id: int = 1,
+    write_begin_query: bool = True,
+) -> list[str]:
+    """Encode transactions into rotating binlog files.
+
+    Each file re-emits the TABLE_MAP before its first row event (required:
+    per-file decode state resets, mirroring the reference's atomicity rule
+    that TableMap does not advance the commit position so it is always
+    replayed with its row events — binlog_client.rs:107-110).
+    """
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    paths: list[str] = []
+    n_files = max(1, (len(txns) + txns_per_file - 1) // txns_per_file)
+    for fidx in range(n_files):
+        fname = f"{file_prefix}.{fidx + 1:06d}"
+        writer = BinlogWriter(fname, server_id=server_id)
+        chunk = txns[fidx * txns_per_file : (fidx + 1) * txns_per_file]
+        for txn in chunk:
+            cols = POST_COLUMNS if txn.evolved else PRE_COLUMNS
+            table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
+            ctypes = [COLUMN_TYPES[c][0] for c in cols]
+            cmeta = [COLUMN_TYPES[c][1] for c in cols]
+            writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
+            if write_begin_query:
+                writer.write_query("BEGIN", database="chat", timestamp=txn.timestamp)
+            writer.write_table_map(
+                table_id,
+                "chat",
+                "transcripts",
+                ctypes,
+                cmeta,
+                nullability=[False, False, False, False, False]
+                + ([True] if txn.evolved else []),
+                column_names=cols,
+                simple_primary_keys=[0, 1],
+                timestamp=txn.timestamp,
+            )
+            # statement order is semantic (delete-then-reinsert of a key);
+            # group only *consecutive* same-kind ops into one rows event,
+            # exactly like a server batching rows of one statement
+            run_kind = None
+            run: list = []
+
+            def flush_run(kind, ops):
+                if not ops:
+                    return
+                if kind == "insert":
+                    writer.write_rows(
+                        table_id, ctypes, cmeta, [op.after for op in ops],
+                        event_type=EventType.MYSQL_WRITE_ROWS_V2, timestamp=txn.timestamp,
+                    )
+                elif kind == "update":
+                    writer.write_update_rows(
+                        table_id, ctypes, cmeta, [(op.before, op.after) for op in ops],
+                        timestamp=txn.timestamp,
+                    )
+                else:
+                    writer.write_rows(
+                        table_id, ctypes, cmeta, [op.before for op in ops],
+                        event_type=EventType.MYSQL_DELETE_ROWS_V2, timestamp=txn.timestamp,
+                    )
+
+            for op in txn.ops:
+                if op.kind != run_kind and run:
+                    flush_run(run_kind, run)
+                    run = []
+                run_kind = op.kind
+                run.append(op)
+            flush_run(run_kind, run)
+            writer.write_xid(txn.seq, timestamp=txn.timestamp)
+        if fidx + 1 < n_files:
+            writer.write_rotate(f"{file_prefix}.{fidx + 2:06d}")
+        path = os.path.join(outdir, fname)
+        writer.save(path)
+        paths.append(path)
+    return paths
+
+
+def count_change_events(txns: list[Txn]) -> int:
+    """Row-level change count (for events/sec metrics)."""
+    return sum(len(t.ops) for t in txns)

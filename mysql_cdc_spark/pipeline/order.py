@@ -1,0 +1,121 @@
+"""Event ordering & last-writer-wins dedup (W1 in SURVEY.md §2.5).
+
+The reference is single-threaded, so "ordering" is implicit: file order =
+commit order (binlog_client.rs:112-114). Distributed replay makes it
+explicit: the total order of a change event is
+
+    (gtid_seq, pos, row_in_event)
+
+— GTID sequence is the transaction commit order; ``pos`` (byte offset,
+header chain per event_header.rs:24) orders events *within* a transaction;
+``row_in_event`` breaks ties inside multi-row events. Ordering by commit
+order rather than raw file position makes duplicate redelivery safe: a
+re-sent transaction lands at a later file position but keeps its original
+gtid_seq, so it can never outrank a newer transaction on the same key
+(ST5 idempotence, uuid_set.rs:46-48). For GTID-less streams pass
+``order_cols=["src_file", "pos", "row_in_event"]``.
+
+Skew: hot conversations concentrate updates on few (conv_id, turn_idx) keys.
+``last_writer_wins`` supports an explicit **salted two-phase reduce**
+(north_star requirement): phase 1 reduces within (key, salt) groups —
+spreading one hot key over ``salt_buckets`` reducers — phase 2 reduces the
+per-salt winners. Spark's partial aggregation (map-side combine) already
+absorbs most skew for max_by; the salt path is for the adversarial case
+where a single key exceeds what one reducer's combine pass should own, and
+is measured in BENCH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["gtid_seq", "pos", "row_in_event"]
+
+
+def with_change_key(changes: DataFrame, key_names: list[str]) -> DataFrame:
+    """Key of a change row: after-image for insert/update, before-image for
+    delete (row_data.rs:18-24 before/after model)."""
+    out = changes
+    for k in key_names:
+        out = out.withColumn(k, F.coalesce(F.col(f"after_{k}"), F.col(f"before_{k}")))
+    return out
+
+
+def last_writer_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+    payload_cols: list[str] | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Reduce to the last change per key under the total order.
+
+    Implemented as an *aggregation* (``max_by(payload, order)``), not a
+    window: a window (`row_number` over partitionBy(key)) must shuffle and
+    sort every event; max_by gets map-side partial aggregation — each task
+    pre-reduces its local events per key before the shuffle, so the shuffle
+    carries at most (keys × tasks) rows instead of all events. At 10^10
+    events over ~10^8 keys that is the difference between shuffling 10^10
+    and ~10^8 rows.
+    """
+    order_cols = order_cols or ORDER_COLS
+    payload_cols = payload_cols or [
+        c for c in df.columns if c not in key_cols
+    ]
+    ordv = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+        )
+        phase1 = salted.groupBy(*key_cols, "_salt").agg(
+            F.max_by(payload, ordv).alias("_win")
+        )
+        ord2 = F.struct(*[F.col(f"_win.{c}") for c in order_cols])
+        phase2 = phase1.groupBy(*key_cols).agg(F.max_by(F.col("_win"), ord2).alias("_win"))
+    else:
+        phase2 = df.groupBy(*key_cols).agg(F.max_by(payload, ordv).alias("_win"))
+
+    return phase2.select(*key_cols, *[F.col(f"_win.{c}").alias(c) for c in payload_cols])
+
+
+def lww_window(df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None) -> DataFrame:
+    """Window-function formulation of W1 (row_number desc == 1).
+
+    Provided for parity with the survey's operator inventory and for
+    verification (same result as last_writer_wins); the aggregate form above
+    is the scale path.
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or ORDER_COLS
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def gate_complete_transactions(changes: DataFrame) -> DataFrame:
+    """ST2: only events whose transaction committed inside the replayed
+    range may advance state (binlog_client.rs:69-99 — gtid cached at
+    GtidEvent, flushed only at Xid/COMMIT). Decode marks uncommitted tails
+    with NULL xid."""
+    return changes.filter(F.col("xid").isNotNull())
+
+
+def filter_covered_gtids(changes: DataFrame, intervals_df: DataFrame) -> DataFrame:
+    """ST3/ST5 resume filter: drop events already covered by the ledger's
+    GtidSet. The interval set is tiny (ledger metadata), so this is a
+    broadcast range anti-join — no per-row Python, no driver loop."""
+    if intervals_df.isEmpty():
+        return changes
+    cond = (
+        (changes["gtid_source"] == intervals_df["uuid"])
+        & (changes["gtid_seq"] >= intervals_df["start"])
+        & (changes["gtid_seq"] <= intervals_df["end"])
+    )
+    return changes.join(F.broadcast(intervals_df), cond, "left_anti")
