@@ -1,0 +1,13 @@
+"""Analytics surface over the driver testdata tables.
+
+Each module exports ``QUERIES: dict[name -> fn(spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name -> ANSI SQL]`` (DuckDB-runnable on the same parquet
+views). Names map 1:1 to SURVEY.md §2 operators (prefixed with the operator
+id) or to the training-data pipeline ops (dedup/similarity/text/multimodal).
+"""
+
+from __future__ import annotations
+
+
+def load(spark, sf_dir: str, table: str):
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,357 @@
+"""SURVEY.md §2 CDC operators expressed over the driver's ``events`` table.
+
+The binlog-native implementations live in ``mysql_cdc_spark.binlog`` /
+``mysql_cdc_spark.pipeline`` and are exercised by the pytest golden fixtures
+(reference parity). This module re-expresses the *same operator semantics*
+over the driver's synthetic ``events`` stream table
+``(event_id, ts, user_id, event_type, value, props)`` so the external
+correctness harness can diff each one against a DuckDB oracle.
+
+Mapping (operator id → reference file:line → here):
+
+- W1  last-writer-wins dedup        binlog_client.rs:112-114 (order contract)
+- W2  forward-fill association      row_parser.rs:18-20 (TableMap precedes)
+- J2  group-open/close association  binlog_client.rs:74-96 (Gtid..Xid group)
+- A1  interval-set collapse         uuid_set.rs:29-98 (GtidSet add/collapse)
+- A2  last-wins per domain          gtid_list.rs:51-60 (MariaDB GtidList)
+- A3  position max per file         binlog_client.rs:101-117 (commit)
+- P3  event-type filter             binlog_client.rs:105-116
+- J1  dimension lookup join         event_parser.rs:30,117-119 (table-map)
+- ST5 duplicate suppression         uuid_set.rs:46-48 (idempotent add)
+
+All are pure DataFrame ops — Catalyst gets full pushdown/pruning; the only
+shuffles are the ones the semantics require (groupBy on the operator key).
+Scale notes are on each function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import load
+
+
+# ---------------------------------------------------------------------------
+# W1 — last-writer-wins dedup (aggregate form: map-side partial combine).
+# ---------------------------------------------------------------------------
+
+def w1_lww_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state per user under the stream's total order (ts, event_id).
+
+    ``max_by(payload, order)`` not a row_number window: partial aggregation
+    pre-reduces each map task to ≤1 row per key before the shuffle, so at
+    10^10 events / 10^8 keys the shuffle carries ~keys×tasks rows, not every
+    event (see pipeline/order.py:last_writer_wins — same operator on binlog
+    change rows).
+    """
+    ev = load(spark, sf_dir, "events")
+    ordv = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(F.col("event_id"), F.col("ts"), F.col("event_type"), F.col("value"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, ordv).alias("w"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.event_type").alias("last_event_type"),
+            F.round(F.col("w.value"), 4).alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+W1_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       round(value, 4) AS last_value, n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 — interval-set collapse (GtidSet algebra as gaps-and-islands).
+# ---------------------------------------------------------------------------
+
+def a1_interval_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each user's set of event_ids into maximal contiguous
+    intervals — the distributed formulation of GtidSet.add_gtid's
+    extend/merge/collapse rules (uuid_set.rs:29-98): consecutive ids join
+    one interval, gaps split intervals.
+
+    ``event_id - row_number()`` is constant within a contiguous run, so one
+    window + one groupBy; both shuffle on user_id only. The per-source
+    interval index the reference maintains incrementally falls out of one
+    pass here.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    runs = ev.withColumn("grp", F.col("event_id") - F.row_number().over(w))
+    return (
+        runs.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").alias("interval_start"),
+            F.max("event_id").alias("interval_end"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.min("interval_start").alias("first_id"),
+            F.max("interval_end").alias("last_id"),
+            F.sum(F.col("interval_end") - F.col("interval_start") + 1).alias("covered"),
+        )
+    )
+
+
+A1_SQL = """
+WITH runs AS (
+  SELECT user_id, event_id,
+         event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM events
+), intervals AS (
+  SELECT user_id, grp, min(event_id) AS interval_start, max(event_id) AS interval_end
+  FROM runs GROUP BY user_id, grp
+)
+SELECT user_id, count(*) AS n_intervals, min(interval_start) AS first_id,
+       max(interval_end) AS last_id,
+       sum(interval_end - interval_start + 1)::BIGINT AS covered
+FROM intervals GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2 — last-wins per (domain) — MariaDB GtidList semantics.
+# ---------------------------------------------------------------------------
+
+def a2_last_wins_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user_id, event_type) keep only the latest value — GtidList's
+    replace-in-place per domain_id (gtid_list.rs:51-60) generalized to a
+    composite domain. Single max_by aggregation."""
+    ev = load(spark, sf_dir, "events")
+    ordv = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(F.col("event_id"), ordv).alias("latest_event_id"),
+            F.round(F.max_by(F.col("value"), ordv), 4).alias("latest_value"),
+        )
+    )
+
+
+A2_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS latest_event_id,
+       round(value, 4) AS latest_value
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — monotone position max (commit position advance).
+# ---------------------------------------------------------------------------
+
+def a3_position_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max(position) per stream — binlog_client.rs:101-117's commit rule
+    aggregated per event_type 'file'."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max("event_id").alias("max_position"),
+            F.count(F.lit(1)).alias("n_events"),
+            # epoch micros, not a raw timestamp: keeps the oracle diff
+            # independent of timestamp rendering/zone conventions
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
+        )
+    )
+
+
+A3_SQL = """
+SELECT event_type, max(event_id) AS max_position, count(*) AS n_events,
+       epoch_us(max(ts)) AS max_ts_us
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2/J2 — forward-fill group association (Gtid opens, events inherit).
+# ---------------------------------------------------------------------------
+
+def w2_forward_fill_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each 'signup' as a group-opening control row (the Gtid event,
+    binlog_client.rs:74-96) and forward-fill its event_id onto every
+    subsequent event of that user — then aggregate events per session.
+
+    ``last(..., ignorenulls)`` over rowsBetween(unboundedPreceding, 0) is
+    the same window the binlog pipeline uses to attach TABLE_MAP/GTID to
+    row events (order.py / SURVEY §2.5 W2-W3). One shuffle on user_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = ev.withColumn(
+        "session_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        filled.filter(F.col("session_id").isNotNull())
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+W2_SQL = """
+WITH filled AS (
+  SELECT user_id, value,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM events
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM filled WHERE session_id IS NOT NULL
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3 — predicate + projection (pushdown demo).
+# ---------------------------------------------------------------------------
+
+def p3_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type filter + projection: Catalyst pushes both into the parquet scan
+    (PushedFilters: In(event_type, ...); ReadSchema: 3 of 6 columns) —
+    the consumer-side variant match of binlog_client.rs:105-116."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .filter(F.col("value") > 5.0)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+P3_SQL = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_type IN ('purchase', 'signup') AND value > 5.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 — broadcast dimension lookup join (table-map cache).
+# ---------------------------------------------------------------------------
+
+def j1_dim_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim N:1 lookup — the distributed form of the parser's
+    table_id → TableMapEvent HashMap (event_parser.rs:30,117-119).
+
+    ``F.broadcast`` pins a BroadcastHashJoin: the dim (customer×nation,
+    ~10^3 rows even at SF100) ships to every executor; the 10^10-row fact
+    side never shuffles. Aggregation after the join gets map-side combine.
+    """
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner")
+    return (
+        joined.groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT n.n_name, c.c_mktsegment, count(*) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# ST5 — duplicate suppression (idempotent re-delivery).
+# ---------------------------------------------------------------------------
+
+def st5_duplicate_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union the stream with a re-delivered slice of itself, then dedup to
+    exactly-once on the event id — add_gtid's covered-check
+    (uuid_set.rs:46-48) as a distributed aggregate. Output proves the
+    duplicate copies collapsed: global counts equal the original stream's.
+    """
+    ev = load(spark, sf_dir, "events")
+    redelivered = ev.filter(F.col("event_id") % 10 == 3)  # deterministic replay slice
+    unioned = ev.unionByName(redelivered)
+    deduped = unioned.groupBy("event_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.max("ts").alias("ts"),
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_unique_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("max_ts_us"),
+    )
+
+
+ST5_SQL = """
+WITH unioned AS (
+  SELECT event_id, user_id, ts FROM events
+  UNION ALL
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 3
+), deduped AS (
+  SELECT event_id, max(ts) AS ts, min(user_id) AS user_id
+  FROM unioned GROUP BY event_id
+)
+SELECT count(*) AS n_unique_events, count(DISTINCT user_id) AS n_users,
+       epoch_us(max(ts)) AS max_ts_us
+FROM deduped
+"""
+
+
+QUERIES = {
+    "w1_lww_last_event": w1_lww_last_event,
+    "a1_interval_collapse": a1_interval_collapse,
+    "a2_last_wins_per_domain": a2_last_wins_per_domain,
+    "a3_position_max": a3_position_max,
+    "w2_forward_fill_session": w2_forward_fill_session,
+    "p3_event_filter": p3_event_filter,
+    "j1_dim_lookup_join": j1_dim_lookup_join,
+    "st5_duplicate_suppression": st5_duplicate_suppression,
+}
+
+ORACLES = {
+    "w1_lww_last_event": W1_SQL,
+    "a1_interval_collapse": A1_SQL,
+    "a2_last_wins_per_domain": A2_SQL,
+    "a3_position_max": A3_SQL,
+    "w2_forward_fill_session": W2_SQL,
+    "p3_event_filter": P3_SQL,
+    "j1_dim_lookup_join": J1_SQL,
+    "st5_duplicate_suppression": ST5_SQL,
+}

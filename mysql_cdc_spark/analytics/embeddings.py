@@ -1,0 +1,242 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding:
+array<float>[64], label).
+
+Training-pipeline vector ops, all JVM-side (``zip_with``/``aggregate`` dot
+products in whole-stage codegen — no Python in the hot path):
+
+- knn_bruteforce   exact cosine top-k for a query subset (the baseline)
+- label_centroids  distributed element-wise mean vector per label
+- knn_ivf          IVF-style ANN: coarse-quantize every vector to its
+                   nearest label centroid, search only within the probe
+                   cell (the scale path; same output schema as brute force)
+- embedding_neardup  cosine near-duplicate pairs (≥ threshold) over
+                     length-bucketed candidate space
+
+Float parity with the DuckDB oracle: embeddings are float32 in parquet;
+both engines cast to double before any arithmetic, and cosine values are
+rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+# Spark expressions over double arrays
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+_NORM = "sqrt(aggregate({a}, 0D, (acc, v) -> acc + v * v))"
+
+
+def _cos_spark(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}), 4)"
+    )
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)"
+    )
+
+
+_DOUBLE_VEC = "transform(embedding, x -> cast(x as double))"
+_DOUBLE_VEC_DUCK = "embedding::DOUBLE[]"
+
+N_QUERIES = 8  # query subset for the top-k demos
+TOP_K = 5
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < N) × corpus, ranked per query.
+
+    The query side is broadcast (tiny); the corpus scans once with the dot
+    product fused into codegen. Top-k per query via max_by over collected
+    candidates would shuffle all scores; instead groupBy(query) with a
+    window-free ``slice(array_sort(collect_list(...)))`` keeps the shuffle
+    at one row per (query, corpus-partition) after partial aggregation.
+    """
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_DOUBLE_VEC} as v"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr("vec_id as q_id", "v as qv")
+    scored = q.hint("broadcast").crossJoin(emb).filter("vec_id != q_id").selectExpr(
+        "q_id", "vec_id", f"{_cos_spark('qv', 'v')} as cos_sim"
+    )
+    # top-k per query: sort by struct(-cos, vec_id) ascending — a
+    # deterministic total order (ties broken by id)
+    topk = (
+        scored.selectExpr("q_id", "vec_id", "cos_sim", "struct(-cos_sim as nc, vec_id as tie) as ord")
+        .groupBy("q_id")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct("ord", "vec_id", "cos_sim"))), 1, TOP_K).alias("top"))
+        .selectExpr("q_id", "posexplode(top) as (rank0, t)")
+        .selectExpr("q_id", "rank0 + 1 as rank", "t.vec_id as neighbor_id", "t.cos_sim as cos_sim")
+    )
+    return topk
+
+
+KNN_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id, {_cos_duck('qv', 'e.v')} AS cos_sim
+  FROM q CROSS JOIN emb e WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label — posexplode → groupBy(label, dim)
+    → avg. The explode multiplies rows ×64 but each is 20 bytes; partial
+    aggregation collapses them before the shuffle, so the exchange carries
+    (labels × dims × tasks) rows regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.selectExpr("label", f"posexplode({_DOUBLE_VEC}) as (dim, x)")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("centroid_val"), F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+CENTROIDS_SQL = f"""
+WITH emb AS (SELECT label, {_DOUBLE_VEC_DUCK} AS v FROM embeddings)
+SELECT label, t.i - 1 AS dim, round(avg(emb.v[t.i]), 4) AS centroid_val,
+       count(*) AS n_vectors
+FROM emb, unnest(generate_series(1, len(emb.v))) AS t(i)
+GROUP BY label, t.i - 1
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = label centroids (computed in-plan);
+    each corpus vector is assigned to its nearest centroid; each query
+    probes only its own cell. Cuts the candidate set by ~n_cells× vs brute
+    force at the cost of recall on cell boundaries — the standard IVF
+    trade. Output schema matches knn_bruteforce for recall comparison.
+
+    Centroid build + assignment are both broadcast joins; the per-cell
+    search is the same fused dot product as brute force.
+    """
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", f"{_DOUBLE_VEC} as v"
+    )
+    cents = (
+        emb.selectExpr("label", "posexplode(v) as (dim, x)")
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").alias("cv"))
+        .selectExpr("label as c_label", "cv")
+    )
+    # assign every vector to its nearest centroid (argmin over cells)
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "v", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.struct(F.col("c_label"), F.col("v")), F.struct(F.col("c_sim"), (-F.col("c_label")).alias("t"))).alias("w")
+        )
+        .selectExpr("vec_id", "w.c_label as cell", "w.v as v")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "cell as q_cell", "v as qv"
+    )
+    scored = (
+        q.hint("broadcast")
+        .join(assigned, (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")))
+        .selectExpr("q_id", "vec_id", f"{_cos_spark('qv', 'v')} as cos_sim")
+    )
+    return (
+        scored.selectExpr("q_id", "vec_id", "cos_sim")
+        .groupBy("q_id")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct(F.expr("struct(-cos_sim as nc, vec_id as tie)").alias("ord"), F.col("vec_id"), F.col("cos_sim")))), 1, TOP_K).alias("top"))
+        .selectExpr("q_id", "posexplode(top) as (rank0, t)")
+        .selectExpr("q_id", "rank0 + 1 as rank", "t.vec_id as neighbor_id", "t.cos_sim as cos_sim")
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
+), cents AS (
+  SELECT label AS c_label, list(x ORDER BY dim) AS cv FROM (
+    SELECT label, t.i - 1 AS dim, avg(emb.v[t.i]) AS x
+    FROM emb, unnest(generate_series(1, len(emb.v))) AS t(i)
+    GROUP BY label, t.i - 1
+  ) GROUP BY label
+), assigned AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.c_label AS cell, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_duck('e.v', 'c.cv')} DESC,
+                                       c.c_label) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, cell AS q_cell, v AS qv FROM assigned
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, a.vec_id, {_cos_duck('qv', 'a.v')} AS cos_sim
+  FROM q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) within the same
+    label cell — the candidate-pruned form of all-pairs near-dup. The
+    label prejoin keeps the pair space at sum(cell²) instead of n²."""
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label", f"{_DOUBLE_VEC} as v"
+    )
+    a = emb.selectExpr("vec_id as id_a", "label as l_a", "v as va")
+    b = emb.selectExpr("vec_id as id_b", "label as l_b", "v as vb")
+    return (
+        a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+        .selectExpr("id_a", "id_b", f"{_cos_spark('va', 'vb')} as cos_sim")
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+NEARDUP_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_duck('a.v', 'b.v')} AS cos_sim
+FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_duck('a.v', 'b.v')} >= 0.95
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "label_centroids": label_centroids,
+    "knn_ivf": knn_ivf,
+    "embedding_neardup": embedding_neardup,
+}
+
+ORACLES = {
+    "knn_bruteforce": KNN_SQL,
+    "label_centroids": CENTROIDS_SQL,
+    "knn_ivf": KNN_IVF_SQL,
+    "embedding_neardup": NEARDUP_SQL,
+}

@@ -1,0 +1,411 @@
+"""Training-data text pipeline over the ``documents`` table.
+
+Large-scale dedup / quality / fingerprinting operators a 100 TB corpus
+pipeline needs, each expressed with JVM-side built-ins (higher-order array
+functions — zero Python in the hot path) and paired with a semantically
+identical DuckDB oracle.
+
+Shared hash: ``H(s) = int64(first 15 hex chars of md5(s))`` — md5 is
+bit-identical across engines, 60 bits fits a signed int64. All ratios are
+rounded to fixed decimals so double formatting can't drift.
+
+Operators:
+- text_tokens        token counting (whitespace split, BPE-ish subword est.)
+- text_quality       quality scoring (punct/short-word/digit ratios)
+- text_langid        marker-word language ID (deterministic n-gram heuristic)
+- text_fingerprint   document fingerprinting (md5 full + prefix fingerprint)
+- dedup_exact        exact dedup by normalized-text hash
+- dedup_prefix       near-dup groups by prefix fingerprint
+- text_simhash       32-bit SimHash over unigram hashes
+- minhash_lsh_neardup  MinHash (k=8) → 4-band LSH → candidate pairs with
+                       exact shingle-Jaccard verification
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+# normalized word array (lowercase, whitespace split)
+WORDS = r"split(lower(trim(text)), '\\s+')"
+WORDS_DUCK = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+# shared 60-bit hash of a string expression
+def _h(expr: str) -> str:  # Spark dialect
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+def _h_duck(expr: str) -> str:  # DuckDB dialect
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil(chars/4)
+    per word — the common ~4-chars-per-token rule) + char count.
+
+    Pure `split`/`size`/`aggregate` — whole-stage codegen, no UDF, linear
+    scan; at 100 TB this is the cheapest possible pass over the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"size({WORDS}) as n_tokens",
+        f"aggregate({WORDS}, 0L, (acc, w) -> acc + cast(ceil(length(w) / 4.0) as bigint)) as n_subwords",
+        "length(text) as n_chars_measured",
+        "n_chars",
+    )
+
+
+TOKENS_SQL = f"""
+SELECT doc_id,
+       len({WORDS_DUCK}) AS n_tokens,
+       list_sum(list_transform({WORDS_DUCK},
+                w -> ceil(length(w) / 4.0)::BIGINT))::BIGINT AS n_subwords,
+       length(text) AS n_chars_measured,
+       n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: punctuation ratio, digit ratio,
+    short-word ratio, mean token length — the standard cheap filters a
+    pretraining pipeline runs before anything expensive."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"size({WORDS}) as n_tokens",
+        r"round(length(regexp_replace(lower(text), '[a-z0-9\\s]', '')) / length(text), 4) as punct_ratio",
+        r"round(length(regexp_replace(text, '[^0-9]', '')) / length(text), 4) as digit_ratio",
+        f"round(size(filter({WORDS}, w -> length(w) <= 3)) / size({WORDS}), 4) as short_word_ratio",
+        f"round(aggregate({WORDS}, 0L, (acc, w) -> acc + length(w)) / size({WORDS}), 4) as mean_token_len",
+    )
+
+
+QUALITY_SQL = rf"""
+SELECT doc_id,
+       len({WORDS_DUCK}) AS n_tokens,
+       round(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+             / length(text), 4) AS punct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / length(text), 4) AS digit_ratio,
+       round(len(list_filter({WORDS_DUCK}, w -> length(w) <= 3))
+             / len({WORDS_DUCK})::DOUBLE, 4) AS short_word_ratio,
+       round(list_sum(list_transform({WORDS_DUCK}, w -> length(w)))
+             / len({WORDS_DUCK})::DOUBLE, 4) AS mean_token_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID (deterministic marker-word n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "y", "es"],
+    "zh": ["de5", "shi4", "le5", "he2"],
+}
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word scoring: count hits per language profile, argmax with
+    'und' (undetermined) when no profile hits. Deterministic tie-break by
+    profile order. The corpus is synthetic so accuracy is meaningless; the
+    operator (profile scoring over token arrays, pure built-ins) is what a
+    real langid pass uses with real profiles."""
+    docs = load(spark, sf_dir, "documents")
+    scores = [
+        f"size(filter({WORDS}, w -> w in ({', '.join(repr(m) for m in ms)}))) as score_{lang}"
+        for lang, ms in _LANG_MARKERS.items()
+    ]
+    scored = docs.selectExpr("doc_id", "lang", *scores)
+    langs = list(_LANG_MARKERS)
+    best = _argmax_case(langs) + " as pred_lang"
+    return scored.selectExpr("doc_id", "lang", *[f"score_{l}" for l in langs], best)
+
+
+def _argmax_case(langs: list[str]) -> str:
+    """CASE picking the first language with the max score; 'und' when all
+    scores are 0. Dialect-neutral (plain comparisons)."""
+    zero = " AND ".join(f"score_{l} <= 0" for l in langs)
+    whens = "".join(
+        "WHEN "
+        + " AND ".join(f"score_{l} >= score_{o}" for o in langs if o != l)
+        + f" THEN '{l}' "
+        for l in langs
+    )
+    return f"CASE WHEN {zero} THEN 'und' {whens}ELSE 'und' END"
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        f"len(list_filter({WORDS_DUCK}, w -> list_contains([{', '.join(repr(m) for m in ms)}], w))) AS score_{lang}"
+        for lang, ms in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    best = _argmax_case(langs) + " AS pred_lang"
+    cols = ", ".join(f"score_{l}" for l in langs)
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang, {cols}, {best} FROM scored
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting + exact / prefix dedup
+# ---------------------------------------------------------------------------
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 over the whitespace-normalized text
+    (exact-dup key) and over the first 8 tokens (prefix near-dup key —
+    a cheap stand-in for a rolling-hash fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"md5(array_join({WORDS}, ' ')) as fp_full",
+        f"md5(array_join(slice({WORDS}, 1, 8), ' ')) as fp_prefix",
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string({WORDS_DUCK}, ' ')) AS fp_full,
+       md5(array_to_string({WORDS_DUCK}[1:8], ' ')) AS fp_prefix
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint; emit
+    one row per duplicate group (canonical = min doc_id). Shuffles the
+    16-byte hash + doc_id only — never the text — so at 100 TB the
+    exchange is ~24 B/doc."""
+    fps = text_fingerprint(spark, sf_dir)
+    return (
+        fps.groupBy("fp_full")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, md5(array_to_string({WORDS_DUCK}, ' ')) AS fp_full FROM documents
+)
+SELECT fp_full, count(*) AS n_copies, min(doc_id) AS canonical_doc_id,
+       max(doc_id) AS max_doc_id
+FROM fps GROUP BY fp_full HAVING count(*) > 1
+"""
+
+
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups sharing the 8-token prefix fingerprint."""
+    fps = text_fingerprint(spark, sf_dir)
+    return (
+        fps.groupBy("fp_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+DEDUP_PREFIX_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, md5(array_to_string({WORDS_DUCK}[1:8], ' ')) AS fp_prefix FROM documents
+)
+SELECT fp_prefix, count(*) AS n_members, min(doc_id) AS canonical_doc_id
+FROM fps GROUP BY fp_prefix HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, unigram hashes)
+# ---------------------------------------------------------------------------
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: per bit b, sum sign(bit b of H(w)) over distinct
+    words; bit set iff sum > 0. All in nested higher-order functions —
+    no shuffle at all (embarrassingly parallel scan)."""
+    docs = load(spark, sf_dir, "documents")
+    hs = f"transform(array_distinct({WORDS}), w -> {_h('w')})"
+    simhash = (
+        f"aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
+        f"(CASE WHEN aggregate(hs, 0L, (a2, h) -> a2 + "
+        f"(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN shiftleft(1L, b) ELSE 0L END)) as simhash"
+    )
+    return docs.selectExpr("doc_id", f"{hs} as hs").selectExpr(
+        "doc_id", simhash, "size(hs) as n_distinct_words"
+    )
+
+
+SIMHASH_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(list_distinct({WORDS_DUCK}), w -> {_h_duck('w')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_sum(list_transform(range(0, 32), b ->
+         CASE WHEN list_sum(list_transform(hs, h2 ->
+                CASE WHEN ((h2 >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash,
+       len(hs) AS n_distinct_words
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs with Jaccard verification
+# ---------------------------------------------------------------------------
+
+_K = 8        # minhash signatures
+_BANDS = 4    # LSH bands (2 rows each)
+
+
+def _shingles(words_expr: str, dialect: str) -> str:
+    """Word 3-gram shingle array (distinct)."""
+    if dialect == "spark":
+        return (
+            f"array_distinct(CASE WHEN size({words_expr}) >= 3 THEN "
+            f"transform(sequence(1, size({words_expr}) - 2), "
+            f"i -> array_join(slice({words_expr}, i, 3), ' ')) "
+            f"ELSE array(array_join({words_expr}, ' ')) END)"
+        )
+    return (
+        f"list_distinct(CASE WHEN len({words_expr}) >= 3 THEN "
+        f"list_transform(range(1, len({words_expr}) - 1), "
+        f"i -> array_to_string({words_expr}[i:i+2], ' ')) "
+        f"ELSE [array_to_string({words_expr}, ' ')] END)"
+    )
+
+
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate detection, the scale path for corpus
+    dedup (shingle → minhash → band → bucket-join → verify):
+
+    1. per doc: distinct word-3-gram shingles (array ops, no explode);
+    2. k=8 minhashes: ``array_min(transform(shingles, H(seed:shingle)))``
+       — signature computed without shuffling a single shingle;
+    3. 4 bands × 2 rows: band key = md5 of the band's signature slice;
+       docs explode to 4 (band, key) rows — the only multiplied data is
+       4 × 40 bytes per doc, never text;
+    4. bucket self-join on (band, key) with doc_a < doc_b → candidates
+       (dedup'd across bands) — at 10^10 docs this join is the classic
+       LSH trick: only docs agreeing on a full band ever meet;
+    5. exact verification: join candidates back to shingle arrays,
+       Jaccard = |∩|/|∪| via array_intersect/array_union, keep ≥ 0.5.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(WORDS, "spark")
+    mh = [
+        f"array_min(transform(shingles, s -> {_h(repr(str(i) + ':') + ' || s')})) as mh{i}"
+        for i in range(_K)
+    ]
+    sig = docs.selectExpr("doc_id", f"{sh} as shingles").selectExpr(
+        "doc_id", "shingles", *mh
+    )
+    band_cols = ", ".join(
+        f"named_struct('band', {b}, 'key', md5(concat_ws(',', mh{2*b}, mh{2*b+1})))"
+        for b in range(_BANDS)
+    )
+    banded = sig.selectExpr("doc_id", "shingles", f"explode(array({band_cols})) as bk")
+    a = banded.selectExpr("doc_id as doc_a", "shingles as sh_a", "bk as bk_a")
+    b = banded.selectExpr("doc_id as doc_b", "shingles as sh_b", "bk as bk_b")
+    pairs = (
+        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        pairs.selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def _minhash_sql() -> str:
+    sh = _shingles(WORDS_DUCK, "duck")
+    mh = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_h_duck(repr(str(i) + ':') + ' || s')})) AS mh{i}"
+        for i in range(_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, shingles, {b} AS band, "
+        f"md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS key FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, {sh} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id, shingles, {mh} FROM docs_sh
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+             4) AS jaccard
+FROM pairs p
+JOIN docs_sh sa ON p.doc_a = sa.doc_id
+JOIN docs_sh sb ON p.doc_b = sb.doc_id
+WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+            4) >= 0.5
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+QUERIES = {
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_prefix": dedup_prefix,
+    "text_simhash": text_simhash,
+    "minhash_lsh_neardup": minhash_lsh_neardup,
+}
+
+ORACLES = {
+    "text_tokens": TOKENS_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_langid": LANGID_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_prefix": DEDUP_PREFIX_SQL,
+    "text_simhash": SIMHASH_SQL,
+    "minhash_lsh_neardup": MINHASH_SQL,
+}
