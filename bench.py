@@ -1,0 +1,133 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Two parts, both scaled by $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] (default 32):
+
+1. **CDC replay throughput** (the BASELINE.json headline metric): a
+   deterministic binlog changelog sized to the SF is generated once (cached
+   in /tmp keyed by params), then replayed end-to-end — distributed decode →
+   transaction gate → salted LWW → MERGE snapshot → ledger commit.
+   Generation cost is excluded (it synthesizes the *input*, which at
+   production scale already exists as binlog segments).
+2. **Headline analytics queries** over the testdata parquet (the bench
+   subset of __spark_entry__.queries()), each timed to completion.
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": sf,
+         "cdc_events": N, "cdc_events_per_sec": r, "cpus": c}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from mysql_cdc_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cdc_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    timings: dict[str, float] = {}
+
+    # ---- part 1: CDC replay throughput --------------------------------
+    n_events, replay_s = bench_cdc_replay(spark, sf, cpus, timings)
+
+    # ---- part 2: headline analytics -----------------------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "star_broadcast_rollup",
+        "w1_lww_last_event", "a1_interval_collapse", "j1_dim_lookup_join",
+        "text_tokens", "text_simhash", "minhash_lsh_neardup",
+        "dedup_exact", "knn_bruteforce", "label_centroids",
+        "multimodal_features",
+    ]
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end sec: CDC binlog replay->merge + headline analytics",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events": n_events,
+                "cdc_events_per_sec": round(n_events / replay_s, 1) if replay_s else 0.0,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, float]:
+    """Replay a deterministic changelog sized ~1.5M row-events/SF-unit
+    (sf0.1 → ~150k events over 16 rotation files) through the full
+    pipeline; returns (events, replay_seconds)."""
+    import shutil
+    import tempfile
+
+    from mysql_cdc_spark.fixtures import (
+        count_change_events,
+        generate_changelog,
+        write_binlog_files,
+    )
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    n_conv = max(200, int(20000 * sf))
+    n_ops = max(1000, int(300000 * sf))
+    root = f"/tmp/cdc_bench_sf{sf}_v3"
+    cache = os.path.join(root, "binlog")
+    meta = os.path.join(root, "meta.json")
+    if not os.path.exists(meta):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        txns = generate_changelog(
+            n_conversations=n_conv,
+            max_turns=8,
+            n_extra_ops=n_ops,
+            seed=1234,
+            hot_conversations=5,
+            hot_share=0.3,
+            duplicate_txns=max(10, n_ops // 100),
+            evolve_after_frac=0.5,
+        )
+        write_binlog_files(txns, cache, txns_per_file=max(50, (n_conv + n_ops) // 16))
+        with open(meta, "w") as f:
+            json.dump({"events": count_change_events(txns)}, f)
+        n_events = count_change_events(txns)
+    else:
+        with open(meta) as f:
+            n_events = json.load(f)["events"]
+
+    store = tempfile.mkdtemp(prefix="cdc_bench_store_")
+    rep = Replayer(spark, cache, store, salt_buckets=max(8, cpus // 2))
+    t0 = time.time()
+    result = rep.replay(files_per_batch=4)
+    final_rows = rep.read_state().count()
+    replay_s = time.time() - t0
+    timings["cdc_replay"] = round(replay_s, 3)
+    shutil.rmtree(store, ignore_errors=True)
+    _ = (result, final_rows)
+    return n_events, replay_s
+
+
+if __name__ == "__main__":
+    sys.stderr.write("bench: starting\n")
+    main()

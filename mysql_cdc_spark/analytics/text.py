@@ -307,8 +307,9 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (shingle → minhash → band → bucket-join → verify):
 
     1. per doc: distinct word-3-gram shingles (array ops, no explode);
-    2. k=8 minhashes: ``array_min(transform(shingles, H(seed:shingle)))``
-       — signature computed without shuffling a single shingle;
+    2. k=8 minhashes: one md5 per shingle, k overlapping 13-hex windows of
+       the digest as the k hash functions — signature computed without
+       shuffling a single shingle;
     3. 4 bands × 2 rows: band key = md5 of the band's signature slice;
        docs explode to 4 (band, key) rows — the only multiplied data is
        4 × 40 bytes per doc, never text;
@@ -320,27 +321,44 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(WORDS, "spark")
+    # ONE md5 per shingle; the k minhash functions are k overlapping 13-hex
+    # windows of the same digest (Spark evaluates higher-order-function
+    # lambdas interpreted, so md5 count dominates — this is 8× cheaper than
+    # k independent salted hashes and equally good for LSH banding)
     mh = [
-        f"array_min(transform(shingles, s -> {_h(repr(str(i) + ':') + ' || s')})) as mh{i}"
+        f"array_min(transform(shingle_md5s, m -> "
+        f"cast(conv(substring(m, {1 + 2 * i}, 13), 16, 10) as bigint))) as mh{i}"
         for i in range(_K)
     ]
-    sig = docs.selectExpr("doc_id", f"{sh} as shingles").selectExpr(
-        "doc_id", "shingles", *mh
+    sig = (
+        docs.selectExpr("doc_id", f"{sh} as shingles")
+        .selectExpr("doc_id", "shingles", "transform(shingles, s -> md5(s)) as shingle_md5s")
+        .selectExpr("doc_id", "shingles", *mh)
+        .persist()
     )
     band_cols = ", ".join(
         f"named_struct('band', {b}, 'key', md5(concat_ws(',', mh{2*b}, mh{2*b+1})))"
         for b in range(_BANDS)
     )
-    banded = sig.selectExpr("doc_id", "shingles", f"explode(array({band_cols})) as bk")
-    a = banded.selectExpr("doc_id as doc_a", "shingles as sh_a", "bk as bk_a")
-    b = banded.selectExpr("doc_id as doc_b", "shingles as sh_b", "bk as bk_b")
-    pairs = (
-        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    # banded rows carry ONLY (doc_id, band, key) — the shingle arrays never
+    # enter the bucket join; at corpus scale the exchange is ~40 B/doc/band
+    banded = sig.selectExpr("doc_id", f"explode(array({band_cols})) as bk").selectExpr(
+        "doc_id", "bk.band as band", "bk.key as key"
     )
+    a = banded.selectExpr("doc_id as doc_a", "band", "key")
+    b = banded.selectExpr("doc_id as doc_b", "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verification joins attach shingles only to surviving candidates
+    sh_df = sig.select("doc_id", "shingles")
     return (
-        pairs.selectExpr(
+        pairs.join(sh_df.selectExpr("doc_id as doc_a", "shingles as sh_a"), "doc_a")
+        .join(sh_df.selectExpr("doc_id as doc_b", "shingles as sh_b"), "doc_b")
+        .selectExpr(
             "doc_a",
             "doc_b",
             "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
@@ -352,7 +370,8 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     sh = _shingles(WORDS_DUCK, "duck")
     mh = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_h_duck(repr(str(i) + ':') + ' || s')})) AS mh{i}"
+        f"list_min(list_transform(shingle_md5s, m -> "
+        f"(('0x' || substr(m, {1 + 2 * i}, 13))::BIGINT))) AS mh{i}"
         for i in range(_K)
     )
     band_rows = " UNION ALL ".join(
@@ -364,7 +383,11 @@ def _minhash_sql() -> str:
 WITH docs_sh AS (
   SELECT doc_id, {sh} AS shingles FROM documents
 ), sig AS (
-  SELECT doc_id, shingles, {mh} FROM docs_sh
+  SELECT doc_id, shingles, {mh} FROM (
+    SELECT doc_id, shingles,
+           list_transform(shingles, s -> md5(s)) AS shingle_md5s
+    FROM docs_sh
+  )
 ), banded AS (
   {band_rows}
 ), pairs AS (

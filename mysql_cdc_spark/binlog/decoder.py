@@ -110,32 +110,32 @@ def _ddl_to_type(ddl: str) -> T.DataType:
     }[ddl]
 
 
-def _convert(value, kind: str):
-    if value is None:
-        return None
-    if kind == "ts_millis":
-        return pd.Timestamp(value, unit="ms")
-    if kind == "int":
-        return int(value)
-    return value
-
-
 class _FileDecoder:
-    """Sequential per-file decode with transaction buffering."""
+    """Sequential per-file decode with transaction buffering.
+
+    Columnar accumulation: rows are buffered as compact tuples until their
+    transaction commits, then appended straight into per-column lists —
+    no per-row dicts, no per-row pandas objects. Timestamp columns are kept
+    as epoch ints and converted once per Arrow batch (vectorized
+    ``pd.to_datetime``)."""
+
+    _META_COLS = (
+        "src_file", "pos", "next_pos", "ts", "server_id", "op",
+        "gtid_source", "gtid_seq", "xid", "table_id", "db", "tbl",
+        "row_in_event",
+    )
 
     def __init__(self, spec: TableSpec):
         self.spec = spec
         self.canonical = [c[0] for c in spec.columns]
         self.kinds = {c[0]: c[2] for c in spec.columns}
+        # canonical column index maps, memoized per table-map identity
+        self._colmap_memo: dict[int, list] = {}
         self.out: dict[str, list] = {}
         self._reset_columns()
 
     def _reset_columns(self):
-        cols = [
-            "src_file", "pos", "next_pos", "ts", "server_id", "op",
-            "gtid_source", "gtid_seq", "xid", "table_id", "db", "tbl",
-            "row_in_event",
-        ]
+        cols = list(self._META_COLS)
         for prefix in ("before_", "after_"):
             for name in self.canonical:
                 cols.append(prefix + name)
@@ -143,9 +143,37 @@ class _FileDecoder:
         self.n_rows = 0
 
     def _flush_frame(self) -> pd.DataFrame:
-        df = pd.DataFrame(self.out)
+        millis_cols = {
+            p + n for p in ("before_", "after_")
+            for n, k in self.kinds.items() if k == "ts_millis"
+        }
+        data = {}
+        for c, values in self.out.items():
+            if c == "ts":
+                data[c] = pd.to_datetime(values, unit="s")
+            elif c in millis_cols:
+                data[c] = pd.to_datetime(values, unit="ms")
+            else:
+                data[c] = values
+        df = pd.DataFrame(data)
         self._reset_columns()
         return df
+
+    def _colmap(self, table: dict) -> list:
+        """For a table map: [(canonical_idx, image_idx | None, kind), ...]."""
+        key = id(table)
+        cm = self._colmap_memo.get(key)
+        if cm is None:
+            col_names = table.get("column_names") or self.canonical[
+                : len(table["column_types"])
+            ]
+            index = {n: i for i, n in enumerate(col_names)}
+            cm = [
+                (ci, index.get(name), self.kinds[name])
+                for ci, name in enumerate(self.canonical)
+            ]
+            self._colmap_memo[key] = cm
+        return cm
 
     def decode_file(
         self, path: str, content: bytes, batch_rows: int = 65536
@@ -153,43 +181,45 @@ class _FileDecoder:
         src_file = os.path.basename(path)
         reader = BinlogFileReader(content, src_file)
         spec = self.spec
+        canonical = self.canonical
+        out = self.out
 
         # transaction state (ST2): gtid seen at group start, rows buffered
-        # until xid; binlog_client.rs:69-99
+        # until xid; binlog_client.rs:69-99. Buffered rows are compact
+        # tuples: (pos, next_pos, ts_epoch, server_id, op, gtid_source,
+        # gtid_seq, table_id, db, tbl, row_idx, colmap, before, after)
         cur_gtid_source: Optional[str] = None
         cur_gtid_seq: Optional[int] = None
-        txn_buffer: list[dict] = []
+        txn_buffer: list[tuple] = []
 
-        def row_record(pos, header, op, table, table_id, before, after, row_idx):
-            col_names = table.get("column_names") or self.canonical[: len(table["column_types"])]
-            rec = {
-                "src_file": src_file,
-                "pos": pos,
-                "next_pos": header[4],
-                "ts": pd.Timestamp(header[0], unit="s") if header[0] else pd.NaT,
-                "server_id": header[2],
-                "op": op,
-                "gtid_source": cur_gtid_source,
-                "gtid_seq": cur_gtid_seq,
-                "xid": None,
-                "table_id": table_id,
-                "db": table["database_name"],
-                "tbl": table["table_name"],
-                "row_in_event": row_idx,
-            }
-            for prefix, image in (("before_", before), ("after_", after)):
-                for name in self.canonical:
-                    rec[prefix + name] = None
-                if image is not None:
-                    for cname, value in zip(col_names, image):
-                        if cname in self.kinds:
-                            rec[prefix + cname] = _convert(value, self.kinds[cname])
-            return rec
-
-        def emit(rec):
-            for k, v in rec.items():
-                self.out[k].append(v)
-            self.n_rows += 1
+        def emit_txn(xid):
+            o = out
+            for (pos, next_pos, ts, sid, op, gsrc, gseq, tid, db, tbl,
+                 ridx, colmap, before, after) in txn_buffer:
+                o["src_file"].append(src_file)
+                o["pos"].append(pos)
+                o["next_pos"].append(next_pos)
+                o["ts"].append(ts)
+                o["server_id"].append(sid)
+                o["op"].append(op)
+                o["gtid_source"].append(gsrc)
+                o["gtid_seq"].append(gseq)
+                o["xid"].append(xid)
+                o["table_id"].append(tid)
+                o["db"].append(db)
+                o["tbl"].append(tbl)
+                o["row_in_event"].append(ridx)
+                for prefix, image in (("before_", before), ("after_", after)):
+                    if image is None:
+                        for ci, _mi, _kind in colmap:
+                            o[prefix + canonical[ci]].append(None)
+                    else:
+                        for ci, mi, kind in colmap:
+                            v = image[mi] if mi is not None and mi < len(image) else None
+                            if v is not None and kind == "int":
+                                v = int(v)
+                            o[prefix + canonical[ci]].append(v)
+            self.n_rows += len(txn_buffer)
 
         for header, pos, kind, event in reader:
             if kind == "mysql_gtid":
@@ -205,24 +235,32 @@ class _FileDecoder:
                 if table["database_name"] != spec.database or table["table_name"] != spec.table:
                     continue
                 op = "insert" if kind == "write_rows" else "delete"
+                colmap = self._colmap(table)
+                ts = header[0] or None
+                tid = event["table_id"]
+                db, tbl = table["database_name"], table["table_name"]
                 for i, row in enumerate(event["rows"]):
                     before = row if op == "delete" else None
                     after = row if op == "insert" else None
                     txn_buffer.append(
-                        row_record(pos, header, op, table, event["table_id"], before, after, i)
+                        (pos, header[4], ts, header[2], op, cur_gtid_source,
+                         cur_gtid_seq, tid, db, tbl, i, colmap, before, after)
                     )
             elif kind == "update_rows":
                 table = reader.table_map[event["table_id"]]
                 if table["database_name"] != spec.database or table["table_name"] != spec.table:
                     continue
+                colmap = self._colmap(table)
+                ts = header[0] or None
+                tid = event["table_id"]
+                db, tbl = table["database_name"], table["table_name"]
                 for i, (before, after) in enumerate(event["rows"]):
                     txn_buffer.append(
-                        row_record(pos, header, "update", table, event["table_id"], before, after, i)
+                        (pos, header[4], ts, header[2], "update", cur_gtid_source,
+                         cur_gtid_seq, tid, db, tbl, i, colmap, before, after)
                     )
             elif kind == "xid":
-                for rec in txn_buffer:
-                    rec["xid"] = event["xid"]
-                    emit(rec)
+                emit_txn(event["xid"])
                 txn_buffer = []
                 cur_gtid_source = None
                 cur_gtid_seq = None
@@ -237,9 +275,7 @@ class _FileDecoder:
                 if sql == "BEGIN":
                     pass
                 elif sql == "COMMIT":
-                    for rec in txn_buffer:
-                        rec["xid"] = -1  # committed without XID event
-                        emit(rec)
+                    emit_txn(-1)  # committed without XID event
                     txn_buffer = []
                     cur_gtid_source = None
                     cur_gtid_seq = None
@@ -258,8 +294,7 @@ class _FileDecoder:
 
         # un-committed tail (transaction cut by file end / crash): emit with
         # xid NULL so the transaction-complete gate can drop it
-        for rec in txn_buffer:
-            emit(rec)
+        emit_txn(None)
         if self.n_rows:
             yield self._flush_frame()
 
@@ -277,25 +312,61 @@ def decode_binlog_dir(
     pass ``path_filter`` (glob) to prune segments at the listing, e.g. for
     resume-from-file checkpoints.
     """
-    reader = spark.read.format("binaryFile")
-    if path_filter:
-        reader = reader.option("pathGlobFilter", path_filter)
-    files = reader.load(binlog_dir).select("path", "content")
-    # One file = one sequential decode unit. Spark's file packing controls
-    # how segments spread over tasks: set spark.sql.files.openCostInBytes
-    # high enough (session.py does) that small segments don't all pack into
-    # one partition. No repartition here — shuffling raw segment bytes
-    # would move the entire input over the network at cluster scale.
+    # One file = one sequential decode unit, so decode parallelism must be
+    # one task per segment. ``binaryFile`` packs small segments into shared
+    # tasks (maxSplitBytes formula), so instead the *path list* (driver-side
+    # metadata, bytes-free) is distributed — repartition(n_files) shuffles
+    # only strings; each task then opens its own segment executor-side
+    # (local fs here; pyarrow.fs handles hdfs://, s3:// identically). Raw
+    # segment bytes never cross the network as shuffle data.
+    paths = _list_segments(binlog_dir, path_filter)
+    if not paths:
+        return spark.createDataFrame([], change_event_schema(spec))
+    pdf_paths = spark.createDataFrame([(p,) for p in paths], "path string")
+    # round-robin (no key): exactly one path per partition, no hash collisions
+    pdf_paths = pdf_paths.repartition(len(paths))
 
     schema = change_event_schema(spec)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 decoder = _FileDecoder(spec)
-                yield from decoder.decode_file(path, bytes(content))
+                yield from decoder.decode_file(path, _read_bytes(path))
 
-    return files.mapInPandas(decode, schema=schema)
+    return pdf_paths.mapInPandas(decode, schema=schema)
+
+
+def _list_segments(binlog_dir: str, path_filter: Optional[str] = None) -> list[str]:
+    """Driver-side segment listing (cheap metadata op — the same listing
+    the resume planner already does). Glob filter mirrors binaryFile's
+    pathGlobFilter."""
+    import fnmatch
+
+    names = sorted(
+        n for n in os.listdir(binlog_dir)
+        if os.path.isfile(os.path.join(binlog_dir, n))
+    )
+    if path_filter:
+        # brace-glob {a,b} support like Hadoop's GlobFilter
+        if path_filter.startswith("{") and path_filter.endswith("}"):
+            allowed = set(path_filter[1:-1].split(","))
+            names = [n for n in names if n in allowed]
+        else:
+            names = [n for n in names if fnmatch.fnmatch(n, path_filter)]
+    return [os.path.join(binlog_dir, n) for n in names]
+
+
+def _read_bytes(path: str) -> bytes:
+    """Executor-side segment read; local path or any pyarrow.fs URI."""
+    if "://" not in path:
+        with open(path, "rb") as f:
+            return f.read()
+    from pyarrow import fs as pafs
+
+    filesystem, p = pafs.FileSystem.from_uri(path)
+    with filesystem.open_input_stream(p) as f:
+        return f.read()
 
 
 def scan_table_maps(content: bytes) -> list[dict]:
@@ -332,13 +403,16 @@ def scan_table_maps(content: bytes) -> list[dict]:
 def discover_columns(spark: SparkSession, binlog_dir: str, spec: TableSpec) -> list[str]:
     """Two-pass schema discovery: union of TABLE_MAP column_names for the
     target table across all segments (additive evolution)."""
-    files = spark.read.format("binaryFile").load(binlog_dir).select("path", "content")
+    paths = _list_segments(binlog_dir)
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, len(paths))
+    )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             names: list[str] = []
-            for content in pdf["content"]:
-                for tm in scan_table_maps(bytes(content)):
+            for path in pdf["path"]:
+                for tm in scan_table_maps(_read_bytes(path)):
                     if (
                         tm["database_name"] == spec.database
                         and tm["table_name"] == spec.table

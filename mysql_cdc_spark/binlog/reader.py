@@ -358,6 +358,10 @@ class BinlogFileReader:
         self.filename = filename
         self.checksum_type = ChecksumType.NONE
         self.table_map: dict[int, dict] = {}
+        # payload-keyed memo: servers re-emit an identical TABLE_MAP before
+        # every transaction (the reference re-parses each one,
+        # event_parser.rs:117-119; byte-identical payloads let us skip it)
+        self._tm_memo: dict[bytes, dict] = {}
 
     def __iter__(self) -> Iterator[tuple[tuple, int, str, object]]:
         """Yields (header_tuple, pos, kind, event_dict_or_None).
@@ -398,7 +402,10 @@ class BinlogFileReader:
                 "checksum_type": checksum,
             }
         if etype == E.TABLE_MAP:
-            tm = parse_table_map(payload)
+            tm = self._tm_memo.get(payload)
+            if tm is None:
+                tm = parse_table_map(payload)
+                self._tm_memo[payload] = tm
             self.table_map[tm["table_id"]] = tm  # event_parser.rs:117-119
             return "table_map", tm
         if etype in (E.WRITE_ROWS_V1, E.MYSQL_WRITE_ROWS_V2):

@@ -99,6 +99,10 @@ def generate_changelog(
     rng = random.Random(seed)
     txns: list[Txn] = []
     state: dict[tuple[str, int], list] = {}
+    # per-conversation live turn list, maintained incrementally (appends at
+    # the end, deletes pop the end → stays sorted); avoids an O(total-keys)
+    # scan per transaction so generation stays linear in ops
+    turns_by_conv: dict[str, list[int]] = {}
     seq = 0
     tick = 0
 
@@ -119,6 +123,7 @@ def generate_changelog(
             row = _row(conv, turn, role, text, _ts_millis(tick))
             txn.ops.append(Op("insert", None, list(row)))
             state[(conv, turn)] = row
+        turns_by_conv[conv] = list(range(n_turns))
         txns.append(txn)
 
     # Phase 2: skewed updates/deletes/appends
@@ -134,7 +139,7 @@ def generate_changelog(
             conv = convs[rng.randrange(hot_conversations)]
         else:
             conv = convs[rng.randrange(n_conversations)]
-        live_turns = sorted(t for (c, t) in state if c == conv)
+        live_turns = turns_by_conv.setdefault(conv, [])
         r = rng.random()
         n_ops = rng.randint(1, 4)
         for _ in range(n_ops):
@@ -232,6 +237,7 @@ def write_binlog_files(
     source_uuid: str = SOURCE_UUID,
     server_id: int = 1,
     write_begin_query: bool = True,
+    workers: int = 0,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -239,75 +245,106 @@ def write_binlog_files(
     per-file decode state resets, mirroring the reference's atomicity rule
     that TableMap does not advance the commit position so it is always
     replayed with its row events — binlog_client.rs:107-110).
+
+    ``workers > 1`` encodes files in parallel processes (files are
+    independent given their transaction slice) — fixture-generation speed
+    only, identical bytes.
     """
     import os
 
     os.makedirs(outdir, exist_ok=True)
-    paths: list[str] = []
     n_files = max(1, (len(txns) + txns_per_file - 1) // txns_per_file)
-    for fidx in range(n_files):
-        fname = f"{file_prefix}.{fidx + 1:06d}"
-        writer = BinlogWriter(fname, server_id=server_id)
-        chunk = txns[fidx * txns_per_file : (fidx + 1) * txns_per_file]
-        for txn in chunk:
-            cols = POST_COLUMNS if txn.evolved else PRE_COLUMNS
-            table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
-            ctypes = [COLUMN_TYPES[c][0] for c in cols]
-            cmeta = [COLUMN_TYPES[c][1] for c in cols]
-            writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
-            if write_begin_query:
-                writer.write_query("BEGIN", database="chat", timestamp=txn.timestamp)
-            writer.write_table_map(
-                table_id,
-                "chat",
-                "transcripts",
-                ctypes,
-                cmeta,
-                nullability=[False, False, False, False, False]
-                + ([True] if txn.evolved else []),
-                column_names=cols,
-                simple_primary_keys=[0, 1],
-                timestamp=txn.timestamp,
+    if workers and workers > 1 and n_files > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        jobs = [
+            (
+                txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
+                outdir, fidx, n_files, txns_per_file, file_prefix,
+                source_uuid, server_id, write_begin_query,
             )
-            # statement order is semantic (delete-then-reinsert of a key);
-            # group only *consecutive* same-kind ops into one rows event,
-            # exactly like a server batching rows of one statement
-            run_kind = None
-            run: list = []
+            for fidx in range(n_files)
+        ]
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(_write_one_file, jobs, chunksize=1))
 
-            def flush_run(kind, ops):
-                if not ops:
-                    return
-                if kind == "insert":
-                    writer.write_rows(
-                        table_id, ctypes, cmeta, [op.after for op in ops],
-                        event_type=EventType.MYSQL_WRITE_ROWS_V2, timestamp=txn.timestamp,
-                    )
-                elif kind == "update":
-                    writer.write_update_rows(
-                        table_id, ctypes, cmeta, [(op.before, op.after) for op in ops],
-                        timestamp=txn.timestamp,
-                    )
-                else:
-                    writer.write_rows(
-                        table_id, ctypes, cmeta, [op.before for op in ops],
-                        event_type=EventType.MYSQL_DELETE_ROWS_V2, timestamp=txn.timestamp,
-                    )
-
-            for op in txn.ops:
-                if op.kind != run_kind and run:
-                    flush_run(run_kind, run)
-                    run = []
-                run_kind = op.kind
-                run.append(op)
-            flush_run(run_kind, run)
-            writer.write_xid(txn.seq, timestamp=txn.timestamp)
-        if fidx + 1 < n_files:
-            writer.write_rotate(f"{file_prefix}.{fidx + 2:06d}")
-        path = os.path.join(outdir, fname)
-        writer.save(path)
-        paths.append(path)
+    paths: list[str] = []
+    for fidx in range(n_files):
+        chunk = txns[fidx * txns_per_file : (fidx + 1) * txns_per_file]
+        paths.append(
+            _write_one_file(
+                (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
+                 source_uuid, server_id, write_begin_query)
+            )
+        )
     return paths
+
+
+def _write_one_file(job) -> str:
+    (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
+     source_uuid, server_id, write_begin_query) = job
+    import os
+
+    fname = f"{file_prefix}.{fidx + 1:06d}"
+    writer = BinlogWriter(fname, server_id=server_id)
+    for txn in chunk:
+        cols = POST_COLUMNS if txn.evolved else PRE_COLUMNS
+        table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
+        ctypes = [COLUMN_TYPES[c][0] for c in cols]
+        cmeta = [COLUMN_TYPES[c][1] for c in cols]
+        writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
+        if write_begin_query:
+            writer.write_query("BEGIN", database="chat", timestamp=txn.timestamp)
+        writer.write_table_map(
+            table_id,
+            "chat",
+            "transcripts",
+            ctypes,
+            cmeta,
+            nullability=[False, False, False, False, False]
+            + ([True] if txn.evolved else []),
+            column_names=cols,
+            simple_primary_keys=[0, 1],
+            timestamp=txn.timestamp,
+        )
+        # statement order is semantic (delete-then-reinsert of a key);
+        # group only *consecutive* same-kind ops into one rows event,
+        # exactly like a server batching rows of one statement
+        run_kind = None
+        run: list = []
+
+        def flush_run(kind, ops):
+            if not ops:
+                return
+            if kind == "insert":
+                writer.write_rows(
+                    table_id, ctypes, cmeta, [op.after for op in ops],
+                    event_type=EventType.MYSQL_WRITE_ROWS_V2, timestamp=txn.timestamp,
+                )
+            elif kind == "update":
+                writer.write_update_rows(
+                    table_id, ctypes, cmeta, [(op.before, op.after) for op in ops],
+                    timestamp=txn.timestamp,
+                )
+            else:
+                writer.write_rows(
+                    table_id, ctypes, cmeta, [op.before for op in ops],
+                    event_type=EventType.MYSQL_DELETE_ROWS_V2, timestamp=txn.timestamp,
+                )
+
+        for op in txn.ops:
+            if op.kind != run_kind and run:
+                flush_run(run_kind, run)
+                run = []
+            run_kind = op.kind
+            run.append(op)
+        flush_run(run_kind, run)
+        writer.write_xid(txn.seq, timestamp=txn.timestamp)
+    if fidx + 1 < n_files:
+        writer.write_rotate(f"{file_prefix}.{fidx + 2:06d}")
+    path = os.path.join(outdir, fname)
+    writer.save(path)
+    return path
 
 
 def count_change_events(txns: list[Txn]) -> int:
