@@ -6,7 +6,7 @@ on local[$SPARK_GRAFT_CPUS] (default 32):
 1. **CDC replay throughput** (the BASELINE.json headline metric): a
    deterministic binlog changelog sized to the SF is generated once (cached
    in /tmp keyed by params), then replayed end-to-end — distributed decode →
-   transaction gate → salted LWW → MERGE snapshot → ledger commit.
+   transaction gate → LWW net-change → MERGE snapshot → ledger commit.
    Generation cost is excluded (it synthesizes the *input*, which at
    production scale already exists as binlog segments).
 2. **Headline analytics queries** over the testdata parquet (the bench
@@ -90,9 +90,11 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
     )
     from mysql_cdc_spark.pipeline.replay import Replayer
 
-    n_conv = max(200, int(20000 * sf))
-    n_ops = max(1000, int(300000 * sf))
-    root = f"/tmp/cdc_bench_sf{sf}_v3"
+    # same corpus shape as tools/bench_scaling.py, scaled by sf
+    # (sf0.1 → ~450k events over 16 segments, 2 micro-batches)
+    n_conv = max(500, int(300000 * sf))
+    n_ops = max(2000, int(1200000 * sf))
+    root = f"/tmp/cdc_bench_sf{sf}_v4"
     cache = os.path.join(root, "binlog")
     meta = os.path.join(root, "meta.json")
     if not os.path.exists(meta):
@@ -108,7 +110,11 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
             duplicate_txns=max(10, n_ops // 100),
             evolve_after_frac=0.5,
         )
-        write_binlog_files(txns, cache, txns_per_file=max(50, (n_conv + n_ops) // 16))
+        write_binlog_files(
+            txns, cache,
+            txns_per_file=max(50, (n_conv + n_ops) // 16),
+            workers=min(16, os.cpu_count() or 8),
+        )
         with open(meta, "w") as f:
             json.dump({"events": count_change_events(txns)}, f)
         n_events = count_change_events(txns)
@@ -117,9 +123,16 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
             n_events = json.load(f)["events"]
 
     store = tempfile.mkdtemp(prefix="cdc_bench_store_")
-    rep = Replayer(spark, cache, store, salt_buckets=max(8, cpus // 2))
+    # warmup: spin up Python workers/JIT on one segment so the measured
+    # figure is steady-state throughput (a production tail job runs for
+    # hours; spin-up happens once)
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS, decode_binlog_dir
+
+    decode_binlog_dir(spark, cache, TRANSCRIPTS, path_filter="binlog.000001").count()
+
+    rep = Replayer(spark, cache, store)  # plain max_by LWW (see Replayer docstring)
     t0 = time.time()
-    result = rep.replay(files_per_batch=4)
+    result = rep.replay(files_per_batch=8)
     final_rows = rep.read_state().count()
     replay_s = time.time() - t0
     timings["cdc_replay"] = round(replay_s, 3)

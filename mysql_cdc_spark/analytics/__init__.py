@@ -10,4 +10,8 @@ from __future__ import annotations
 
 
 def load(spark, sf_dir: str, table: str):
+    # epoch-micro outputs (a3, st5, q3) assume UTC wall-clock interpretation
+    # of the parquet timestamps — pin it so results don't depend on the
+    # host session's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -182,7 +182,6 @@ class _FileDecoder:
         reader = BinlogFileReader(content, src_file)
         spec = self.spec
         canonical = self.canonical
-        out = self.out
 
         # transaction state (ST2): gtid seen at group start, rows buffered
         # until xid; binlog_client.rs:69-99. Buffered rows are compact
@@ -193,7 +192,9 @@ class _FileDecoder:
         txn_buffer: list[tuple] = []
 
         def emit_txn(xid):
-            o = out
+            # self.out is rebound by _flush_frame — resolve at call time,
+            # never alias across a flush boundary
+            o = self.out
             for (pos, next_pos, ts, sid, op, gsrc, gseq, tid, db, tbl,
                  ridx, colmap, before, after) in txn_buffer:
                 o["src_file"].append(src_file)
@@ -322,9 +323,13 @@ def decode_binlog_dir(
     paths = _list_segments(binlog_dir, path_filter)
     if not paths:
         return spark.createDataFrame([], change_event_schema(spec))
-    pdf_paths = spark.createDataFrame([(p,) for p in paths], "path string")
-    # round-robin (no key): exactly one path per partition, no hash collisions
-    pdf_paths = pdf_paths.repartition(len(paths))
+    # parallelize with numSlices=len(paths): exactly one path per partition,
+    # deterministic, zero shuffle (round-robin repartition leaves collision
+    # gaps; hash repartition is worse)
+    pdf_paths = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths], len(paths)),
+        "path string",
+    )
 
     schema = change_event_schema(spec)
 

@@ -75,9 +75,16 @@ class Replayer:
         binlog_dir: str,
         store_dir: str,
         spec: TableSpec = TRANSCRIPTS,
-        salt_buckets: int = 8,
+        salt_buckets: int = 0,
         target: object | None = None,
     ):
+        """``salt_buckets=0`` (default): plain ``max_by`` aggregation — its
+        map-side partial combine already collapses a hot key to one row per
+        task before the shuffle, which measured ~2× faster than the salted
+        two-phase reduce on the skewed bench corpus (BENCH.md). Set
+        ``salt_buckets>1`` for aggregations without combine support or for
+        pathological single-key streams; the MERGE join side is covered by
+        AQE skew-join splitting (session.py)."""
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
@@ -119,7 +126,20 @@ class Replayer:
             changes = filter_covered_gtids(changes, intervals)
 
         keys = list(spec.primary_key)
-        changes = with_change_key(changes, keys).persist()
+        changes = with_change_key(changes, keys)
+        # before-images exist only to key deletes (row_data.rs:18-24); after
+        # with_change_key they are dead weight — drop them before persist so
+        # the cache and every downstream shuffle carry half the text volume
+        changes = changes.select(
+            *keys,
+            "src_file", "pos", "next_pos", "ts", "server_id", "op",
+            "gtid_source", "gtid_seq", "xid", "table_id", "db", "tbl",
+            "row_in_event",
+            *[f"after_{n}" for n, _, _ in spec.columns],
+        ).persist()
+
+        phase_t = {}
+        t_phase = time.time()
 
         # -- stats in one distributed pass: per-file lineage + gtid ranges
         stats = (
@@ -130,10 +150,11 @@ class Replayer:
                 F.max("pos").alias("max_pos"),
                 F.min("gtid_seq").alias("min_seq"),
                 F.max("gtid_seq").alias("max_seq"),
-                F.countDistinct("gtid_seq").alias("n_seq"),
             )
             .collect()
         )
+        phase_t["decode_stats_s"] = round(time.time() - t_phase, 2)
+        t_phase = time.time()
         n_events = sum(r["events"] for r in stats)
         if n_events == 0:
             changes.unpersist()
@@ -162,10 +183,13 @@ class Replayer:
         current_version = self.ledger.current_snapshot_version()
         new_version = self.target.merge(spark, net, current_version)
         net_rows = -1  # avoid a second action; lineage covers observability
+        phase_t["lww_merge_s"] = round(time.time() - t_phase, 2)
+        t_phase = time.time()
 
         # -- ledger gtid-set update
-        batch_set = self._gtid_set_from_stats(spark, changes, stats)
+        batch_set = self._batch_gtid_set(changes)
         merged_set = covered.union(batch_set)
+        phase_t["ledger_s"] = round(time.time() - t_phase, 2)
         max_file = max(r["src_file"] for r in stats)
         max_pos = max(r["max_pos"] for r in stats if r["src_file"] == max_file)
         changes.unpersist()
@@ -184,6 +208,7 @@ class Replayer:
             "events": n_events,
             "seconds": round(seconds, 3),
             "events_per_sec": round(n_events / seconds, 1) if seconds else 0.0,
+            **phase_t,
         }
         self.ledger.append(
             LedgerEntry(
@@ -202,53 +227,33 @@ class Replayer:
             metrics["events_per_sec"], str(merged_set), lineage,
         )
 
-    def _gtid_set_from_stats(self, spark, changes, stats) -> GtidSet:
-        """Batch GtidSet from per-(file, source) min/max/count aggregates.
+    def _batch_gtid_set(self, changes) -> GtidSet:
+        """Batch GtidSet computed distributedly: distinct (source, seq) →
+        gaps-and-islands collapse (seq − row_number is constant within a
+        contiguous run — the same interval algebra as GtidSet.add_gtid,
+        uuid_set.rs:29-98, as one window + one groupBy over skinny rows).
+        The driver receives only the collapsed intervals (≈ tens of rows),
+        never per-transaction data."""
+        from pyspark.sql.window import Window
 
-        Fast path: when the distinct-seq count matches the span, the range is
-        contiguous → one interval. Gap fallback (rare: filtered tables or
-        interleaved sources) collects the distinct seqs for just the
-        non-contiguous (file, source) groups.
-        """
+        from ..gtid import UuidSet, _splice_interval
+
+        seqs = changes.select("gtid_source", "gtid_seq").distinct()
+        w = Window.partitionBy("gtid_source").orderBy("gtid_seq")
+        intervals = (
+            seqs.withColumn("grp", F.col("gtid_seq") - F.row_number().over(w))
+            .groupBy("gtid_source", "grp")
+            .agg(F.min("gtid_seq").alias("start"), F.max("gtid_seq").alias("end"))
+            .collect()
+        )
         gset = GtidSet()
-        need_exact: list[tuple[str, str]] = []
-        per_source: dict[str, list[tuple[int, int, int]]] = {}
-        for r in stats:
-            per_source.setdefault(r["gtid_source"], []).append(
-                (r["min_seq"], r["max_seq"], r["n_seq"])
-            )
-            if r["n_seq"] != r["max_seq"] - r["min_seq"] + 1:
-                need_exact.append((r["src_file"], r["gtid_source"]))
-
-        exact: dict[tuple[str, str], list[int]] = {}
-        if need_exact:
-            cond = F.lit(False)
-            for f, s in need_exact:
-                cond = cond | ((F.col("src_file") == f) & (F.col("gtid_source") == s))
-            rows = (
-                changes.filter(cond)
-                .select("src_file", "gtid_source", "gtid_seq")
-                .distinct()
-                .collect()
-            )
-            for r in rows:
-                exact.setdefault((r["src_file"], r["gtid_source"]), []).append(r["gtid_seq"])
-
-        for r in stats:
+        for r in intervals:
             source = r["gtid_source"]
-            uuid = Uuid.parse(source)
-            key = (r["src_file"], source)
-            if key in exact:
-                for seq in exact[key]:
-                    gset.add_gtid(Gtid(uuid, seq))
-            else:
-                us = gset.uuid_sets.get(source)
-                from ..gtid import UuidSet, Interval, _splice_interval
-
-                if us is None:
-                    us = UuidSet(uuid, [])
-                    gset.uuid_sets[source] = us
-                _splice_interval(us, int(r["min_seq"]), int(r["max_seq"]))
+            us = gset.uuid_sets.get(source)
+            if us is None:
+                us = UuidSet(Uuid.parse(source), [])
+                gset.uuid_sets[source] = us
+            _splice_interval(us, int(r["start"]), int(r["end"]))
         return gset
 
     # -- full replay ---------------------------------------------------------

@@ -249,3 +249,29 @@ class TestTemporal:
         # fsp=2 → 1 byte scaled by 100^2 (col_parser.rs:160-168)
         val, _ = K.parse_fractional_part(bytes([7]), 0, 2)
         assert val == 7 * 100**2
+
+
+def test_decode_file_multi_flush_no_row_loss():
+    """Regression: rows after the first Arrow-batch flush were lost (the
+    emit path aliased self.out across _flush_frame's rebind)."""
+    from mysql_cdc_spark.binlog.decoder import _FileDecoder, TRANSCRIPTS
+    from mysql_cdc_spark.fixtures import (
+        count_change_events,
+        generate_changelog,
+        write_binlog_files,
+    )
+    import tempfile, os
+
+    txns = generate_changelog(
+        n_conversations=200, max_turns=6, n_extra_ops=300, seed=3
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = write_binlog_files(txns, tmp, txns_per_file=10_000)
+        with open(paths[0], "rb") as f:
+            content = f.read()
+        dec = _FileDecoder(TRANSCRIPTS)
+        # batch_rows far below the event count forces many flushes
+        frames = list(dec.decode_file(paths[0], content, batch_rows=64))
+        total = sum(len(fr) for fr in frames)
+        assert total == count_change_events(txns)
+        assert all(len(fr) > 0 for fr in frames)
