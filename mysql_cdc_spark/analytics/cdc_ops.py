@@ -237,6 +237,61 @@ GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# P4/ST2 — transaction-boundary gate (complete groups only).
+# ---------------------------------------------------------------------------
+
+def p4_txn_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN/COMMIT gating over the stream: 'signup' opens a group,
+    'purchase' commits it; only events of *committed* groups may advance
+    state (binlog_client.rs:88-95 — rows buffer until COMMIT; uncommitted
+    tails are dropped by the gate, decoder.py emits them with NULL xid).
+
+    Two windows, one shuffle: forward-fill the group id, then a windowed
+    max marks groups containing a commit."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = ev.withColumn(
+        "txn_id",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    ).filter(F.col("txn_id").isNotNull())
+    wg = Window.partitionBy("user_id", "txn_id")
+    gated = grouped.withColumn(
+        "committed",
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(wg),
+    ).filter(F.col("committed") == 1)
+    return gated.groupBy("user_id", "txn_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("txn_value"),
+    )
+
+
+P4_SQL = """
+WITH grouped AS (
+  SELECT user_id, event_id, event_type, value,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS txn_id
+  FROM events
+), gated AS (
+  SELECT *, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, txn_id) AS committed
+  FROM grouped WHERE txn_id IS NOT NULL
+)
+SELECT user_id, txn_id, count(*) AS n_events,
+       round(sum(value), 4) AS txn_value
+FROM gated WHERE committed = 1
+GROUP BY user_id, txn_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # P3 — predicate + projection (pushdown demo).
 # ---------------------------------------------------------------------------
 
@@ -340,6 +395,7 @@ QUERIES = {
     "a2_last_wins_per_domain": a2_last_wins_per_domain,
     "a3_position_max": a3_position_max,
     "w2_forward_fill_session": w2_forward_fill_session,
+    "p4_txn_gate": p4_txn_gate,
     "p3_event_filter": p3_event_filter,
     "j1_dim_lookup_join": j1_dim_lookup_join,
     "st5_duplicate_suppression": st5_duplicate_suppression,
@@ -351,6 +407,7 @@ ORACLES = {
     "a2_last_wins_per_domain": A2_SQL,
     "a3_position_max": A3_SQL,
     "w2_forward_fill_session": W2_SQL,
+    "p4_txn_gate": P4_SQL,
     "p3_event_filter": P3_SQL,
     "j1_dim_lookup_join": J1_SQL,
     "st5_duplicate_suppression": ST5_SQL,

@@ -1,0 +1,108 @@
+"""Structured Streaming apply path (S2/ST1/ST5 as a streaming job).
+
+Deployment shape: a decode tier turns binlog segments into a decoded
+change-event table (append-only parquet, partitioned by arrival); an apply
+tier is a Structured Streaming job over it:
+
+    readStream (file source, maxFilesPerTrigger)        S2
+      → watermark + intra-batch LWW dedup               W1/ST5
+      → foreachBatch: net-change MERGE into the target  S7
+      → Spark streaming checkpoint (offsets/commits)    S6/ST1
+
+Exactly-once: Spark's checkpoint gives at-least-once foreachBatch
+delivery; the MERGE is idempotent under the deterministic total order
+(gtid_seq, pos, row_in_event), so replays of an uncommitted trigger
+converge to the same state — same argument as the batch ledger
+(ledger.py), with Spark's WAL playing the ledger's role.
+
+``Trigger.AvailableNow`` gives the bounded catch-up run (ST6 non-blocking
+dump); omit it for continuous tailing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..binlog.decoder import TRANSCRIPTS, TableSpec, change_event_schema
+from ..pipeline.order import ORDER_COLS, last_writer_wins, with_change_key
+from ..pipeline.target import ParquetMergeTarget
+
+
+def write_changelog(changes: DataFrame, path: str, mode: str = "append") -> None:
+    """Decode-tier sink: append decoded change events as the streamable
+    changelog table (partition-friendly: one file set per decode run)."""
+    changes.write.mode(mode).parquet(path)
+
+
+def stream_apply(
+    spark: SparkSession,
+    changelog_dir: str,
+    store_dir: str,
+    spec: TableSpec = TRANSCRIPTS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Run the apply tier as a Structured Streaming query; returns the
+    StreamingQuery (caller awaits termination)."""
+    target = ParquetMergeTarget(store_dir, spec)
+    keys = list(spec.primary_key)
+    payload_cols = list(
+        dict.fromkeys(
+            ["op"]
+            + [f"after_{n}" for n, _, _ in spec.columns]
+            + ORDER_COLS
+            + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
+        )
+    )
+
+    reader = spark.readStream.schema(change_event_schema(spec))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_dir)
+
+    # transaction gate + key derivation, same operators as the batch path
+    stream = stream.filter(F.col("xid").isNotNull())
+    stream = with_change_key(stream, keys)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        net = last_writer_wins(
+            batch_df, key_cols=keys, order_cols=ORDER_COLS,
+            payload_cols=payload_cols,
+        )
+        # versions advance per trigger; a replayed trigger rewrites the
+        # same net-change idempotently
+        current = _current_version(store_dir)
+        target.merge(batch_df.sparkSession, net, current)
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{store_dir}/_stream_checkpoint",
+        )
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _current_version(store_dir: str) -> int:
+    import os
+    import re
+
+    snapdir = os.path.join(store_dir, "snapshots")
+    if not os.path.isdir(snapdir):
+        return 0
+    versions = [
+        int(m.group(1))
+        for n in os.listdir(snapdir)
+        if (m := re.match(r"v(\d+)$", n))
+    ]
+    return max(versions, default=0)
+
+
+def read_stream_state(spark: SparkSession, store_dir: str, spec: TableSpec = TRANSCRIPTS) -> DataFrame:
+    return ParquetMergeTarget(store_dir, spec).read(spark, _current_version(store_dir))

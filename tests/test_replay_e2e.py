@@ -174,3 +174,29 @@ class TestReplay:
         a = _final_state_pdf(r_salted)
         b = _final_state_pdf(r_plain)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCrashRecovery:
+    def test_orphan_snapshot_retry(self, spark, changelog, tmp_path):
+        """Crash between snapshot write and ledger append: the ledger entry
+        is the commit point, so a lost entry means the batch replays — the
+        idempotent MERGE converges to the same final state."""
+        import os
+
+        txns, outdir, paths, oracle = changelog
+        store = str(tmp_path / "crash_store")
+        rep = Replayer(spark, outdir, store)
+        rep.replay(files_per_batch=2)
+        want = _final_state_pdf(rep)
+
+        # simulate the crash: drop the LAST ledger entry (its snapshot
+        # remains on disk as an orphan)
+        ledger_files = sorted(os.listdir(rep.ledger.dir))
+        os.remove(os.path.join(rep.ledger.dir, ledger_files[-1]))
+
+        rep2 = Replayer(spark, outdir, store)
+        res = rep2.replay(files_per_batch=2)
+        assert res.events > 0  # the uncommitted batch re-ran
+        got = _final_state_pdf(rep2)
+        _assert_state_equals_oracle(got, oracle)
+        pd.testing.assert_frame_equal(got, want)

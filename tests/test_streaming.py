@@ -1,0 +1,123 @@
+"""Streaming layer tests: continuous tail (ST6) and Structured Streaming
+apply (S2/ST1/ST5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS, decode_binlog_dir
+from mysql_cdc_spark.fixtures import (
+    apply_changelog_oracle,
+    generate_changelog,
+    write_binlog_files,
+)
+from mysql_cdc_spark.pipeline.replay import Replayer
+from mysql_cdc_spark.streaming import tail
+from mysql_cdc_spark.streaming.stream import (
+    read_stream_state,
+    stream_apply,
+    write_changelog,
+)
+
+
+def _final_pdf(df) -> pd.DataFrame:
+    return (
+        df.orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def txns():
+    return generate_changelog(
+        n_conversations=25, max_turns=5, n_extra_ops=60, seed=17,
+        duplicate_txns=3, evolve_after_frac=0.5,
+    )
+
+
+class TestTail:
+    def test_catchup_then_incremental(self, spark, txns, tmp_path):
+        """Non-blocking catch-up applies what exists; new segments arriving
+        later are picked up by the next tail; idle polls terminate the
+        blocking loop; final state == sequential oracle."""
+        binlog = str(tmp_path / "binlog")
+        # phase 1: first half of the stream exists
+        half = len(txns) // 2
+        write_binlog_files(txns[:half], binlog, txns_per_file=20,
+                          file_prefix="binlog")
+        rep = Replayer(spark, binlog, str(tmp_path / "store"))
+
+        r1 = tail(rep, blocking=False)
+        assert r1.events > 0
+
+        # phase 2: the stream grows (later segment numbers)
+        n_existing = len(rep.pending_files())
+        write_binlog_files(
+            txns[half:], binlog, txns_per_file=20,
+            file_prefix="zbinlog",  # sorts after existing segments
+        )
+        beats = []
+        r2 = tail(
+            rep, blocking=True, poll_interval_s=0.05, max_idle_polls=2,
+            heartbeat=lambda poll, res: beats.append((poll, res.events)),
+        )
+        assert r2.events > 0
+        assert r2.idle_polls == 2
+        assert len(beats) == r2.polls
+
+        got = _final_pdf(rep.read_state())
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
+        assert got["tool"].fillna("").tolist() == want["tool"].fillna("").tolist()
+        _ = n_existing
+
+    def test_idle_tail_is_noop(self, spark, txns, tmp_path):
+        binlog = str(tmp_path / "binlog2")
+        write_binlog_files(txns, binlog, txns_per_file=50)
+        rep = Replayer(spark, binlog, str(tmp_path / "store2"))
+        tail(rep, blocking=False)
+        before = _final_pdf(rep.read_state())
+        r = tail(rep, blocking=True, poll_interval_s=0.01, max_idle_polls=2)
+        assert r.events == 0
+        after = _final_pdf(rep.read_state())
+        pd.testing.assert_frame_equal(before, after)
+
+
+class TestStructuredStreamingApply:
+    def test_stream_apply_matches_oracle(self, spark, txns, tmp_path):
+        """Decode tier writes a parquet changelog; the Structured Streaming
+        apply tier (availableNow) MERGEs it; final state == oracle."""
+        binlog = str(tmp_path / "sbinlog")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "changelog")
+        write_changelog(changes, changelog)
+
+        store = str(tmp_path / "sstore")
+        q = stream_apply(spark, changelog, store, available_now=True)
+        q.awaitTermination(120)
+
+        got = _final_pdf(read_stream_state(spark, store))
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
+
+    def test_stream_checkpoint_no_reprocess(self, spark, txns, tmp_path):
+        """Restarting the streaming query with the same checkpoint must not
+        re-apply processed files (Spark WAL) — state unchanged."""
+        binlog = str(tmp_path / "sbinlog2")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "changelog2")
+        write_changelog(changes, changelog)
+
+        store = str(tmp_path / "sstore2")
+        q = stream_apply(spark, changelog, store, available_now=True)
+        q.awaitTermination(120)
+        before = _final_pdf(read_stream_state(spark, store))
+
+        q2 = stream_apply(spark, changelog, store, available_now=True)
+        q2.awaitTermination(120)
+        after = _final_pdf(read_stream_state(spark, store))
+        pd.testing.assert_frame_equal(before, after)
