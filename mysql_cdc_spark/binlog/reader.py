@@ -194,11 +194,59 @@ TABLE_MAP_NOT_FOUND = (
 )
 
 
+_INT_WIDTH = {
+    ColumnType.TINY: 8,
+    ColumnType.SHORT: 16,
+    ColumnType.INT24: 24,
+    ColumnType.LONG: 32,
+    ColumnType.LONGLONG: 64,
+}
+
+# numeric column set for the SIGNEDNESS bitmap ordinal count
+# (table_metadata.rs:203-219 counts these when sizing the bitmap)
+_NUMERIC_TYPES = frozenset(
+    [
+        ColumnType.TINY, ColumnType.SHORT, ColumnType.INT24, ColumnType.LONG,
+        ColumnType.LONGLONG, ColumnType.FLOAT, ColumnType.DOUBLE,
+        ColumnType.NEWDECIMAL, ColumnType.YEAR,
+    ]
+)
+
+
+def _signed_widths(table: dict) -> list:
+    """Per-column int width when the column is a *signed* integer, else
+    None. The reference decodes unsigned raw (row_parser.rs:137-141) and
+    carries signedness only as metadata (table_metadata.rs:14, one bit per
+    numeric column, bit set = UNSIGNED); our typed change rows apply the
+    reinterpretation here (SURVEY.md §7 hard-part 4). Memoized on the
+    (shared, memoized) table dict."""
+    cached = table.get("_signed_widths")
+    if cached is not None:
+        return cached
+    column_types = table["column_types"]
+    signedness = table.get("signedness")
+    out: list = [None] * len(column_types)
+    ordinal = 0
+    for i, ct in enumerate(column_types):
+        if ct in _NUMERIC_TYPES:
+            unsigned = (
+                bool(signedness[ordinal])
+                if signedness is not None and ordinal < len(signedness)
+                else False  # no metadata → treat ints as signed (SQL default)
+            )
+            if not unsigned and ct in _INT_WIDTH:
+                out[i] = _INT_WIDTH[ct]
+            ordinal += 1
+    table["_signed_widths"] = out
+    return out
+
+
 def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included: int):
     """One row image; row_parser.rs:97-128."""
     null_bitmap, off = K.read_bitmap_little_endian(buf, off, cells_included)
     column_types = table["column_types"]
     column_metadata = table["column_metadata"]
+    signed_widths = _signed_widths(table)
     row = []
     skipped = 0
     for i in range(len(column_types)):
@@ -214,6 +262,9 @@ def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included
             if ct == ColumnType.STRING:
                 ct, md = K.get_actual_string_type(ct, md)
             value, off = parse_cell(buf, off, ct, md)
+            w = signed_widths[i]
+            if w is not None and value >= (1 << (w - 1)):
+                value -= 1 << w  # two's-complement reinterpretation
             row.append(value)
     return row, off
 

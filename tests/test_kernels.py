@@ -275,3 +275,40 @@ def test_decode_file_multi_flush_no_row_loss():
         total = sum(len(fr) for fr in frames)
         assert total == count_change_events(txns)
         assert all(len(fr) > 0 for fr in frames)
+
+
+class TestSignedness:
+    """SIGNEDNESS metadata application (table_metadata.rs:14,137-141):
+    reference decodes unsigned raw; our typed rows reinterpret signed ints
+    via two's complement (SURVEY.md §7 hard-part 4)."""
+
+    def _table(self, signedness):
+        from mysql_cdc_spark.binlog.constants import ColumnType
+        return {
+            "column_types": [ColumnType.TINY, ColumnType.LONG, ColumnType.VARCHAR],
+            "column_metadata": [0, 0, 64],
+            "signedness": signedness,
+        }
+
+    def _row_bytes(self):
+        import struct
+        # null bitmap (1 byte, none null) + tiny 0xFF + long 0xFFFFFFFE + 'ab'
+        return b"\x00" + b"\xff" + struct.pack("<I", 0xFFFFFFFE) + b"\x02ab"
+
+    def test_signed_reinterpretation(self):
+        from mysql_cdc_spark.binlog.reader import parse_row
+        row, _ = parse_row(self._row_bytes(), 0, self._table([False, False]), [True]*3, 3)
+        assert row == [-1, -2, "ab"]
+
+    def test_unsigned_stays_raw(self):
+        from mysql_cdc_spark.binlog.reader import parse_row
+        row, _ = parse_row(self._row_bytes(), 0, self._table([True, True]), [True]*3, 3)
+        assert row == [255, 0xFFFFFFFE, "ab"]
+
+    def test_mixed_and_default(self):
+        from mysql_cdc_spark.binlog.reader import parse_row
+        row, _ = parse_row(self._row_bytes(), 0, self._table([True, False]), [True]*3, 3)
+        assert row == [255, -2, "ab"]
+        # no metadata → SQL default signed
+        row, _ = parse_row(self._row_bytes(), 0, self._table(None), [True]*3, 3)
+        assert row == [-1, -2, "ab"]
