@@ -15,6 +15,13 @@ gtid_seq, so it can never outrank a newer transaction on the same key
 (ST5 idempotence, uuid_set.rs:46-48). For GTID-less streams pass
 ``order_cols=["src_file", "pos", "row_in_event"]``.
 
+Multi-source caveat: ``gtid_seq`` values from different ``gtid_source``
+uuids are not mutually ordered, so the default order is only total within
+one source. That matches replication reality — cross-origin writes to the
+same key have no defined global order — and is safe when key spaces are
+source-disjoint (tested). For a multi-writer same-key deployment pass an
+application timestamp as the leading order column.
+
 Skew: hot conversations concentrate updates on few (conv_id, turn_idx) keys.
 ``last_writer_wins`` supports an explicit **salted two-phase reduce**
 (north_star requirement): phase 1 reduces within (key, salt) groups —
