@@ -26,17 +26,26 @@ from . import load
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: one pass, map-side combine, 4-column ReadSchema."""
     li = load(spark, sf_dir, "lineitem")
+    # money sums go through decimal: double addition is non-associative, so
+    # a distributed sum of 10^5+ doubles can differ from the oracle's
+    # sequential sum by more than the rounding quantum; per-row quantization
+    # to decimal(27,6) is identical in both engines and decimal addition is
+    # exact, so the aggregate is bit-stable at any partitioning
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr("cast(round(sum(cast(l_quantity as decimal(27,6))), 2) as double)").alias("sum_qty"),
+            F.expr("cast(round(sum(cast(l_extendedprice as decimal(27,6))), 2) as double)").alias("sum_base_price"),
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(27,6))), 2) as double)"
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.expr(
+                "round(cast(sum(cast(l_quantity as decimal(27,6))) as double) / count(1), 4)"
+            ).alias("avg_qty"),
+            F.expr(
+                "round(cast(sum(cast(l_discount as decimal(27,6))) as double) / count(1), 4)"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -44,11 +53,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(sum((l_quantity)::DECIMAL(27,6)), 2)::DOUBLE AS sum_qty,
+       round(sum((l_extendedprice)::DECIMAL(27,6)), 2)::DOUBLE AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,6)), 2)::DOUBLE AS sum_disc_price,
+       round(sum((l_quantity)::DECIMAL(27,6))::DOUBLE / count(*), 4) AS avg_qty,
+       round(sum((l_discount)::DECIMAL(27,6))::DOUBLE / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -70,8 +79,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # decimal sum: also makes the top-10 boundary deterministic
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(27,6))), 2) as double)"
             ).alias("revenue")
         )
         .select(
@@ -86,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,6)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -114,9 +124,10 @@ def star_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # decimal sum: partition-order-independent (see q1 comment)
+            F.expr(
+                "cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(27,6))), 2) as double)"
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -124,7 +135,7 @@ def star_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAR_SQL = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(27,6)), 2)::DOUBLE AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
