@@ -131,32 +131,49 @@ class _FileDecoder:
         self.kinds = {c[0]: c[2] for c in spec.columns}
         # canonical column index maps, memoized per table-map identity
         self._colmap_memo: dict[int, list] = {}
-        self.out: dict[str, list] = {}
-        self._reset_columns()
+        # output columns: _META_COLS then before_*/after_* canonical
+        self.columns = list(self._META_COLS) + [
+            p + n for p in ("before_", "after_") for n in self.canonical
+        ]
+        # flat row tuples (everything except src_file/xid) + per-row xid;
+        # one C-level zip(*) transpose per Arrow batch beats 25 list
+        # appends per row by ~4×
+        self._rows: list[tuple] = []
+        self._xids: list = []
+        self.src_file = ""
 
-    def _reset_columns(self):
-        cols = list(self._META_COLS)
-        for prefix in ("before_", "after_"):
-            for name in self.canonical:
-                cols.append(prefix + name)
-        self.out = {c: [] for c in cols}
-        self.n_rows = 0
+    @property
+    def n_rows(self) -> int:
+        return len(self._rows)
 
     def _flush_frame(self) -> pd.DataFrame:
         millis_cols = {
             p + n for p in ("before_", "after_")
             for n, k in self.kinds.items() if k == "ts_millis"
         }
+        cols = list(zip(*self._rows)) if self._rows else [
+            () for _ in range(len(self.columns) - 2)
+        ]
         data = {}
-        for c, values in self.out.items():
+        ci = 0
+        for c in self.columns:
+            if c == "src_file":
+                data[c] = self.src_file
+                continue
+            if c == "xid":
+                data[c] = self._xids
+                continue
+            values = list(cols[ci])
+            ci += 1
             if c == "ts":
-                data[c] = pd.to_datetime(values, unit="s")
+                data[c] = pd.to_datetime(values, unit="s").values
             elif c in millis_cols:
-                data[c] = pd.to_datetime(values, unit="ms")
+                data[c] = pd.to_datetime(values, unit="ms").values
             else:
                 data[c] = values
-        df = pd.DataFrame(data)
-        self._reset_columns()
+        df = pd.DataFrame(data, columns=self.columns)
+        self._rows = []
+        self._xids = []
         return df
 
     def _colmap(self, table: dict) -> list:
@@ -179,48 +196,35 @@ class _FileDecoder:
         self, path: str, content: bytes, batch_rows: int = 65536
     ) -> Iterator[pd.DataFrame]:
         src_file = os.path.basename(path)
+        self.src_file = src_file
         reader = BinlogFileReader(content, src_file)
         spec = self.spec
-        canonical = self.canonical
+        n_canon = len(self.canonical)
+        nulls = (None,) * n_canon
 
         # transaction state (ST2): gtid seen at group start, rows buffered
-        # until xid; binlog_client.rs:69-99. Buffered rows are compact
-        # tuples: (pos, next_pos, ts_epoch, server_id, op, gtid_source,
-        # gtid_seq, table_id, db, tbl, row_idx, colmap, before, after)
+        # until xid; binlog_client.rs:69-99. Buffered rows are the final
+        # flat tuples (minus src_file/xid, filled at flush/commit).
         cur_gtid_source: Optional[str] = None
         cur_gtid_seq: Optional[int] = None
         txn_buffer: list[tuple] = []
 
+        def map_image(image, colmap):
+            if image is None:
+                return nulls
+            out = []
+            n = len(image)
+            for _ci, mi, kind in colmap:
+                v = image[mi] if mi is not None and mi < n else None
+                if v is not None and kind == "int":
+                    v = int(v)
+                out.append(v)
+            return tuple(out)
+
         def emit_txn(xid):
-            # self.out is rebound by _flush_frame — resolve at call time,
-            # never alias across a flush boundary
-            o = self.out
-            for (pos, next_pos, ts, sid, op, gsrc, gseq, tid, db, tbl,
-                 ridx, colmap, before, after) in txn_buffer:
-                o["src_file"].append(src_file)
-                o["pos"].append(pos)
-                o["next_pos"].append(next_pos)
-                o["ts"].append(ts)
-                o["server_id"].append(sid)
-                o["op"].append(op)
-                o["gtid_source"].append(gsrc)
-                o["gtid_seq"].append(gseq)
-                o["xid"].append(xid)
-                o["table_id"].append(tid)
-                o["db"].append(db)
-                o["tbl"].append(tbl)
-                o["row_in_event"].append(ridx)
-                for prefix, image in (("before_", before), ("after_", after)):
-                    if image is None:
-                        for ci, _mi, _kind in colmap:
-                            o[prefix + canonical[ci]].append(None)
-                    else:
-                        for ci, mi, kind in colmap:
-                            v = image[mi] if mi is not None and mi < len(image) else None
-                            if v is not None and kind == "int":
-                                v = int(v)
-                            o[prefix + canonical[ci]].append(v)
-            self.n_rows += len(txn_buffer)
+            # _rows/_xids are rebound by _flush_frame — resolve at call time
+            self._rows.extend(txn_buffer)
+            self._xids.extend([xid] * len(txn_buffer))
 
         for header, pos, kind, event in reader:
             if kind == "mysql_gtid":
@@ -240,13 +244,14 @@ class _FileDecoder:
                 ts = header[0] or None
                 tid = event["table_id"]
                 db, tbl = table["database_name"], table["table_name"]
-                for i, row in enumerate(event["rows"]):
-                    before = row if op == "delete" else None
-                    after = row if op == "insert" else None
-                    txn_buffer.append(
-                        (pos, header[4], ts, header[2], op, cur_gtid_source,
-                         cur_gtid_seq, tid, db, tbl, i, colmap, before, after)
-                    )
+                meta = (pos, header[4], ts, header[2], op, cur_gtid_source,
+                        cur_gtid_seq, tid, db, tbl)
+                if op == "insert":
+                    for i, row in enumerate(event["rows"]):
+                        txn_buffer.append(meta + (i,) + nulls + map_image(row, colmap))
+                else:
+                    for i, row in enumerate(event["rows"]):
+                        txn_buffer.append(meta + (i,) + map_image(row, colmap) + nulls)
             elif kind == "update_rows":
                 table = reader.table_map[event["table_id"]]
                 if table["database_name"] != spec.database or table["table_name"] != spec.table:
@@ -255,10 +260,11 @@ class _FileDecoder:
                 ts = header[0] or None
                 tid = event["table_id"]
                 db, tbl = table["database_name"], table["table_name"]
+                meta = (pos, header[4], ts, header[2], "update", cur_gtid_source,
+                        cur_gtid_seq, tid, db, tbl)
                 for i, (before, after) in enumerate(event["rows"]):
                     txn_buffer.append(
-                        (pos, header[4], ts, header[2], "update", cur_gtid_source,
-                         cur_gtid_seq, tid, db, tbl, i, colmap, before, after)
+                        meta + (i,) + map_image(before, colmap) + map_image(after, colmap)
                     )
             elif kind == "xid":
                 emit_txn(event["xid"])

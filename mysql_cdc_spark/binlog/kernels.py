@@ -76,9 +76,15 @@ def read_len_enc_str(buf: bytes, off: int) -> tuple[str, int]:
 # ---------------------------------------------------------------------------
 
 
-def read_bitmap_little_endian(buf: bytes, off: int, bits: int) -> tuple[np.ndarray, int]:
-    """LE bit order within LE byte order; extensions.rs:100-117."""
+def read_bitmap_little_endian(buf: bytes, off: int, bits: int):
+    """LE bit order within LE byte order; extensions.rs:100-117.
+
+    Fast path for ≤16 bits (the per-row null bitmap of typical tables is a
+    byte or two — numpy round-trips cost more than they save there)."""
     nbytes = (bits + 7) // 8
+    if bits <= 16:
+        v = int.from_bytes(buf[off : off + nbytes], "little")
+        return [(v >> i) & 1 == 1 for i in range(bits)], off + nbytes
     raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=off)
     unpacked = np.unpackbits(raw, bitorder="little")[:bits]
     return unpacked.astype(bool), off + nbytes

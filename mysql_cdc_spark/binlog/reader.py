@@ -124,7 +124,7 @@ def parse_table_map(payload: bytes) -> dict:
             # (table_metadata.rs:137-141,182-201)
             nbits = mlen * 8
             bits, _ = K.read_bitmap_big_endian(section, 0, nbits)
-            signedness = bits.tolist()
+            signedness = list(bits)
         # other sections tolerated and skipped
 
     return {
@@ -133,7 +133,7 @@ def parse_table_map(payload: bytes) -> dict:
         "table_name": table_name,
         "column_types": column_types,
         "column_metadata": column_metadata,
-        "null_bitmap": null_bitmap.tolist(),
+        "null_bitmap": list(null_bitmap),
         "column_names": column_names,
         "simple_primary_keys": simple_primary_keys,
         "signedness": signedness,
@@ -141,8 +141,17 @@ def parse_table_map(payload: bytes) -> dict:
 
 
 def parse_cell(buf: bytes, off: int, column_type: int, metadata: int):
-    """Single typed cell; row_parser.rs:130-184. Returns (value, new_off)."""
+    """Single typed cell; row_parser.rs:130-184. Returns (value, new_off).
+
+    Dispatch ordered by workload frequency (strings and wide ints first —
+    text-heavy CDC tables hit VARCHAR/LONGLONG/TIMESTAMP2 on ~every cell)."""
     C = ColumnType
+    if column_type == C.VARCHAR or column_type == C.VAR_STRING or column_type == C.STRING:
+        return K.parse_string_cell(buf, off, metadata)
+    if column_type == C.LONGLONG:
+        return struct.unpack_from("<Q", buf, off)[0], off + 8
+    if column_type == C.TIMESTAMP2:
+        return K.parse_timestamp2(buf, off, metadata)
     if column_type == C.TINY:
         return buf[off], off + 1
     if column_type == C.SHORT:
@@ -151,16 +160,12 @@ def parse_cell(buf: bytes, off: int, column_type: int, metadata: int):
         return int.from_bytes(buf[off : off + 3], "little"), off + 3
     if column_type == C.LONG:
         return struct.unpack_from("<I", buf, off)[0], off + 4
-    if column_type == C.LONGLONG:
-        return struct.unpack_from("<Q", buf, off)[0], off + 8
     if column_type == C.FLOAT:
         return struct.unpack_from("<f", buf, off)[0], off + 4
     if column_type == C.DOUBLE:
         return struct.unpack_from("<d", buf, off)[0], off + 8
     if column_type == C.NEWDECIMAL:
         return K.parse_decimal(buf, off, metadata)
-    if column_type in (C.STRING, C.VARCHAR, C.VAR_STRING):
-        return K.parse_string_cell(buf, off, metadata)
     if column_type == C.BIT:
         return K.parse_bit(buf, off, metadata)
     if column_type == C.ENUM:
@@ -181,8 +186,6 @@ def parse_cell(buf: bytes, off: int, column_type: int, metadata: int):
         return K.parse_date_time(buf, off)
     if column_type == C.TIME2:
         return K.parse_time2(buf, off, metadata)
-    if column_type == C.TIMESTAMP2:
-        return K.parse_timestamp2(buf, off, metadata)
     if column_type == C.DATETIME2:
         return K.parse_date_time2(buf, off, metadata)
     raise ValueError(f"Parsing column type {column_type} is not supported")
@@ -289,7 +292,7 @@ def parse_write_or_delete_rows(payload: bytes, table_map: dict, version: int):
     table = table_map.get(table_id)
     if table is None:
         raise ValueError(TABLE_MAP_NOT_FOUND)
-    cells = int(columns_present.sum())
+    cells = int(sum(columns_present))
     rows = []
     n = len(payload)
     while off < n:
@@ -306,8 +309,8 @@ def parse_update_rows(payload: bytes, table_map: dict, version: int):
     table = table_map.get(table_id)
     if table is None:
         raise ValueError(TABLE_MAP_NOT_FOUND)
-    cells_before = int(before_present.sum())
-    cells_after = int(after_present.sum())
+    cells_before = int(sum(before_present))
+    cells_after = int(sum(after_present))
     rows = []
     n = len(payload)
     while off < n:

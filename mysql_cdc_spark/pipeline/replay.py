@@ -91,7 +91,13 @@ class Replayer:
         self.spec = spec
         self.salt_buckets = salt_buckets
         self.ledger = Ledger(store_dir)
-        self.target = target or ParquetMergeTarget(store_dir, spec)
+        # snapshot bucket count tracks cluster parallelism: the output
+        # committer's driver-side file moves are a serial cost per bucket,
+        # so a 2-core session shouldn't pay for 32 output files
+        self.target = target or ParquetMergeTarget(
+            store_dir, spec,
+            buckets=max(8, spark.sparkContext.defaultParallelism),
+        )
 
     # -- planning ----------------------------------------------------------
 

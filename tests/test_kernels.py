@@ -170,20 +170,20 @@ class TestBitmaps:
         buf = bytes([0b00000101, 0b00000010])
         bits, off = K.read_bitmap_little_endian(buf, 0, 10)
         assert off == 2
-        assert bits.tolist() == [True, False, True, False, False, False, False, False, False, True]
+        assert list(bits) == [True, False, True, False, False, False, False, False, False, True]
 
     def test_big_endian_matches_reference_semantics(self):
         # extensions.rs:119-137: byte i contributes indices (nbytes-i-1)*8+y
         buf = bytes([0b00000010, 0b00000101])
         bits, off = K.read_bitmap_big_endian(buf, 0, 10)
         assert off == 2
-        assert bits.tolist() == [True, False, True, False, False, False, False, False, False, True]
+        assert list(bits) == [True, False, True, False, False, False, False, False, False, True]
 
     def test_pack_unpack_roundtrip(self):
         pattern = [True, False, True, True, False, False, True, False, True, True, False]
         raw = K.pack_bitmap_little_endian(pattern)
         bits, _ = K.read_bitmap_little_endian(raw, 0, len(pattern))
-        assert bits.tolist() == pattern
+        assert list(bits) == pattern
 
 
 class TestTemporal:

@@ -15,7 +15,7 @@ Methodology notes (documented in BENCH.md):
   shared hardware). The CPU control is measured in the same session and
   reported alongside. A single local[32] run is also reported as peak
   sandbox throughput.
-- Corpus: deterministic changelog (seed 99), ~4.5M change events over 64
+- Corpus: deterministic changelog (seed 99), ~9M change events over 64
   rotation segments, hot-conversation skew + duplicate redelivery +
   mid-stream schema evolution — the adversarial shape, not the easy one.
 
@@ -32,11 +32,11 @@ import subprocess
 import sys
 import time
 
-N_CONV = 300_000
-N_EXTRA = 1_200_000
+N_CONV = 600_000
+N_EXTRA = 2_400_000
 N_FILES = 64
 SEED = 99
-CORPUS = f"/tmp/cdc_scaling_corpus_v1_{SEED}"
+CORPUS = f"/tmp/cdc_scaling_corpus_v2_{SEED}"
 PAIR = (2, 8)  # N and 4N cores (see methodology)
 
 
