@@ -77,8 +77,15 @@ class Replayer:
         spec: TableSpec = TRANSCRIPTS,
         salt_buckets: int = 0,
         target: object | None = None,
+        start: object | None = None,
     ):
-        """``salt_buckets=0`` (default): plain ``max_by`` aggregation — its
+        """``start``: optional start strategy (pipeline.start: FromStart /
+        FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
+        seeds the ledger on first construction, ignored when the store
+        already has checkpoints (reconnect keeps state,
+        binlog_client.rs:40-43).
+
+        ``salt_buckets=0`` (default): plain ``max_by`` aggregation — its
         map-side partial combine already collapses a hot key to one row per
         task before the shuffle, which measured ~2× faster than the salted
         two-phase reduce on the skewed bench corpus (BENCH.md). Set
@@ -98,6 +105,10 @@ class Replayer:
             store_dir, spec,
             buckets=max(8, spark.sparkContext.defaultParallelism),
         )
+        if start is not None:
+            from .start import seed_ledger
+
+            seed_ledger(start, binlog_dir, store_dir)
 
     # -- planning ----------------------------------------------------------
 
@@ -130,6 +141,18 @@ class Replayer:
                 covered.to_intervals(), "uuid string, start long, end long"
             )
             changes = filter_covered_gtids(changes, intervals)
+        else:
+            # GTID-less start (FromPosition seed): position predicate is the
+            # resume filter. Safe because transactions don't interleave in a
+            # binlog — anything at or before the checkpointed offset is
+            # either committed (covered) or a re-read of TABLE_MAP control
+            # rows, which produce no change events.
+            max_file, max_pos = self.ledger.max_position()
+            if max_file:
+                changes = changes.filter(
+                    (F.col("src_file") > max_file)
+                    | ((F.col("src_file") == max_file) & (F.col("pos") > max_pos))
+                )
 
         keys = list(spec.primary_key)
         changes = with_change_key(changes, keys)

@@ -1,0 +1,129 @@
+"""Replication start strategies (ST3; starting_strategy.rs:2-7,
+binlog_options.rs:33-85).
+
+The reference starts a dump from one of four positions; our equivalent
+seeds the resume state the exactly-once pipeline already honors:
+
+- ``FromStart``       replay everything (binlog_options.rs:33-38)
+- ``FromEnd``         skip to the current end: everything present at
+                      construction time is marked covered, only segments
+                      arriving later replay (configure.rs:22-34's
+                      "show master status" equivalent is a directory scan)
+- ``FromPosition``    skip events at (file, pos) or earlier in file order
+                      (binlog_options.rs:54-66)
+- ``FromGtid``        skip transactions covered by a GtidSet text
+                      (binlog_options.rs:68-85; the exclusive interval-end
+                      semantics of dump_binlog_gtid_command.rs:58 are
+                      inherited from GtidSet containment)
+
+Implementation: a synthetic ledger entry (batch 0) carrying the covered
+GtidSet / max position — the same mechanism batch commits use, so resume,
+tail, and crash-recovery compose with it unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from ..gtid import GtidSet
+from .ledger import Ledger, LedgerEntry
+
+
+@dataclass(frozen=True)
+class FromStart:
+    pass
+
+
+@dataclass(frozen=True)
+class FromEnd:
+    pass
+
+
+@dataclass(frozen=True)
+class FromPosition:
+    filename: str
+    position: int
+
+
+@dataclass(frozen=True)
+class FromGtid:
+    gtid_set_text: str
+
+
+StartStrategy = FromStart | FromEnd | FromPosition | FromGtid
+
+
+def seed_ledger(strategy: StartStrategy, binlog_dir: str, store_dir: str) -> None:
+    """Write the batch-0 ledger entry expressing the start position. No-op
+    when the ledger already has entries (a resumed job keeps its state —
+    reconnect semantics, binlog_client.rs:40-43) or for FromStart."""
+    ledger = Ledger(store_dir)
+    if ledger.last() is not None or isinstance(strategy, FromStart):
+        return
+
+    gtid_text = ""
+    max_file, max_pos = "", 0
+    if isinstance(strategy, FromPosition):
+        max_file, max_pos = strategy.filename, strategy.position
+    elif isinstance(strategy, FromGtid):
+        gtid_text = str(GtidSet.parse(strategy.gtid_set_text))  # validate
+    elif isinstance(strategy, FromEnd):
+        # current end = every complete transaction in every present segment;
+        # scan GTIDs cheaply (headers + GTID payloads only, no row decode)
+        gtid_text, max_file, max_pos = _scan_current_end(binlog_dir)
+    ledger.append(
+        LedgerEntry(
+            batch_id=0,
+            gtid_set_text=gtid_text,
+            max_file=max_file,
+            max_pos=max_pos,
+            snapshot_version=0,
+            committed_at=Ledger.now(),
+            partition_lineage=[],
+            metrics={"start_strategy": type(strategy).__name__},
+        )
+    )
+
+
+def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
+    from ..binlog.constants import (
+        EVENT_HEADER_SIZE,
+        FIRST_EVENT_POSITION,
+        MAGIC_NUMBER,
+        EventType,
+    )
+    from ..binlog.reader import parse_event_header, parse_mysql_gtid
+    from ..gtid import Gtid, Uuid
+
+    gset = GtidSet()
+    max_file, max_pos = "", 0
+    names = sorted(
+        n for n in os.listdir(binlog_dir)
+        if os.path.isfile(os.path.join(binlog_dir, n))
+    )
+    for name in names:
+        with open(os.path.join(binlog_dir, name), "rb") as f:
+            content = f.read()
+        if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+            continue
+        pos = FIRST_EVENT_POSITION
+        n = len(content)
+        pending: Gtid | None = None
+        while pos + EVENT_HEADER_SIZE <= n:
+            header = parse_event_header(content, pos)
+            (_ts, etype, _sid, event_length, next_pos, _flags) = header
+            end = pos + event_length
+            if end > n:
+                break
+            if etype == EventType.MYSQL_GTID:
+                payload = content[pos + EVENT_HEADER_SIZE : end]
+                g = parse_mysql_gtid(payload)
+                pending = Gtid(Uuid.parse(g["source_uuid"]), g["transaction_id"])
+            elif etype == EventType.XID and pending is not None:
+                # flushed only at commit (binlog_client.rs:69-99)
+                gset.add_gtid(pending)
+                pending = None
+            pos = end
+            max_file, max_pos = name, next_pos
+    return str(gset), max_file, max_pos
