@@ -411,7 +411,109 @@ WHERE round(len(list_intersect(sa.shingles, sb.shingles))
 MINHASH_SQL = _minhash_sql()
 
 
+# ---------------------------------------------------------------------------
+# standalone n-gram Jaccard (restricted pair space) + per-language TF-IDF
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise word-3-gram Jaccard within (lang, length-bucket)
+    blocks — the blocked form of all-pairs similarity (pair space is
+    Σ block², not n²; at corpus scale the LSH path in
+    minhash_lsh_neardup replaces this, same verification formula)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(WORDS, "spark")
+    base = docs.selectExpr(
+        "doc_id", "lang", "cast(floor(n_chars / 100) as int) as len_bucket",
+        f"{sh} as shingles",
+    )
+    a = base.selectExpr("doc_id as doc_a", "lang", "len_bucket", "shingles as sh_a")
+    b = base.selectExpr("doc_id as doc_b", "lang", "len_bucket", "shingles as sh_b")
+    return (
+        a.join(b, ["lang", "len_bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .selectExpr(
+            "doc_a", "doc_b", "lang",
+            "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, (n_chars // 100)::INT AS len_bucket,
+         {_shingles(WORDS_DUCK, "duck")} AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       round(len(list_intersect(a.shingles, b.shingles))
+             / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+             4) AS jaccard
+FROM base a
+JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.shingles, b.shingles))
+            / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE,
+            4) >= 0.2
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language: distinct-word explode → document
+    frequency → idf → per-(lang, word) tf → rank. The only shuffles are on
+    the word key (df) and (lang, word) (tf) — both combine map-side."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.selectExpr(
+        "doc_id", "lang", f"explode(array_distinct({WORDS})) as word"
+    )
+    n_docs = docs.count()  # scalar; at scale use a broadcast subquery
+    df_counts = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(df_counts, "word").selectExpr(
+        "lang", "word", "tf", "df",
+        f"round(tf * ln({n_docs} / df), 4) as tfidf",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "word", "tf", "df", "tfidf")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(list_distinct({WORDS_DUCK})) AS word
+  FROM documents
+), n AS (SELECT count(*) AS n_docs FROM documents),
+df_counts AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+), tf AS (
+  SELECT lang, word, count(*) AS tf FROM words GROUP BY lang, word
+), scored AS (
+  SELECT lang, tf.word, tf, df,
+         round(tf * ln(n_docs / df::DOUBLE), 4) AS tfidf
+  FROM tf JOIN df_counts ON tf.word = df_counts.word CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY tfidf DESC, word) AS rank
+  FROM scored
+)
+SELECT lang, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 5
+"""
+
+
+TFIDF_SQL = _tfidf_sql()
+
+
 QUERIES = {
+    "ngram_jaccard": ngram_jaccard,
+    "tfidf_top_terms": tfidf_top_terms,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -423,6 +525,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "text_tokens": TOKENS_SQL,
     "text_quality": QUALITY_SQL,
     "text_langid": LANGID_SQL,
