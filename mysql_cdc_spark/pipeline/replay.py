@@ -170,18 +170,12 @@ class Replayer:
         phase_t = {}
         t_phase = time.time()
 
-        # -- stats in one distributed pass: per-file lineage + gtid ranges
-        stats = (
-            changes.groupBy("src_file", "gtid_source")
-            .agg(
-                F.count(F.lit(1)).alias("events"),
-                F.min("pos").alias("min_pos"),
-                F.max("pos").alias("max_pos"),
-                F.min("gtid_seq").alias("min_seq"),
-                F.max("gtid_seq").alias("max_seq"),
-            )
-            .collect()
-        )
+        # -- stats + GTID intervals in ONE zero-shuffle pass: the decode
+        # output is one partition per rotation segment, so per-file lineage
+        # AND the per-file seq islands are per-partition computations —
+        # mapInPandas over the cached skinny projection, ~1 output row per
+        # (file, source), no exchange, tiny collect
+        stats = self._partition_stats(changes)
         phase_t["decode_stats_s"] = round(time.time() - t_phase, 2)
         t_phase = time.time()
         n_events = sum(r["events"] for r in stats)
@@ -215,8 +209,9 @@ class Replayer:
         phase_t["lww_merge_s"] = round(time.time() - t_phase, 2)
         t_phase = time.time()
 
-        # -- ledger gtid-set update
-        batch_set = self._batch_gtid_set(changes)
+        # -- ledger gtid-set update (driver-side splice of the per-file
+        # islands already collected with the stats — no extra job)
+        batch_set = self._gtid_set_from_islands(stats)
         merged_set = covered.union(batch_set)
         phase_t["ledger_s"] = round(time.time() - t_phase, 2)
         max_file = max(r["src_file"] for r in stats)
@@ -256,33 +251,93 @@ class Replayer:
             metrics["events_per_sec"], str(merged_set), lineage,
         )
 
-    def _batch_gtid_set(self, changes) -> GtidSet:
-        """Batch GtidSet computed distributedly: distinct (source, seq) →
-        gaps-and-islands collapse (seq − row_number is constant within a
-        contiguous run — the same interval algebra as GtidSet.add_gtid,
-        uuid_set.rs:29-98, as one window + one groupBy over skinny rows).
-        The driver receives only the collapsed intervals (≈ tens of rows),
-        never per-transaction data."""
-        from pyspark.sql.window import Window
+    @staticmethod
+    def _partition_stats(changes) -> list[dict]:
+        """Per-(file, source) lineage stats + collapsed GTID seq islands,
+        computed per partition (decode output = one partition per rotation
+        segment, a narrow dependency) — no shuffle, the collect is one row
+        per (file, source). Islands via numpy unique+diff: the distributed
+        formulation of GtidSet.add_gtid's collapse (uuid_set.rs:29-98)."""
+        import numpy as np
+        import pandas as pd
 
-        from ..gtid import UuidSet, _splice_interval
+        def stats_fn(batches):
+            acc: dict = {}
+            for pdf in batches:
+                for (f, s), g in pdf.groupby(
+                    ["src_file", "gtid_source"], dropna=False, sort=False
+                ):
+                    key = (f, None if pd.isna(s) else s)
+                    a = acc.setdefault(
+                        key,
+                        {"events": 0, "min_pos": None, "max_pos": None, "seqs": []},
+                    )
+                    a["events"] += len(g)
+                    pmin, pmax = int(g["pos"].min()), int(g["pos"].max())
+                    a["min_pos"] = pmin if a["min_pos"] is None else min(a["min_pos"], pmin)
+                    a["max_pos"] = pmax if a["max_pos"] is None else max(a["max_pos"], pmax)
+                    if key[1] is not None:
+                        a["seqs"].append(g["gtid_seq"].to_numpy(dtype="int64"))
+            if not acc:
+                return  # empty partition: yield nothing (a 0-row frame
+                # defaults list columns to float64, which Arrow can't cast)
+            out = {
+                "src_file": [], "gtid_source": [], "events": [],
+                "min_pos": [], "max_pos": [], "starts": [], "ends": [],
+            }
+            for (f, s), a in acc.items():
+                if a["seqs"]:
+                    seqs = np.unique(np.concatenate(a["seqs"]))
+                    breaks = np.nonzero(np.diff(seqs) > 1)[0]
+                    starts = seqs[np.concatenate(([0], breaks + 1))]
+                    ends = seqs[np.concatenate((breaks, [len(seqs) - 1]))]
+                else:
+                    starts = ends = np.array([], dtype="int64")
+                out["src_file"].append(f)
+                out["gtid_source"].append(s)
+                out["events"].append(a["events"])
+                out["min_pos"].append(a["min_pos"])
+                out["max_pos"].append(a["max_pos"])
+                out["starts"].append(starts.tolist())
+                out["ends"].append(ends.tolist())
+            frame = pd.DataFrame(out)
+            frame["starts"] = frame["starts"].astype(object)
+            frame["ends"] = frame["ends"].astype(object)
+            yield frame
 
-        seqs = changes.select("gtid_source", "gtid_seq").distinct()
-        w = Window.partitionBy("gtid_source").orderBy("gtid_seq")
-        intervals = (
-            seqs.withColumn("grp", F.col("gtid_seq") - F.row_number().over(w))
-            .groupBy("gtid_source", "grp")
-            .agg(F.min("gtid_seq").alias("start"), F.max("gtid_seq").alias("end"))
+        rows = (
+            changes.select("src_file", "gtid_source", "gtid_seq", "pos")
+            .mapInPandas(
+                stats_fn,
+                schema=(
+                    "src_file string, gtid_source string, events long, "
+                    "min_pos long, max_pos long, "
+                    "starts array<long>, ends array<long>"
+                ),
+            )
             .collect()
         )
+        # decode partitions hold whole files, so rows are normally unique
+        # per (file, source); if an upstream repartition ever splits a file,
+        # consumers still aggregate correctly (events sums, pos maxes,
+        # islands splice) — just with more rows
+        return [r.asDict() for r in rows]
+
+    @staticmethod
+    def _gtid_set_from_islands(stats: list[dict]) -> GtidSet:
+        from ..gtid import UuidSet, _splice_interval
+
         gset = GtidSet()
-        for r in intervals:
+        for r in stats:
             source = r["gtid_source"]
+            if source is None:
+                continue
             us = gset.uuid_sets.get(source)
             if us is None:
                 us = UuidSet(Uuid.parse(source), [])
                 gset.uuid_sets[source] = us
-            _splice_interval(us, int(r["start"]), int(r["end"]))
+            for a, b in zip(r["starts"], r["ends"]):
+                _splice_interval(us, int(a), int(b))
         return gset
 
     # -- full replay ---------------------------------------------------------
