@@ -97,6 +97,7 @@ def generate_changelog(
     ``hot_conversations`` conversations.
     """
     rng = random.Random(seed)
+    hot_conversations = min(hot_conversations, n_conversations)
     txns: list[Txn] = []
     state: dict[tuple[str, int], list] = {}
     # per-conversation live turn list, maintained incrementally (appends at
