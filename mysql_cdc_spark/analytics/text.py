@@ -333,7 +333,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         docs.selectExpr("doc_id", f"{sh} as shingles")
         .selectExpr("doc_id", "shingles", "transform(shingles, s -> md5(s)) as shingle_md5s")
-        .selectExpr("doc_id", "shingles", *mh)
+        .selectExpr("doc_id", "shingles", *mh)  # md5s dropped: not reused
         .persist()
     )
     band_cols = ", ".join(
