@@ -239,6 +239,7 @@ def write_binlog_files(
     server_id: int = 1,
     write_begin_query: bool = True,
     workers: int = 0,
+    provider: str = "mysql",
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -262,7 +263,7 @@ def write_binlog_files(
             (
                 txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
                 outdir, fidx, n_files, txns_per_file, file_prefix,
-                source_uuid, server_id, write_begin_query,
+                source_uuid, server_id, write_begin_query, provider,
             )
             for fidx in range(n_files)
         ]
@@ -275,7 +276,7 @@ def write_binlog_files(
         paths.append(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
-                 source_uuid, server_id, write_begin_query)
+                 source_uuid, server_id, write_begin_query, provider)
             )
         )
     return paths
@@ -283,7 +284,7 @@ def write_binlog_files(
 
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
-     source_uuid, server_id, write_begin_query) = job
+     source_uuid, server_id, write_begin_query, provider) = job
     import os
 
     fname = f"{file_prefix}.{fidx + 1:06d}"
@@ -293,7 +294,10 @@ def _write_one_file(job) -> str:
         table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
         ctypes = [COLUMN_TYPES[c][0] for c in cols]
         cmeta = [COLUMN_TYPES[c][1] for c in cols]
-        writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
+        if provider == "mariadb":
+            writer.write_mariadb_gtid(0, txn.seq, timestamp=txn.timestamp)
+        else:
+            writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
         if write_begin_query:
             writer.write_query("BEGIN", database="chat", timestamp=txn.timestamp)
         writer.write_table_map(

@@ -54,6 +54,17 @@ class Uuid:
             raise GtidError(f"Invalid uuid: {uuid}")
         return cls(data, uuid)
 
+    @classmethod
+    def parse_lenient(cls, source: str) -> "Uuid":
+        """Accept non-UUID source ids (MariaDB ``domain-server`` keys) by
+        carrying the raw text; identity = the text. Lets the interval-set
+        ledger track MariaDB streams (strictly more precise than GtidList's
+        last-wins, gtid_list.rs:51-60) in one representation."""
+        try:
+            return cls.parse(source)
+        except (GtidError, ValueError):
+            return cls(source.encode("utf-8"), source)
+
     def __str__(self) -> str:
         return self.uuid
 
@@ -203,9 +214,12 @@ class GtidSet:
         gtid_set = gtid_set.replace("\n", "")
         result: dict[str, UuidSet] = {}
         for part in (x.strip() for x in gtid_set.split(",")):
-            source_id = Uuid.parse(part[:UUID_LENGTH])
+            # source = first ':'-token: the 36-char uuid (gtid_set.rs:27-57)
+            # or a MariaDB domain-server key (neither contains ':')
+            source_text, _, interval_text = part.partition(":")
+            source_id = Uuid.parse_lenient(source_text)
             intervals = []
-            for token in part[UUID_LENGTH + 1 :].split(":"):
+            for token in interval_text.split(":"):
                 rng = token.split("-")
                 if len(rng) == 1:
                     intervals.append(Interval(int(rng[0]), int(rng[0])))

@@ -334,7 +334,7 @@ class Replayer:
                 continue
             us = gset.uuid_sets.get(source)
             if us is None:
-                us = UuidSet(Uuid.parse(source), [])
+                us = UuidSet(Uuid.parse_lenient(source), [])
                 gset.uuid_sets[source] = us
             for a, b in zip(r["starts"], r["ends"]):
                 _splice_interval(us, int(a), int(b))
