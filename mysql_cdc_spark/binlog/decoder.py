@@ -348,16 +348,51 @@ def decode_binlog_dir(
     return pdf_paths.mapInPandas(decode, schema=schema)
 
 
+def _segment_sort_key(name: str) -> tuple[str, int]:
+    """Decode/replay order of rotation segments: (prefix, numeric suffix).
+    MySQL numbers segments with a growing decimal extension, so plain
+    lexicographic ordering breaks at a digit rollover
+    (mysql-bin.999999 → mysql-bin.1000000); compare the suffix as an int.
+    Suffix-less names rank by whole name with suffix -1."""
+    import re
+
+    m = re.match(r"^(.*)\.(\d+)$", name)
+    return (m.group(1), int(m.group(2))) if m else (name, -1)
+
+
+def list_dir_entries(binlog_dir: str) -> list[str]:
+    """File names (no directories) under a binlog dir — local path or any
+    pyarrow.fs URI (s3://, hdfs://, file://), mirroring ``_read_bytes`` so a
+    cluster deployment pointing at object storage lists the same way it
+    reads."""
+    if "://" not in binlog_dir:
+        return [
+            n for n in os.listdir(binlog_dir)
+            if os.path.isfile(os.path.join(binlog_dir, n))
+        ]
+    from pyarrow import fs as pafs
+
+    filesystem, p = pafs.FileSystem.from_uri(binlog_dir)
+    infos = filesystem.get_file_info(pafs.FileSelector(p, recursive=False))
+    return [
+        info.base_name for info in infos if info.type == pafs.FileType.File
+    ]
+
+
+def _join_dir(binlog_dir: str, name: str) -> str:
+    if "://" not in binlog_dir:
+        return os.path.join(binlog_dir, name)
+    return binlog_dir.rstrip("/") + "/" + name
+
+
 def _list_segments(binlog_dir: str, path_filter: Optional[str] = None) -> list[str]:
     """Driver-side segment listing (cheap metadata op — the same listing
-    the resume planner already does). Glob filter mirrors binaryFile's
-    pathGlobFilter."""
+    the resume planner already does), in numeric-suffix segment order.
+    Glob filter mirrors binaryFile's pathGlobFilter. Works against local
+    dirs and pyarrow.fs URIs (s3://, hdfs://)."""
     import fnmatch
 
-    names = sorted(
-        n for n in os.listdir(binlog_dir)
-        if os.path.isfile(os.path.join(binlog_dir, n))
-    )
+    names = sorted(list_dir_entries(binlog_dir), key=_segment_sort_key)
     if path_filter:
         # brace-glob {a,b} support like Hadoop's GlobFilter
         if path_filter.startswith("{") and path_filter.endswith("}"):
@@ -365,7 +400,7 @@ def _list_segments(binlog_dir: str, path_filter: Optional[str] = None) -> list[s
             names = [n for n in names if n in allowed]
         else:
             names = [n for n in names if fnmatch.fnmatch(n, path_filter)]
-    return [os.path.join(binlog_dir, n) for n in names]
+    return [_join_dir(binlog_dir, n) for n in names]
 
 
 def _read_bytes(path: str) -> bytes:

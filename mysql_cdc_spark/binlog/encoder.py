@@ -199,6 +199,7 @@ class BinlogWriter:
         nullability: list[bool],
         column_names: list[str] | None = None,
         simple_primary_keys: list[int] | None = None,
+        signedness: list[bool] | None = None,
         timestamp: int = 0,
     ) -> None:
         db = database.encode("utf-8")
@@ -239,6 +240,15 @@ class BinlogWriter:
 
         # optional TableMetadata TLV sections (column names drive schema
         # evolution; table_metadata.rs:23, SURVEY.md §4 item 3)
+        if signedness is not None:
+            # one bit per numeric column, bit set = UNSIGNED, stored as the
+            # 'reverted' big-endian bitmap (table_metadata.rs:137-141)
+            section = K.pack_bitmap_big_endian(signedness)
+            out += (
+                bytes([MetadataType.SIGNEDNESS])
+                + K.write_len_enc_num(len(section))
+                + section
+            )
         if column_names is not None:
             section = b"".join(
                 K.write_len_enc_num(len(n.encode())) + n.encode() for n in column_names

@@ -105,6 +105,14 @@ def pack_bitmap_little_endian(bits: list[bool]) -> bytes:
     return np.packbits(arr, bitorder="little").tobytes()
 
 
+def pack_bitmap_big_endian(bits: list[bool]) -> bytes:
+    """Exact inverse of read_bitmap_big_endian (the 'reverted' bitmap of
+    table_metadata.rs:182-201) — used by the fixture encoder for the
+    SIGNEDNESS metadata section."""
+    arr = np.array(bits, dtype=np.uint8)
+    return np.packbits(arr, bitorder="little")[::-1].tobytes()
+
+
 # ---------------------------------------------------------------------------
 # F5 — NEWDECIMAL; decimal.rs:10-83
 # ---------------------------------------------------------------------------

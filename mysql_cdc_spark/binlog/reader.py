@@ -217,29 +217,30 @@ _NUMERIC_TYPES = frozenset(
 
 
 def _signed_widths(table: dict) -> list:
-    """Per-column int width when the column is a *signed* integer, else
-    None. The reference decodes unsigned raw (row_parser.rs:137-141) and
-    carries signedness only as metadata (table_metadata.rs:14, one bit per
-    numeric column, bit set = UNSIGNED); our typed change rows apply the
-    reinterpretation here (SURVEY.md §7 hard-part 4). Memoized on the
-    (shared, memoized) table dict."""
+    """Per-column int width when the column is declared a *signed* integer
+    by the SIGNEDNESS metadata bitmap, else None. The reference decodes
+    unsigned raw (row_parser.rs:137-141) and carries signedness only as
+    metadata (table_metadata.rs:14, one bit per numeric column, bit set =
+    UNSIGNED); our typed change rows apply the reinterpretation here
+    (SURVEY.md §7 hard-part 4) — but ONLY when the bitmap is actually
+    present. With binlog_row_metadata=MINIMAL (MySQL's default) the section
+    is omitted; guessing "signed" there would silently flip unsigned values
+    ≥ 2^(w-1) negative, so we keep raw unsigned like the reference.
+    Memoized on the (shared, memoized) table dict."""
     cached = table.get("_signed_widths")
     if cached is not None:
         return cached
     column_types = table["column_types"]
     signedness = table.get("signedness")
     out: list = [None] * len(column_types)
-    ordinal = 0
-    for i, ct in enumerate(column_types):
-        if ct in _NUMERIC_TYPES:
-            unsigned = (
-                bool(signedness[ordinal])
-                if signedness is not None and ordinal < len(signedness)
-                else False  # no metadata → treat ints as signed (SQL default)
-            )
-            if not unsigned and ct in _INT_WIDTH:
-                out[i] = _INT_WIDTH[ct]
-            ordinal += 1
+    if signedness is not None:
+        ordinal = 0
+        for i, ct in enumerate(column_types):
+            if ct in _NUMERIC_TYPES:
+                unsigned = bool(signedness[ordinal]) if ordinal < len(signedness) else False
+                if not unsigned and ct in _INT_WIDTH:
+                    out[i] = _INT_WIDTH[ct]
+                ordinal += 1
     table["_signed_widths"] = out
     return out
 

@@ -310,6 +310,9 @@ def _write_one_file(job) -> str:
             + ([True] if txn.evolved else []),
             column_names=cols,
             simple_primary_keys=[0, 1],
+            # explicit SIGNEDNESS (all numeric columns signed): without the
+            # section the decoder keeps raw unsigned like the reference
+            signedness=[False for c in cols if c == "turn_idx"],
             timestamp=txn.timestamp,
         )
         # statement order is semantic (delete-then-reinsert of a key);

@@ -39,6 +39,33 @@ from .order import (
 from .target import ParquetMergeTarget
 
 
+def _after_position_predicate(max_file: str, max_pos: int):
+    """Spark predicate for (src_file, pos) strictly after the checkpoint,
+    ordering files by (prefix, numeric suffix) like ``_segment_sort_key``
+    so digit growth (mysql-bin.999999 → mysql-bin.1000000) compares
+    correctly. Suffix-less names fall back to whole-name comparison with
+    suffix rank -1 (same total order as the driver-side sort key)."""
+    from ..binlog.decoder import _segment_sort_key
+
+    max_prefix, max_num = _segment_sort_key(max_file)
+    sfx = F.regexp_extract(F.col("src_file"), r"^(.*)\.(\d+)$", 2)
+    has_sfx = sfx != F.lit("")
+    prefix = F.when(
+        has_sfx, F.regexp_extract(F.col("src_file"), r"^(.*)\.(\d+)$", 1)
+    ).otherwise(F.col("src_file"))
+    num = F.when(has_sfx, sfx.cast("long")).otherwise(F.lit(-1))
+    return (
+        (prefix > F.lit(max_prefix))
+        | (
+            (prefix == F.lit(max_prefix))
+            & (
+                (num > F.lit(max_num))
+                | ((num == F.lit(max_num)) & (F.col("pos") > F.lit(max_pos)))
+            )
+        )
+    )
+
+
 @dataclass
 class BatchMetrics:
     batch_id: int
@@ -114,14 +141,19 @@ class Replayer:
 
     def pending_files(self) -> list[str]:
         """Coarse file-level resume prune (fine-grained dedup is the GTID
-        anti-join). A file is pending unless a ledger entry already covers a
-        strictly later file."""
+        anti-join + the position predicate). A file is pending unless a
+        ledger entry already covers a strictly later file. Ordering and
+        comparison use the numeric segment suffix — lexicographic breaks
+        when binlog numbering grows a digit (mysql-bin.999999 →
+        mysql-bin.1000000)."""
+        from ..binlog.decoder import _segment_sort_key, list_dir_entries
+
         max_file, _ = self.ledger.max_position()
-        names = sorted(
-            n for n in os.listdir(self.binlog_dir)
-            if os.path.isfile(os.path.join(self.binlog_dir, n))
-        )
-        return [n for n in names if n >= max_file] if max_file else names
+        names = sorted(list_dir_entries(self.binlog_dir), key=_segment_sort_key)
+        if not max_file:
+            return names
+        max_key = _segment_sort_key(max_file)
+        return [n for n in names if _segment_sort_key(n) >= max_key]
 
     # -- one micro-batch ----------------------------------------------------
 
@@ -141,18 +173,20 @@ class Replayer:
                 covered.to_intervals(), "uuid string, start long, end long"
             )
             changes = filter_covered_gtids(changes, intervals)
-        else:
-            # GTID-less start (FromPosition seed): position predicate is the
-            # resume filter. Safe because transactions don't interleave in a
-            # binlog — anything at or before the checkpointed offset is
-            # either committed (covered) or a re-read of TABLE_MAP control
-            # rows, which produce no change events.
-            max_file, max_pos = self.ledger.max_position()
-            if max_file:
-                changes = changes.filter(
-                    (F.col("src_file") > max_file)
-                    | ((F.col("src_file") == max_file) & (F.col("pos") > max_pos))
-                )
+        # Position predicate, applied UNCONDITIONALLY in addition to the
+        # GTID anti-join. It is monotone and always safe: anything at or
+        # before the checkpointed (file, pos) is either committed (and the
+        # anti-join would drop it too) or predates a FromPosition/FromEnd
+        # seed whose transactions carry GTIDs the ledger never covered —
+        # without this predicate a re-read of the seed segment would replay
+        # those pre-seed transactions and regress merged state (the
+        # GTID-only filter cannot see them). Redelivered duplicates at
+        # *later* positions are still caught by the anti-join.
+        max_file, max_pos = self.ledger.max_position()
+        if max_file:
+            changes = changes.filter(
+                _after_position_predicate(max_file, max_pos)
+            )
 
         keys = list(spec.primary_key)
         changes = with_change_key(changes, keys)

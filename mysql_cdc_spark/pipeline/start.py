@@ -93,15 +93,17 @@ def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
         MAGIC_NUMBER,
         EventType,
     )
-    from ..binlog.reader import parse_event_header, parse_mysql_gtid
+    from ..binlog.decoder import _segment_sort_key, list_dir_entries
+    from ..binlog.reader import (
+        parse_event_header,
+        parse_mariadb_gtid,
+        parse_mysql_gtid,
+    )
     from ..gtid import Gtid, Uuid
 
     gset = GtidSet()
     max_file, max_pos = "", 0
-    names = sorted(
-        n for n in os.listdir(binlog_dir)
-        if os.path.isfile(os.path.join(binlog_dir, n))
-    )
+    names = sorted(list_dir_entries(binlog_dir), key=_segment_sort_key)
     for name in names:
         with open(os.path.join(binlog_dir, name), "rb") as f:
             content = f.read()
@@ -112,7 +114,7 @@ def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
         pending: Gtid | None = None
         while pos + EVENT_HEADER_SIZE <= n:
             header = parse_event_header(content, pos)
-            (_ts, etype, _sid, event_length, next_pos, _flags) = header
+            (_ts, etype, sid, event_length, next_pos, _flags) = header
             end = pos + event_length
             if end > n:
                 break
@@ -120,6 +122,15 @@ def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
                 payload = content[pos + EVENT_HEADER_SIZE : end]
                 g = parse_mysql_gtid(payload)
                 pending = Gtid(Uuid.parse(g["source_uuid"]), g["transaction_id"])
+            elif etype == EventType.MARIADB_GTID:
+                # seed key mirrors decoder.py's mariadb gtid_source
+                # ("{domain_id}-{server_id}") so the anti-join matches
+                payload = content[pos + EVENT_HEADER_SIZE : end]
+                g = parse_mariadb_gtid(payload, sid)
+                pending = Gtid(
+                    Uuid.parse_lenient(f"{g['domain_id']}-{g['server_id']}"),
+                    g["sequence"],
+                )
             elif etype == EventType.XID and pending is not None:
                 # flushed only at commit (binlog_client.rs:69-99)
                 gset.add_gtid(pending)

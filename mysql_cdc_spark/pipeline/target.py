@@ -115,6 +115,99 @@ class ParquetMergeTarget:
             shutil.rmtree(os.path.join(self.store_dir, "snapshots", name))
 
 
+class OrderedParquetMergeTarget(ParquetMergeTarget):
+    """Order-aware MERGE: snapshots persist each key's winning order tuple
+    (``_ord_<col>`` columns) and an incoming row only replaces the stored
+    row when its order tuple outranks it.
+
+    This is the cross-trigger guard the streaming apply tier needs: Spark's
+    file-stream source does not promise changelog files arrive in commit
+    order across triggers, and an at-least-once redelivery of an old decode
+    output must not regress state to older images. Ties (exact redelivery)
+    prefer the incoming row — idempotent, since equal rank implies the
+    identical event. Plan shape: one union + one ``max_by`` aggregate per
+    merge — same shuffle class as the plain anti-join MERGE."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        spec: TableSpec = TRANSCRIPTS,
+        buckets: int = 32,
+        order_cols: tuple[str, ...] = ("gtid_seq", "pos", "row_in_event"),
+    ):
+        super().__init__(store_dir, spec, buckets)
+        self.order_cols = list(order_cols)
+
+    def _ord_names(self) -> list[str]:
+        return [f"_ord_{c}" for c in self.order_cols]
+
+    def read_with_order(self, spark: SparkSession, version: int) -> DataFrame:
+        if version <= 0:
+            df = empty_state_df(spark, self.spec)
+            for o in self._ord_names():
+                df = df.withColumn(o, F.lit(None).cast("long"))
+            return df
+        df = spark.read.parquet(self.snapshot_path(version))
+        for name, ddl, _ in self.spec.columns:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(ddl))
+        for o in self._ord_names():
+            if o not in df.columns:
+                df = df.withColumn(o, F.lit(None).cast("long"))
+        return df.select(*[n for n, _, _ in self.spec.columns], *self._ord_names())
+
+    def read(self, spark: SparkSession, version: int) -> DataFrame:
+        return self.read_with_order(spark, version).select(
+            *[n for n, _, _ in self.spec.columns]
+        )
+
+    def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
+        """``net`` must carry key cols + ``op`` + ``after_<col>`` + the
+        order columns. Winner per key = max over (order tuple, incoming
+        priority); a winning delete removes the key."""
+        spec = self.spec
+        keys = list(spec.primary_key)
+        value_cols = [n for n, _, _ in spec.columns if n not in keys]
+        ords = self._ord_names()
+
+        incoming = net.select(
+            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+            *[F.col(f"after_{n}").cast(d).alias(n) for n, d, _ in spec.columns if n not in keys],
+            F.col("op"),
+            *[F.col(c).cast("long").alias(o) for c, o in zip(self.order_cols, ords)],
+            F.lit(1).alias("_prio"),
+        )
+        stored = self.read_with_order(spark, current_version).select(
+            *keys, *value_cols, F.lit("keep").alias("op"), *ords,
+            F.lit(0).alias("_prio"),
+        )
+
+        rank = F.struct(*[F.col(o) for o in ords], F.col("_prio"))
+        payload = F.struct(F.col("op"), *[F.col(c) for c in value_cols], *[F.col(c) for c in ords])
+        winners = (
+            stored.unionByName(incoming)
+            .groupBy(*keys)
+            .agg(F.max_by(payload, rank).alias("_win"))
+            .filter(F.col("_win.op") != "delete")
+            .select(
+                *keys,
+                *[F.col(f"_win.{c}").alias(c) for c in value_cols],
+                *[F.col(f"_win.{o}").alias(o) for o in ords],
+            )
+        )
+
+        new_version = current_version + 1
+        out_path = self.snapshot_path(new_version)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        (
+            winners.repartition(self.buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+        return new_version
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is usable on this session."""
     try:

@@ -5,15 +5,18 @@ change-event table (append-only parquet, partitioned by arrival); an apply
 tier is a Structured Streaming job over it:
 
     readStream (file source, maxFilesPerTrigger)        S2
-      → watermark + intra-batch LWW dedup               W1/ST5
-      → foreachBatch: net-change MERGE into the target  S7
+      → intra-batch LWW dedup                           W1/ST5
+      → foreachBatch: order-aware MERGE into the target S7
       → Spark streaming checkpoint (offsets/commits)    S6/ST1
 
 Exactly-once: Spark's checkpoint gives at-least-once foreachBatch
-delivery; the MERGE is idempotent under the deterministic total order
-(gtid_seq, pos, row_in_event), so replays of an uncommitted trigger
-converge to the same state — same argument as the batch ledger
-(ledger.py), with Spark's WAL playing the ledger's role.
+delivery; the MERGE is *order-aware* — snapshots persist each key's
+winning (gtid_seq, pos, row_in_event) tuple and an incoming row only
+replaces the stored row when it outranks it — so replays of an
+uncommitted trigger AND changelog files arriving out of commit order
+across triggers both converge to the same state (same total order as the
+batch ledger path, with Spark's WAL playing the ledger's role). No
+watermark is needed: late data is handled by rank, not by time eviction.
 
 ``Trigger.AvailableNow`` gives the bounded catch-up run (ST6 non-blocking
 dump); omit it for continuous tailing.
@@ -26,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..binlog.decoder import TRANSCRIPTS, TableSpec, change_event_schema
 from ..pipeline.order import ORDER_COLS, last_writer_wins, with_change_key
-from ..pipeline.target import ParquetMergeTarget
+from ..pipeline.target import OrderedParquetMergeTarget
 
 
 def write_changelog(changes: DataFrame, path: str, mode: str = "append") -> None:
@@ -46,7 +49,7 @@ def stream_apply(
 ):
     """Run the apply tier as a Structured Streaming query; returns the
     StreamingQuery (caller awaits termination)."""
-    target = ParquetMergeTarget(store_dir, spec)
+    target = OrderedParquetMergeTarget(store_dir, spec, order_cols=tuple(ORDER_COLS))
     keys = list(spec.primary_key)
     payload_cols = list(
         dict.fromkeys(
@@ -71,8 +74,9 @@ def stream_apply(
             batch_df, key_cols=keys, order_cols=ORDER_COLS,
             payload_cols=payload_cols,
         )
-        # versions advance per trigger; a replayed trigger rewrites the
-        # same net-change idempotently
+        # versions advance per trigger; a replayed trigger re-merges the
+        # same net-change idempotently (equal rank → incoming wins → same
+        # row), and an out-of-order older file cannot outrank stored state
         current = _current_version(store_dir)
         target.merge(batch_df.sparkSession, net, current)
 
@@ -105,4 +109,6 @@ def _current_version(store_dir: str) -> int:
 
 
 def read_stream_state(spark: SparkSession, store_dir: str, spec: TableSpec = TRANSCRIPTS) -> DataFrame:
-    return ParquetMergeTarget(store_dir, spec).read(spark, _current_version(store_dir))
+    return OrderedParquetMergeTarget(store_dir, spec).read(
+        spark, _current_version(store_dir)
+    )

@@ -309,6 +309,8 @@ class TestSignedness:
         from mysql_cdc_spark.binlog.reader import parse_row
         row, _ = parse_row(self._row_bytes(), 0, self._table([True, False]), [True]*3, 3)
         assert row == [255, -2, "ab"]
-        # no metadata → SQL default signed
+        # no metadata (binlog_row_metadata=MINIMAL) → raw unsigned like the
+        # reference (row_parser.rs:137-141); guessing signed would corrupt
+        # unsigned values ≥ 2^(w-1)
         row, _ = parse_row(self._row_bytes(), 0, self._table(None), [True]*3, 3)
-        assert row == [-1, -2, "ab"]
+        assert row == [255, 0xFFFFFFFE, "ab"]
