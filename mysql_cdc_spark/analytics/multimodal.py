@@ -96,42 +96,171 @@ def decode_payload_stub(payload: bytes) -> np.ndarray:
 
 FEATURE_SCHEMA = (
     "doc_id long, height int, width int, mean_intensity double, "
-    "p99_intensity double, frame_samples array<double>"
+    "p99_scaled long, frame_samples string"
 )
+
+
+def exact_image_features(img: np.ndarray) -> tuple[float, int, list[int]]:
+    """Reference (per-image) feature definitions — the contract the batch
+    kernel reproduces. All outputs are exactly representable so the Spark
+    kernel and the SQL oracle agree bit-for-bit:
+
+    - ``mean_intensity``: sum / (16·w), one exact IEEE double division
+    - ``p99_scaled``: 99th percentile × 100 with linear interpolation on
+      the exact rational index 99·(N−1)/100 (integer arithmetic, no float
+      0.99 rounding like np.percentile's)
+    - ``frame_samples``: every-4th-column mean × 10000 (= column sum × 625
+      since columns have 16 entries), first 8 samples, as exact ints
+    """
+    h, w = img.shape
+    flat = np.sort(img.reshape(-1).astype(np.int64))
+    n = h * w
+    idx = 99 * (n - 1)
+    f, rem = idx // 100, idx % 100
+    c = min(f + 1, n - 1)
+    p99_scaled = int(flat[f] * 100 + (flat[c] - flat[f]) * rem)
+    mean = float(img.astype(np.int64).sum() / n)
+    samples = [int(img[:, col].astype(np.int64).sum() * 625) for col in range(0, w, 4)][:8]
+    return mean, p99_scaled, samples
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one Arrow batch of (doc_id, payload) in, one
-    batch of per-doc features out. Vectorized inside the batch; 'frame
-    sampling' takes every 4th column mean (the video-frame analog)."""
+    batch of per-doc features out — numpy over the whole batch (offsets,
+    bincount segment/column sums, one global sort for percentiles), no
+    per-row Python on the byte path."""
+    import pyarrow as pa
+
     for pdf in batches:
-        out = {
-            "doc_id": [], "height": [], "width": [],
-            "mean_intensity": [], "p99_intensity": [], "frame_samples": [],
-        }
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            img = decode_payload_stub(bytes(payload))
-            out["doc_id"].append(doc_id)
-            out["height"].append(img.shape[0])
-            out["width"].append(img.shape[1])
-            out["mean_intensity"].append(round(float(img.mean()), 4))
-            out["p99_intensity"].append(round(float(np.percentile(img, 99)), 4))
-            out["frame_samples"].append(
-                [round(float(img[:, c].mean()), 4) for c in range(0, img.shape[1], 4)][:8]
-            )
-        yield pd.DataFrame(out)
+        n = len(pdf)
+        if n == 0:
+            continue
+        arr = pa.array(pdf["payload"], type=pa.large_binary())
+        pa_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        hdr = len(_MAGIC)
+        starts = pa_offsets[:-1] + arr.offset + hdr
+        ends = pa_offsets[1:] + arr.offset
+        lens = np.maximum(ends - starts, 0)
+
+        w = np.maximum((lens + 15) // 16, 1)
+        big_n = 16 * w
+
+        # gather body bytes (headers stripped) into one contiguous array
+        total = int(lens.sum())
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=cum[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], lens)
+        body = data[np.repeat(starts, lens) + within]
+        seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        # segment sums (bincount: empty segments naturally sum to 0)
+        body_i8 = body.astype(np.int64)
+        sums = np.bincount(seg, weights=body_i8, minlength=n).astype(np.int64)
+        mean = sums / (16.0 * w)
+
+        # exact p99: one global segment-major sort; padding zeros are a
+        # virtual prefix of each sorted segment (0 is the byte minimum)
+        sorted_body = np.sort(seg * 256 + body_i8) & 255
+        idx99 = 99 * (big_n - 1)
+        f, rem = idx99 // 100, idx99 % 100
+        c = np.minimum(f + 1, big_n - 1)
+        pad = big_n - lens
+
+        def _sel(k):
+            inside = k >= pad
+            flat = cum[:-1] + np.where(inside, k - pad, 0)
+            vals = sorted_body[np.minimum(flat, max(total - 1, 0))] if total else np.zeros(n, dtype=np.int64)
+            return np.where(inside & (lens > 0), vals, 0)
+
+        sf, sc = _sel(f), _sel(c)
+        p99_scaled = sf * 100 + (sc - sf) * rem
+
+        # frame samples: every 4th column, first 8 — column sums via bincount
+        col = within % np.repeat(w, lens)
+        sel = (col % 4 == 0) & (col < 32)
+        slot = seg[sel] * 8 + col[sel] // 4
+        colsums = np.bincount(slot, weights=body_i8[sel], minlength=n * 8).astype(np.int64)
+        samples = (colsums * 625).reshape(n, 8)
+        n_slots = np.minimum(8, (w + 3) // 4)
+        frame_samples = [
+            ",".join(map(str, samples[i, : n_slots[i]])) for i in range(n)
+        ]
+
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "height": np.full(n, 16, dtype=np.int32),
+                "width": w.astype(np.int32),
+                "mean_intensity": mean,
+                "p99_scaled": p99_scaled,
+                "frame_samples": frame_samples,
+            }
+        )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas.
 
     Plumbing notes for scale: payloads stay in Arrow buffers end-to-end
-    (binary column → Arrow → numpy view, no per-row Python on the
-    DataFrame); repartition count controls decode parallelism since blob
+    (binary column → Arrow → numpy views over the batch's offset/data
+    buffers; per-batch reduceat/sort/bincount, no per-row Python on the
+    byte path); repartition count controls decode parallelism since blob
     decode is CPU-bound, not scan-bound."""
     docs = load(spark, sf_dir, "documents")
     payloads = with_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+# Exact SQL mirror of the feature kernel (valid because the synthetic
+# payload body is the utf-8 text and the corpus is pure ASCII — byte
+# values == codepoints). Integer arithmetic keeps every output exactly
+# comparable across engines.
+FEATURES_SQL = """
+WITH docs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len,
+         GREATEST(CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 1) AS w
+  FROM documents
+),
+chars AS (
+  SELECT d.doc_id, d.w, t.i, ascii(substr(d.text, CAST(t.i AS INT), 1)) AS b
+  FROM docs d, unnest(generate_series(1, d.len)) AS t(i)
+),
+agg AS (
+  SELECT doc_id, w, sum(b)::BIGINT AS total,
+         list_sort(list(b)) AS sorted_b, count(*)::BIGINT AS len
+  FROM chars GROUP BY doc_id, w
+),
+cols AS (
+  SELECT doc_id, ((i - 1) % w) // 4 AS slot, sum(b)::BIGINT AS colsum
+  FROM chars
+  WHERE ((i - 1) % w) % 4 = 0 AND ((i - 1) % w) // 4 < 8
+  GROUP BY doc_id, slot
+),
+samples AS (
+  SELECT doc_id,
+         string_agg((colsum * 625)::VARCHAR, ',' ORDER BY slot) AS frame_samples
+  FROM cols GROUP BY doc_id
+),
+ranked AS (
+  SELECT *,
+         (99 * (16 * w - 1)) // 100 AS f,
+         LEAST((99 * (16 * w - 1)) // 100 + 1, 16 * w - 1) AS c,
+         (99 * (16 * w - 1)) % 100 AS rem,
+         16 * w - len AS pad
+  FROM agg
+)
+SELECT r.doc_id,
+       16 AS height,
+       CAST(r.w AS INT) AS width,
+       r.total::DOUBLE / (16 * r.w) AS mean_intensity,
+       CAST((CASE WHEN r.f < r.pad THEN 0 ELSE r.sorted_b[CAST(r.f - r.pad + 1 AS INT)] END) * 100
+            + ((CASE WHEN r.c < r.pad THEN 0 ELSE r.sorted_b[CAST(r.c - r.pad + 1 AS INT)] END)
+               - (CASE WHEN r.f < r.pad THEN 0 ELSE r.sorted_b[CAST(r.f - r.pad + 1 AS INT)] END))
+              * r.rem AS BIGINT) AS p99_scaled,
+       s.frame_samples
+FROM ranked r JOIN samples s USING (doc_id)
+"""
 
 
 QUERIES = {
@@ -141,6 +270,5 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_meta": META_SQL,
-    # multimodal_features: deterministic but not SQL-expressible (stubbed
-    # binary decode in a pandas UDF) → rows-only check by design.
+    "multimodal_features": FEATURES_SQL,
 }
