@@ -364,7 +364,9 @@ def st5_duplicate_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = ev.filter(F.col("event_id") % 10 == 3)  # deterministic replay slice
     unioned = ev.unionByName(redelivered)
     deduped = unioned.groupBy("event_id").agg(
-        F.first("user_id").alias("user_id"),
+        # min, not first: deterministic regardless of partition order (the
+        # values are equal copies, but the plan shouldn't rely on that)
+        F.min("user_id").alias("user_id"),
         F.max("ts").alias("ts"),
     )
     return deduped.agg(

@@ -149,6 +149,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(F.struct(F.col("c_label"), F.col("v")), F.struct(F.col("c_sim"), (-F.col("c_label")).alias("t"))).alias("w")
         )
         .selectExpr("vec_id", "w.c_label as cell", "w.v as v")
+        # assignment feeds BOTH the query side and the corpus side of the
+        # probe join — persist so the argmin subplan runs once, not twice
+        .persist()
     )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id as q_id", "cell as q_cell", "v as qv"

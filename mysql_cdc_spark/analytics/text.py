@@ -466,12 +466,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.selectExpr(
         "doc_id", "lang", f"explode(array_distinct({WORDS})) as word"
     )
-    n_docs = docs.count()  # scalar; at scale use a broadcast subquery
+    # corpus size as a broadcast one-row aggregate folded into the plan —
+    # no separate count() action/scan (the oracle's CROSS JOIN n)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     df_counts = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
-    scored = tf.join(df_counts, "word").selectExpr(
+    scored = tf.join(df_counts, "word").crossJoin(F.broadcast(n)).selectExpr(
         "lang", "word", "tf", "df",
-        f"round(tf * ln({n_docs} / df), 4) as tfidf",
+        "round(tf * ln(n_docs / df), 4) as tfidf",
     )
     from pyspark.sql.window import Window
 
