@@ -311,6 +311,7 @@ def decode_binlog_dir(
     binlog_dir: str,
     spec: TableSpec = TRANSCRIPTS,
     path_filter: Optional[str] = None,
+    vectorized: Optional[bool] = None,
 ) -> DataFrame:
     """binlog directory → change-event DataFrame (distributed decode).
 
@@ -338,12 +339,26 @@ def decode_binlog_dir(
     )
 
     schema = change_event_schema(spec)
+    if vectorized is None:
+        vectorized = os.environ.get("SPARK_CDC_SCALAR_DECODE", "") != "1"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path in pdf["path"]:
-                decoder = _FileDecoder(spec)
-                yield from decoder.decode_file(path, _read_bytes(path))
+                content = _read_bytes(path)
+                name = os.path.basename(path)
+                frames = None
+                if vectorized:
+                    from .vector import decode_segment_fast
+
+                    frames = decode_segment_fast(content, name, spec)
+                if frames is not None:
+                    yield from frames
+                else:
+                    # scalar fallback: constructs the fast path can't
+                    # express (rare types, partial images, wide tables)
+                    decoder = _FileDecoder(spec)
+                    yield from decoder.decode_file(path, content)
 
     return pdf_paths.mapInPandas(decode, schema=schema)
 

@@ -66,6 +66,68 @@ def _after_position_predicate(max_file: str, max_pos: int):
     )
 
 
+def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl):
+    """Fallback stats for segments outside the vectorized fast path:
+    scalar decode, then the same filters/aggregation in pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from ..binlog.decoder import _FileDecoder
+
+    cols = ["src_file", "gtid_source", "gtid_seq", "pos", "xid"]
+    d = _FileDecoder(spec)
+    frames = [f[cols] for f in d.decode_file(name, content)]
+    pdf = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=cols)
+    )
+    pdf = pdf[pdf["xid"].notna()]
+    if min_pos_excl is not None and len(pdf):
+        pdf = pdf[pdf["pos"] > min_pos_excl]
+    if intervals and len(pdf):
+        by_src: dict = {}
+        for uuid, s, e in intervals:
+            by_src.setdefault(uuid, []).append((int(s), int(e)))
+        drop = np.zeros(len(pdf), dtype=bool)
+        src_arr = pdf["gtid_source"].to_numpy(dtype=object)
+        seq_arr = pdf["gtid_seq"].to_numpy()
+        for source, ivs in by_src.items():
+            ivs.sort()
+            starts = np.array([i[0] for i in ivs], dtype="int64")
+            ends = np.array([i[1] for i in ivs], dtype="int64")
+            sel = np.nonzero(src_arr == source)[0]
+            if len(sel):
+                sq = seq_arr[sel].astype("int64")
+                k = np.searchsorted(starts, sq, side="right") - 1
+                cov = (k >= 0) & (sq <= ends[np.maximum(k, 0)])
+                drop[sel[cov]] = True
+        pdf = pdf[~drop]
+    out = {
+        "src_file": [], "gtid_source": [], "events": [],
+        "min_pos": [], "max_pos": [], "starts": [], "ends": [],
+    }
+    for (f, s), g in pdf.groupby(["src_file", "gtid_source"], dropna=False, sort=False):
+        out["src_file"].append(f)
+        out["gtid_source"].append(None if pd.isna(s) else s)
+        out["events"].append(len(g))
+        out["min_pos"].append(int(g["pos"].min()))
+        out["max_pos"].append(int(g["pos"].max()))
+        if pd.isna(s):
+            starts = ends = np.array([], dtype="int64")
+        else:
+            seqs = np.unique(g["gtid_seq"].to_numpy(dtype="int64"))
+            breaks = np.nonzero(np.diff(seqs) > 1)[0]
+            starts = seqs[np.concatenate(([0], breaks + 1))]
+            ends = seqs[np.concatenate((breaks, [len(seqs) - 1]))]
+        out["starts"].append(starts.tolist())
+        out["ends"].append(ends.tolist())
+    frame = pd.DataFrame(out)
+    frame["starts"] = frame["starts"].astype(object)
+    frame["ends"] = frame["ends"].astype(object)
+    return frame
+
+
 @dataclass
 class BatchMetrics:
     batch_id: int
@@ -191,30 +253,30 @@ class Replayer:
         keys = list(spec.primary_key)
         changes = with_change_key(changes, keys)
         # before-images exist only to key deletes (row_data.rs:18-24); after
-        # with_change_key they are dead weight — drop them before persist so
-        # the cache and every downstream shuffle carry half the text volume
+        # with_change_key they are dead weight — drop them so every
+        # downstream shuffle carries half the text volume
         changes = changes.select(
             *keys,
             "src_file", "pos", "next_pos", "ts", "server_id", "op",
             "gtid_source", "gtid_seq", "xid", "table_id", "db", "tbl",
             "row_in_event",
             *[f"after_{n}" for n, _, _ in spec.columns],
-        ).persist()
+        )
 
         phase_t = {}
         t_phase = time.time()
 
-        # -- stats + GTID intervals in ONE zero-shuffle pass: the decode
-        # output is one partition per rotation segment, so per-file lineage
-        # AND the per-file seq islands are per-partition computations —
-        # mapInPandas over the cached skinny projection, ~1 output row per
-        # (file, source), no exchange, tiny collect
-        stats = self._partition_stats(changes)
-        phase_t["decode_stats_s"] = round(time.time() - t_phase, 2)
+        # -- stats + GTID intervals: a dedicated stats-only decode pass
+        # (values skipped, only length prefixes read) rather than caching
+        # the event stream and re-scanning it. Decode is cheap enough to
+        # run twice; at 10^10 events NOT caching the decoded stream is the
+        # only viable plan anyway (the cache would be the whole corpus).
+        # One output row per (file, source), zero shuffle, tiny collect.
+        stats = self._stats_job(files, covered, max_file, max_pos)
+        phase_t["stats_s"] = round(time.time() - t_phase, 2)
         t_phase = time.time()
         n_events = sum(r["events"] for r in stats)
         if n_events == 0:
-            changes.unpersist()
             return BatchMetrics(
                 batch_id, files, 0, 0, time.time() - t0, 0.0,
                 str(covered), [],
@@ -240,7 +302,7 @@ class Replayer:
         current_version = self.ledger.current_snapshot_version()
         new_version = self.target.merge(spark, net, current_version)
         net_rows = -1  # avoid a second action; lineage covers observability
-        phase_t["lww_merge_s"] = round(time.time() - t_phase, 2)
+        phase_t["decode_lww_merge_s"] = round(time.time() - t_phase, 2)
         t_phase = time.time()
 
         # -- ledger gtid-set update (driver-side splice of the per-file
@@ -248,9 +310,10 @@ class Replayer:
         batch_set = self._gtid_set_from_islands(stats)
         merged_set = covered.union(batch_set)
         phase_t["ledger_s"] = round(time.time() - t_phase, 2)
-        max_file = max(r["src_file"] for r in stats)
+        from ..binlog.decoder import _segment_sort_key
+
+        max_file = max((r["src_file"] for r in stats), key=_segment_sort_key)
         max_pos = max(r["max_pos"] for r in stats if r["src_file"] == max_file)
-        changes.unpersist()
 
         seconds = time.time() - t0
         lineage = [
@@ -285,76 +348,65 @@ class Replayer:
             metrics["events_per_sec"], str(merged_set), lineage,
         )
 
-    @staticmethod
-    def _partition_stats(changes) -> list[dict]:
-        """Per-(file, source) lineage stats + collapsed GTID seq islands,
-        computed per partition (decode output = one partition per rotation
-        segment, a narrow dependency) — no shuffle, the collect is one row
-        per (file, source). Islands via numpy unique+diff: the distributed
-        formulation of GtidSet.add_gtid's collapse (uuid_set.rs:29-98)."""
-        import numpy as np
-        import pandas as pd
+    def _stats_job(self, files: list[str], covered, max_file: str, max_pos: int) -> list[dict]:
+        """Per-(file, source) lineage stats + collapsed GTID seq islands via
+        a dedicated stats-only decode pass: one task per segment, values
+        skipped (only length prefixes read), zero shuffle, collect is one
+        row per (file, source). Applies the same filters the merge pass
+        applies in Spark SQL (committed-only, covered-GtidSet anti-join,
+        position predicate) so the two passes always agree. Islands via
+        numpy unique+diff: the distributed formulation of GtidSet.add_gtid's
+        collapse (uuid_set.rs:29-98)."""
+        spark = self.spark
+        spec = self.spec
+        from ..binlog.decoder import _join_dir, _segment_sort_key
+
+        intervals = covered.to_intervals() if covered.uuid_sets else []
+        max_key = _segment_sort_key(max_file) if max_file else None
+        paths = [_join_dir(self.binlog_dir, n) for n in files]
+        pdf_paths = spark.createDataFrame(
+            spark.sparkContext.parallelize([(p,) for p in paths], len(paths)),
+            "path string",
+        )
+        scalar_mode = os.environ.get("SPARK_CDC_SCALAR_DECODE", "") == "1"
 
         def stats_fn(batches):
-            acc: dict = {}
-            for pdf in batches:
-                for (f, s), g in pdf.groupby(
-                    ["src_file", "gtid_source"], dropna=False, sort=False
-                ):
-                    key = (f, None if pd.isna(s) else s)
-                    a = acc.setdefault(
-                        key,
-                        {"events": 0, "min_pos": None, "max_pos": None, "seqs": []},
-                    )
-                    a["events"] += len(g)
-                    pmin, pmax = int(g["pos"].min()), int(g["pos"].max())
-                    a["min_pos"] = pmin if a["min_pos"] is None else min(a["min_pos"], pmin)
-                    a["max_pos"] = pmax if a["max_pos"] is None else max(a["max_pos"], pmax)
-                    if key[1] is not None:
-                        a["seqs"].append(g["gtid_seq"].to_numpy(dtype="int64"))
-            if not acc:
-                return  # empty partition: yield nothing (a 0-row frame
-                # defaults list columns to float64, which Arrow can't cast)
-            out = {
-                "src_file": [], "gtid_source": [], "events": [],
-                "min_pos": [], "max_pos": [], "starts": [], "ends": [],
-            }
-            for (f, s), a in acc.items():
-                if a["seqs"]:
-                    seqs = np.unique(np.concatenate(a["seqs"]))
-                    breaks = np.nonzero(np.diff(seqs) > 1)[0]
-                    starts = seqs[np.concatenate(([0], breaks + 1))]
-                    ends = seqs[np.concatenate((breaks, [len(seqs) - 1]))]
-                else:
-                    starts = ends = np.array([], dtype="int64")
-                out["src_file"].append(f)
-                out["gtid_source"].append(s)
-                out["events"].append(a["events"])
-                out["min_pos"].append(a["min_pos"])
-                out["max_pos"].append(a["max_pos"])
-                out["starts"].append(starts.tolist())
-                out["ends"].append(ends.tolist())
-            frame = pd.DataFrame(out)
-            frame["starts"] = frame["starts"].astype(object)
-            frame["ends"] = frame["ends"].astype(object)
-            yield frame
+            import os as _os
 
-        rows = (
-            changes.select("src_file", "gtid_source", "gtid_seq", "pos")
-            .mapInPandas(
-                stats_fn,
-                schema=(
-                    "src_file string, gtid_source string, events long, "
-                    "min_pos long, max_pos long, "
-                    "starts array<long>, ends array<long>"
-                ),
-            )
-            .collect()
-        )
-        # decode partitions hold whole files, so rows are normally unique
-        # per (file, source); if an upstream repartition ever splits a file,
-        # consumers still aggregate correctly (events sums, pos maxes,
-        # islands splice) — just with more rows
+            from ..binlog.decoder import _read_bytes
+            from ..binlog.vector import segment_row_stats
+
+            for pdf in batches:
+                for path in pdf["path"]:
+                    name = _os.path.basename(path)
+                    min_pos_excl = None
+                    if max_key is not None:
+                        key = _segment_sort_key(name)
+                        if key < max_key:
+                            continue  # fully before the checkpoint
+                        if key == max_key:
+                            min_pos_excl = max_pos
+                    content = _read_bytes(path)
+                    frame = None
+                    if not scalar_mode:
+                        frame = segment_row_stats(
+                            content, name, spec, intervals, min_pos_excl
+                        )
+                    if frame is None:
+                        frame = _scalar_segment_stats(
+                            content, name, spec, intervals, min_pos_excl
+                        )
+                    if len(frame):
+                        yield frame
+
+        rows = pdf_paths.mapInPandas(
+            stats_fn,
+            schema=(
+                "src_file string, gtid_source string, events long, "
+                "min_pos long, max_pos long, "
+                "starts array<long>, ends array<long>"
+            ),
+        ).collect()
         return [r.asDict() for r in rows]
 
     @staticmethod

@@ -1,0 +1,159 @@
+"""Vectorized decode parity: `decode_segment_fast` must reproduce the
+scalar `_FileDecoder` output frame-for-frame (same rows, same values, same
+nulls) across every fixture variant — the scalar decoder is the semantics
+reference (row_parser.rs and binlog_client.rs ports), the vectorized path
+is the scale path."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mysql_cdc_spark.binlog.constants import ColumnType, EventType
+from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS, _FileDecoder
+from mysql_cdc_spark.binlog.encoder import BinlogWriter
+from mysql_cdc_spark.binlog.vector import decode_segment_fast
+from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+
+
+def _scalar(content: bytes, name: str) -> pd.DataFrame:
+    d = _FileDecoder(TRANSCRIPTS)
+    frames = list(d.decode_file(name, content))
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def _fast(content: bytes, name: str):
+    frames = decode_segment_fast(content, name, TRANSCRIPTS)
+    if frames is None:
+        return None
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def _canon(df: pd.DataFrame) -> dict:
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime"):
+            out[c] = pd.to_datetime(s).astype("datetime64[ns]").tolist()
+        elif str(s.dtype) == "Int64":
+            out[c] = [None if pd.isna(v) else int(v) for v in s]
+        else:
+            out[c] = [
+                None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
+                for v in s.tolist()
+            ]
+    return out
+
+
+def _assert_parity(content: bytes, name: str):
+    a = _scalar(content, name)
+    b = _fast(content, name)
+    assert b is not None, "unexpected fallback"
+    assert len(a) == len(b)
+    if len(a) == 0:
+        return
+    assert list(a.columns) == list(b.columns)
+    ca, cb = _canon(a), _canon(b)
+    for col in ca:
+        assert ca[col] == cb[col], f"column {col} differs"
+
+
+@pytest.fixture(scope="module")
+def standard_files(tmp_path_factory):
+    txns = generate_changelog(
+        n_conversations=20, max_turns=5, n_extra_ops=60, seed=3,
+        duplicate_txns=4, evolve_after_frac=0.5,
+    )
+    outdir = str(tmp_path_factory.mktemp("binlog"))
+    return write_binlog_files(txns, outdir, txns_per_file=25)
+
+
+def test_parity_standard_stream(standard_files):
+    for p in standard_files:
+        with open(p, "rb") as f:
+            _assert_parity(f.read(), os.path.basename(p))
+
+
+def test_parity_mariadb_and_no_begin(tmp_path):
+    txns = generate_changelog(n_conversations=10, max_turns=4, n_extra_ops=25, seed=31)
+    pa = write_binlog_files(txns, str(tmp_path / "ma"), txns_per_file=20, provider="mariadb")
+    pb = write_binlog_files(txns, str(tmp_path / "nb"), txns_per_file=20, write_begin_query=False)
+    for p in pa + pb:
+        with open(p, "rb") as f:
+            _assert_parity(f.read(), os.path.basename(p))
+
+
+def test_parity_truncated_tail(standard_files):
+    with open(standard_files[0], "rb") as f:
+        content = f.read()
+    for cut in (len(content) - 5, len(content) - 60, len(content) // 2, 30):
+        _assert_parity(content[:cut], "trunc")
+
+
+def test_parity_rollback_and_ddl(tmp_path):
+    """ROLLBACK discards the group; autocommit DDL closes it without
+    emitting rows (binlog_client.rs:88-95)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    from mysql_cdc_spark.fixtures import COLUMN_TYPES
+
+    ctypes = [COLUMN_TYPES[c][0] for c in cols]
+    cmeta = [COLUMN_TYPES[c][1] for c in cols]
+    w = BinlogWriter("b.000001")
+    uuid = "24bc7850-2c16-11e6-a073-0242ac110001"
+
+    def tmap():
+        w.write_table_map(100, "chat", "transcripts", ctypes, cmeta,
+                          [False] * 5, column_names=cols)
+
+    row = ["c-1", 0, "user", "hello", 1700000000000]
+    # committed txn
+    w.write_mysql_gtid(uuid, 1); w.write_query("BEGIN"); tmap()
+    w.write_rows(100, ctypes, cmeta, [row]); w.write_xid(1)
+    # rolled-back txn — rows must not appear
+    w.write_mysql_gtid(uuid, 2); w.write_query("BEGIN"); tmap()
+    w.write_rows(100, ctypes, cmeta, [["c-2", 0, "user", "dropped", 1]])
+    w.write_query("ROLLBACK")
+    # DDL closes without commit of rows
+    w.write_mysql_gtid(uuid, 3); tmap()
+    w.write_rows(100, ctypes, cmeta, [["c-3", 0, "user", "ddl-dropped", 1]])
+    w.write_query("ALTER TABLE transcripts ADD COLUMN tool varchar(64)")
+    # COMMIT query (no XID) commits with xid = -1
+    w.write_mysql_gtid(uuid, 4); w.write_query("BEGIN"); tmap()
+    w.write_rows(100, ctypes, cmeta, [["c-4", 0, "user", "query-commit", 2]])
+    w.write_query("COMMIT")
+    # uncommitted tail → xid NULL
+    w.write_mysql_gtid(uuid, 5); w.write_query("BEGIN"); tmap()
+    w.write_rows(100, ctypes, cmeta, [["c-5", 0, "user", "tail", 3]])
+
+    content = w.getvalue()
+    _assert_parity(content, "b.000001")
+    fast = _fast(content, "b.000001")
+    texts = set(fast["after_text"])
+    assert "hello" in texts and "query-commit" in texts and "tail" in texts
+    assert "dropped" not in texts and "ddl-dropped" not in texts
+    tail_row = fast[fast["after_text"] == "tail"].iloc[0]
+    assert pd.isna(tail_row["xid"])
+    qc = fast[fast["after_text"] == "query-commit"].iloc[0]
+    assert qc["xid"] == -1
+
+
+def test_fallback_on_unsupported_type(tmp_path):
+    """A target-table map with a NEWDECIMAL column is outside the fast
+    path → decode_segment_fast returns None (caller uses the scalar)."""
+    ctypes = [ColumnType.VARCHAR, ColumnType.NEWDECIMAL]
+    cmeta = [64, 10 | (2 << 8)]
+    w = BinlogWriter("b.000001")
+    w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+    w.write_table_map(100, "chat", "transcripts", ctypes, cmeta, [False, False],
+                      column_names=["conv_id", "turn_idx"])
+    w.write_rows(100, ctypes, cmeta, [["a", "12345.67"]])
+    w.write_xid(1)
+    assert decode_segment_fast(w.getvalue(), "b.000001", TRANSCRIPTS) is None
+
+
+def test_fast_path_used_for_fixture_stream(standard_files):
+    with open(standard_files[0], "rb") as f:
+        assert decode_segment_fast(f.read(), "x", TRANSCRIPTS) is not None
