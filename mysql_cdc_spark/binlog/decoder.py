@@ -51,8 +51,17 @@ from ..binlog.constants import EVENT_HEADER_SIZE, FIRST_EVENT_POSITION, MAGIC_NU
 class TableSpec:
     """Canonical target table: (name, spark type, kind) per column.
 
-    ``kind`` selects the value converter from binlog decode output:
-    'str' | 'int' | 'ts_millis' (epoch millis → timestamp).
+    ``kind`` selects the value converter from binlog decode output —
+    the full set of MySqlValue variants the reference decodes
+    (mysql_value.rs:28-47) maps onto:
+
+    - ``'str'``        VARCHAR/CHAR → StringType
+    - ``'int'``        TINY/SHORT/INT24/LONG/LONGLONG → integral types
+    - ``'double'``     FLOAT/DOUBLE → DoubleType
+    - ``'decimal'``    NEWDECIMAL (exact digit string) → DecimalType(p,s)
+    - ``'date'``       DATE (y,m,d) → DateType
+    - ``'binary'``     BLOB family / GEOMETRY / JSON raw → BinaryType
+    - ``'ts_millis'``  TIMESTAMP/TIMESTAMP2 epoch millis → TimestampType
     """
 
     database: str
@@ -101,13 +110,44 @@ def change_event_schema(spec: TableSpec = TRANSCRIPTS) -> T.StructType:
 
 
 def _ddl_to_type(ddl: str) -> T.DataType:
+    import re
+
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", ddl)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
     return {
         "string": T.StringType(),
         "int": T.IntegerType(),
         "bigint": T.LongType(),
         "double": T.DoubleType(),
+        "date": T.DateType(),
+        "binary": T.BinaryType(),
         "timestamp": T.TimestampType(),
     }[ddl]
+
+
+def _to_date(v):
+    from datetime import date
+
+    # parse_date yields (year, month, day); MySQL zero-dates → NULL
+    return date(*v) if v != (0, 0, 0) else None
+
+
+def _to_decimal(v):
+    from decimal import Decimal
+
+    return Decimal(v)
+
+
+# canonical-kind converters from raw binlog decode output
+# (mysql_value.rs:28-47 variants → Spark column values)
+_CONVERT = {
+    "int": int,
+    "double": float,
+    "decimal": _to_decimal,
+    "date": _to_date,
+    "binary": bytes,
+}
 
 
 class _FileDecoder:
@@ -216,8 +256,8 @@ class _FileDecoder:
             n = len(image)
             for _ci, mi, kind in colmap:
                 v = image[mi] if mi is not None and mi < n else None
-                if v is not None and kind == "int":
-                    v = int(v)
+                if v is not None and kind != "str" and kind != "ts_millis":
+                    v = _CONVERT[kind](v)
                 out.append(v)
             return tuple(out)
 

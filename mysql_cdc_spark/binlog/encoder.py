@@ -200,6 +200,8 @@ class BinlogWriter:
         column_names: list[str] | None = None,
         simple_primary_keys: list[int] | None = None,
         signedness: list[bool] | None = None,
+        enum_string_values: list[list[str]] | None = None,
+        set_string_values: list[list[str]] | None = None,
         timestamp: int = 0,
     ) -> None:
         db = database.encode("utf-8")
@@ -254,6 +256,21 @@ class BinlogWriter:
                 K.write_len_enc_num(len(n.encode())) + n.encode() for n in column_names
             )
             out += bytes([MetadataType.COLUMN_NAME]) + K.write_len_enc_num(len(section)) + section
+        def type_values_section(tag: int, per_column: list[list[str]]) -> bytes:
+            # table_metadata.rs parse_type_values inverse: per ENUM/SET
+            # column a lenc count + that many lenc strings
+            body = b""
+            for values in per_column:
+                body += K.write_len_enc_num(len(values))
+                for v in values:
+                    raw = v.encode("utf-8")
+                    body += K.write_len_enc_num(len(raw)) + raw
+            return bytes([tag]) + K.write_len_enc_num(len(body)) + body
+
+        if set_string_values is not None:
+            out += type_values_section(MetadataType.SET_STR_VALUE, set_string_values)
+        if enum_string_values is not None:
+            out += type_values_section(MetadataType.ENUM_STR_VALUE, enum_string_values)
         if simple_primary_keys is not None:
             section = b"".join(K.write_len_enc_num(i) for i in simple_primary_keys)
             out += (
@@ -315,6 +332,25 @@ class BinlogWriter:
             out += self._encode_rows([before], column_types, column_metadata, present)
             out += self._encode_rows([after], column_types, column_metadata, present)
         self._append_event(EventType.MYSQL_UPDATE_ROWS_V2, out, timestamp=timestamp)
+
+    def write_intvar(self, intvar_type: int, value: int, timestamp: int = 0) -> None:
+        """intvar_event.rs layout: type u8 + value u64 LE."""
+        self._append_event(
+            EventType.INTVAR, struct.pack("<BQ", intvar_type, value), timestamp=timestamp
+        )
+
+    def write_mariadb_gtid_list(self, gtids, timestamp: int = 0) -> None:
+        """gtid_list_event.rs layout: u32 count + (domain, server, seq)
+        triples; ``gtids`` is an iterable of MariaGtid or (d, s, seq)."""
+        out = struct.pack("<I", len(gtids))
+        for g in gtids:
+            d, s, q = (
+                (g.domain_id, g.server_id, g.sequence)
+                if hasattr(g, "domain_id")
+                else g
+            )
+            out += struct.pack("<IIQ", d, s, q)
+        self._append_event(EventType.MARIADB_GTID_LIST, out, timestamp=timestamp)
 
     def write_xid(self, xid: int, timestamp: int = 0) -> None:
         self._append_event(EventType.XID, struct.pack("<Q", xid), timestamp=timestamp)

@@ -99,8 +99,25 @@ def parse_table_map(payload: bytes) -> dict:
     column_names: Optional[list[str]] = None
     simple_primary_keys: Optional[list[int]] = None
     signedness: Optional[list[bool]] = None
+    enum_string_values: Optional[list[list[str]]] = None
+    set_string_values: Optional[list[list[str]]] = None
     # Optional TableMetadata TLV sections (MySQL 5.6+ / MariaDB 10.5+);
     # table_map_event.rs:66-70 → table_metadata.rs:55-130
+
+    def _parse_type_values(section: bytes) -> list[list[str]]:
+        # table_metadata.rs parse_type_values: per ENUM/SET column, a
+        # lenc count followed by that many lenc strings
+        out: list[list[str]] = []
+        soff = 0
+        while soff < len(section):
+            count, soff = K.read_len_enc_num(section, soff)
+            values = []
+            for _ in range(count):
+                v, soff = K.read_len_enc_str(section, soff)
+                values.append(v)
+            out.append(values)
+        return out
+
     while off < len(payload):
         mtype = payload[off]
         off += 1
@@ -125,6 +142,10 @@ def parse_table_map(payload: bytes) -> dict:
             nbits = mlen * 8
             bits, _ = K.read_bitmap_big_endian(section, 0, nbits)
             signedness = list(bits)
+        elif mtype == MetadataType.ENUM_STR_VALUE:
+            enum_string_values = _parse_type_values(section)
+        elif mtype == MetadataType.SET_STR_VALUE:
+            set_string_values = _parse_type_values(section)
         # other sections tolerated and skipped
 
     return {
@@ -137,6 +158,8 @@ def parse_table_map(payload: bytes) -> dict:
         "column_names": column_names,
         "simple_primary_keys": simple_primary_keys,
         "signedness": signedness,
+        "enum_string_values": enum_string_values,
+        "set_string_values": set_string_values,
     }
 
 
@@ -245,12 +268,43 @@ def _signed_widths(table: dict) -> list:
     return out
 
 
+def _enum_set_lookup(table: dict) -> list:
+    """Per-column ENUM/SET string-value lookup tables, memoized on the
+    (shared, memoized) table dict. Built from the ENUM_STR_VALUE /
+    SET_STR_VALUE metadata sections (table_metadata.rs:26-31) — one value
+    list per ENUM/SET column in column order."""
+    cached = table.get("_enum_set_lut")
+    if cached is not None:
+        return cached
+    ev = table.get("enum_string_values")
+    sv = table.get("set_string_values")
+    column_types = table["column_types"]
+    out: list = [None] * len(column_types)
+    if ev is not None or sv is not None:
+        e_ord = s_ord = 0
+        for i, (ct, md) in enumerate(zip(column_types, table["column_metadata"])):
+            act = ct
+            if ct == ColumnType.STRING:
+                act, _ = K.get_actual_string_type(ct, md)
+            if act == ColumnType.ENUM:
+                if ev is not None and e_ord < len(ev):
+                    out[i] = ("enum", ev[e_ord])
+                e_ord += 1
+            elif act == ColumnType.SET:
+                if sv is not None and s_ord < len(sv):
+                    out[i] = ("set", sv[s_ord])
+                s_ord += 1
+    table["_enum_set_lut"] = out
+    return out
+
+
 def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included: int):
     """One row image; row_parser.rs:97-128."""
     null_bitmap, off = K.read_bitmap_little_endian(buf, off, cells_included)
     column_types = table["column_types"]
     column_metadata = table["column_metadata"]
     signed_widths = _signed_widths(table)
+    enum_set_lut = _enum_set_lookup(table)
     row = []
     skipped = 0
     for i in range(len(column_types)):
@@ -269,6 +323,16 @@ def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included
             w = signed_widths[i]
             if w is not None and value >= (1 << (w - 1)):
                 value -= 1 << w  # two's-complement reinterpretation
+            lut = enum_set_lut[i]
+            if lut is not None:
+                kind, vals = lut
+                if kind == "enum":
+                    # 1-based index; 0 is MySQL's empty/invalid member
+                    value = vals[value - 1] if 1 <= value <= len(vals) else ""
+                else:
+                    value = ",".join(
+                        v for b, v in enumerate(vals) if value >> b & 1
+                    )
             row.append(value)
     return row, off
 
@@ -389,6 +453,31 @@ def parse_mariadb_gtid(payload: bytes, server_id: int) -> dict:
     }
 
 
+def parse_intvar(payload: bytes) -> dict:
+    """intvar_event.rs:22-28 — auto_increment / LAST_INSERT_ID carrier.
+    intvar_type: 0x00 invalid, 0x01 LAST_INSERT_ID, 0x02 INSERT_ID."""
+    intvar_type = payload[0]
+    value = struct.unpack_from("<Q", payload, 1)[0]
+    return {"intvar_type": intvar_type, "value": value}
+
+
+def parse_mariadb_gtid_list(payload: bytes) -> dict:
+    """mariadb/events/gtid_list_event.rs:17-33 — replication state at the
+    start of a MariaDB binlog (the PREVIOUS_GTIDS analog): u32 count, then
+    (domain_id u32, server_id u32, sequence u64) per gtid."""
+    from ..gtid import GtidList, MariaGtid
+
+    count = struct.unpack_from("<I", payload, 0)[0]
+    off = 4
+    gl = GtidList()
+    for _ in range(count):
+        domain_id, server_id = struct.unpack_from("<II", payload, off)
+        sequence = struct.unpack_from("<Q", payload, off + 8)[0]
+        off += 16
+        gl.gtids.append(MariaGtid(domain_id, server_id, sequence))
+    return {"gtid_list": str(gl)}
+
+
 def parse_heartbeat(payload: bytes) -> dict:
     """heartbeat_event.rs:9-21 — payload is the current binlog filename."""
     return {"binlog_filename": bytes(payload).decode("utf-8")}
@@ -424,7 +513,8 @@ class BinlogFileReader:
         kind is one of: 'format_description', 'table_map', 'write_rows',
         'update_rows', 'delete_rows', 'mysql_gtid', 'mariadb_gtid', 'xid',
         'query', 'rotate', 'heartbeat', 'prev_gtids', 'uservar',
-        'rows_query', 'unknown'.
+        'rows_query', 'intvar', 'mariadb_gtid_list', 'unknown' — all 17
+        typed BinlogEvent variants of binlog_event.rs:20-39.
         """
         content = self.content
         n = len(content)
@@ -493,4 +583,8 @@ class BinlogFileReader:
             # rows_query_event.rs: mysql variant skips a leading length byte
             text = payload[1:] if etype == E.MYSQL_ROWS_QUERY else payload
             return "rows_query", {"query": bytes(text).decode("utf-8", "replace")}
+        if etype == E.INTVAR:
+            return "intvar", parse_intvar(payload)
+        if etype == E.MARIADB_GTID_LIST:
+            return "mariadb_gtid_list", parse_mariadb_gtid_list(payload)
         return "unknown", None

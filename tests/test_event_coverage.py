@@ -1,0 +1,89 @@
+"""Round-2 event/metadata coverage: the last two typed BinlogEvent
+variants (INTVAR, MARIADB_GTID_LIST — binlog_event.rs:20-39) and the
+ENUM/SET string-value metadata lookup (table_metadata.rs:26-31)."""
+
+from __future__ import annotations
+
+from mysql_cdc_spark.binlog.constants import ColumnType
+from mysql_cdc_spark.binlog.encoder import BinlogWriter
+from mysql_cdc_spark.binlog.reader import BinlogFileReader
+from mysql_cdc_spark.gtid import MariaGtid
+
+
+def _decode_kinds(writer: BinlogWriter) -> list[tuple[str, object]]:
+    return [
+        (kind, event)
+        for _h, _p, kind, event in BinlogFileReader(writer.getvalue(), "x")
+    ]
+
+
+class TestIntVar:
+    def test_roundtrip(self):
+        """intvar_event.rs:22-28: type u8 + u64 LE value."""
+        w = BinlogWriter("b.000001")
+        w.write_intvar(2, 123456789012345)  # INSERT_ID (auto_increment)
+        w.write_intvar(1, 42)  # LAST_INSERT_ID
+        kinds = _decode_kinds(w)
+        events = [e for k, e in kinds if k == "intvar"]
+        assert events == [
+            {"intvar_type": 2, "value": 123456789012345},
+            {"intvar_type": 1, "value": 42},
+        ]
+        assert "unknown" not in [k for k, _ in kinds]
+
+
+class TestMariaDbGtidList:
+    def test_roundtrip(self):
+        """gtid_list_event.rs:17-33: u32 count + (domain, server, seq)."""
+        w = BinlogWriter("b.000001")
+        w.write_mariadb_gtid_list(
+            [MariaGtid(0, 1, 100), MariaGtid(3, 7, 55), (9, 2, 1)]
+        )
+        kinds = _decode_kinds(w)
+        events = [e for k, e in kinds if k == "mariadb_gtid_list"]
+        assert events == [{"gtid_list": "0-1-100,3-7-55,9-2-1"}]
+        assert "unknown" not in [k for k, _ in kinds]
+
+    def test_empty_list(self):
+        w = BinlogWriter("b.000001")
+        w.write_mariadb_gtid_list([])
+        events = [e for k, e in _decode_kinds(w) if k == "mariadb_gtid_list"]
+        assert events == [{"gtid_list": ""}]
+
+
+class TestEnumSetStrings:
+    CTYPES = [ColumnType.VARCHAR, ColumnType.ENUM, ColumnType.SET]
+    CMETA = [32, 1, 1]  # 1-byte enum index, 1-byte set bitmask
+
+    def _decode_rows(self, w):
+        rows = []
+        for _h, _p, kind, event in BinlogFileReader(w.getvalue(), "x"):
+            if kind == "write_rows":
+                rows.extend(event["rows"])
+        return rows
+
+    def test_enum_and_set_decode_to_strings(self):
+        """With ENUM_STR_VALUE/SET_STR_VALUE metadata present, ENUM lands
+        as its member string and SET as the comma-joined member list."""
+        w = BinlogWriter("b.000001")
+        w.write_table_map(
+            1, "db", "t", self.CTYPES, self.CMETA, [False] * 3,
+            enum_string_values=[["small", "medium", "large"]],
+            set_string_values=[["a", "b", "c", "d"]],
+        )
+        w.write_rows(1, self.CTYPES, self.CMETA, [["x", 2, 0b1011]])
+        w.write_rows(1, self.CTYPES, self.CMETA, [["y", 3, 0b0100]])
+        w.write_rows(1, self.CTYPES, self.CMETA, [["z", 0, 0]])  # empty/invalid
+        assert self._decode_rows(w) == [
+            ["x", "medium", "a,b,d"],
+            ["y", "large", "c"],
+            ["z", "", ""],
+        ]
+
+    def test_without_metadata_stays_int(self):
+        """No string-value sections → raw ints like the reference
+        (row_parser.rs:151-156)."""
+        w = BinlogWriter("b.000001")
+        w.write_table_map(1, "db", "t", self.CTYPES, self.CMETA, [False] * 3)
+        w.write_rows(1, self.CTYPES, self.CMETA, [["x", 2, 0b1011]])
+        assert self._decode_rows(w) == [["x", 2, 0b1011]]
