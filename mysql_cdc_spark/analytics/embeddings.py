@@ -119,16 +119,13 @@ GROUP BY label, t.i - 1
 """
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse cells = label centroids (computed in-plan);
-    each corpus vector is assigned to its nearest centroid; each query
-    probes only its own cell. Cuts the candidate set by ~n_cells× vs brute
-    force at the cost of recall on cell boundaries — the standard IVF
-    trade. Output schema matches knn_bruteforce for recall comparison.
-
-    Centroid build + assignment are both broadcast joins; the per-cell
-    search is the same fused dot product as brute force.
-    """
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: build cell centroids in-plan (label means
+    stand in for a k-means codebook; at deploy scale persist the codebook
+    and train it offline), then assign every vector to its nearest
+    centroid with a broadcast argmax. Returns (vec_id, cell, v),
+    persisted — every IVF consumer probes this assignment from both
+    sides of a join."""
     emb = load(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", f"{_DOUBLE_VEC} as v"
     )
@@ -140,8 +137,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").alias("cv"))
         .selectExpr("label as c_label", "cv")
     )
-    # assign every vector to its nearest centroid (argmin over cells)
-    assigned = (
+    return (
         emb.crossJoin(F.broadcast(cents))
         .selectExpr("vec_id", "v", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
         .groupBy("vec_id")
@@ -149,10 +145,44 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(F.struct(F.col("c_label"), F.col("v")), F.struct(F.col("c_sim"), (-F.col("c_label")).alias("t"))).alias("w")
         )
         .selectExpr("vec_id", "w.c_label as cell", "w.v as v")
-        # assignment feeds BOTH the query side and the corpus side of the
-        # probe join — persist so the argmin subplan runs once, not twice
+        # assignment feeds BOTH sides of the probe join — persist so the
+        # argmin subplan runs once, not twice
         .persist()
     )
+
+
+# shared SQL CTE prefix: emb → centroids → nearest-centroid assignment
+_IVF_ASSIGN_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
+), cents AS (
+  SELECT label AS c_label, list(x ORDER BY dim) AS cv FROM (
+    SELECT label, t.i - 1 AS dim, avg(emb.v[t.i]) AS x
+    FROM emb, unnest(generate_series(1, len(emb.v))) AS t(i)
+    GROUP BY label, t.i - 1
+  ) GROUP BY label
+), assigned AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.c_label AS cell, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_duck('e.v', 'c.cv')} DESC,
+                                       c.c_label) AS rn
+    FROM emb e CROSS JOIN cents c
+  ) WHERE rn = 1
+)"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = label centroids (computed in-plan);
+    each corpus vector is assigned to its nearest centroid; each query
+    probes only its own cell. Cuts the candidate set by ~n_cells× vs brute
+    force at the cost of recall on cell boundaries — the standard IVF
+    trade. Output schema matches knn_bruteforce for recall comparison.
+
+    Centroid build + assignment are both broadcast joins; the per-cell
+    search is the same fused dot product as brute force.
+    """
+    assigned = _ivf_assign(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id as q_id", "cell as q_cell", "v as qv"
     )
@@ -170,24 +200,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KNN_IVF_SQL = f"""
-WITH emb AS (
-  SELECT vec_id, label, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
-), cents AS (
-  SELECT label AS c_label, list(x ORDER BY dim) AS cv FROM (
-    SELECT label, t.i - 1 AS dim, avg(emb.v[t.i]) AS x
-    FROM emb, unnest(generate_series(1, len(emb.v))) AS t(i)
-    GROUP BY label, t.i - 1
-  ) GROUP BY label
-), assigned AS (
-  SELECT vec_id, cell, v FROM (
-    SELECT e.vec_id, c.c_label AS cell, e.v,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_cos_duck('e.v', 'c.cv')} DESC,
-                                       c.c_label) AS rn
-    FROM emb e CROSS JOIN cents c
-  ) WHERE rn = 1
-), q AS (
+KNN_IVF_SQL = f"""{_IVF_ASSIGN_SQL}, q AS (
   SELECT vec_id AS q_id, cell AS q_cell, v AS qv FROM assigned
   WHERE vec_id < {N_QUERIES}
 ), scored AS (
@@ -230,11 +243,40 @@ WHERE {_cos_duck('a.v', 'b.v')} >= 0.95
 """
 
 
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe embedding near-dup: candidates from IVF cells instead of
+    the label column. Where ``embedding_neardup`` is quadratic within a
+    label block (a 10^7-doc hot label melts at corpus scale), this routes
+    through the same coarse-quantized cells ``knn_ivf`` probes: pair space
+    is Σ cell², cells are data-derived (no label needed), and the cell
+    count is a knob — more centroids → smaller cells → fewer candidate
+    pairs, at the standard recall cost on cell boundaries. The exact
+    label-blocked form stays as the verification baseline."""
+    assigned = _ivf_assign(spark, sf_dir)
+    a = assigned.selectExpr("vec_id as id_a", "cell", "v as va")
+    b = assigned.selectExpr("vec_id as id_b", "cell", "v as vb")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", "cell", f"{_cos_spark('va', 'vb')} as cos_sim")
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+NEARDUP_IVF_SQL = f"""{_IVF_ASSIGN_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+       {_cos_duck('a.v', 'b.v')} AS cos_sim
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_cos_duck('a.v', 'b.v')} >= 0.95
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
     "knn_ivf": knn_ivf,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_ivf": embedding_neardup_ivf,
 }
 
 ORACLES = {
@@ -242,4 +284,5 @@ ORACLES = {
     "label_centroids": CENTROIDS_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "embedding_neardup": NEARDUP_SQL,
+    "embedding_neardup_ivf": NEARDUP_IVF_SQL,
 }

@@ -439,6 +439,110 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe variant of ``ngram_jaccard``: same verification formula
+    (word-3-gram Jaccard ≥ 0.2, same-language pairs) but candidates come
+    from MinHash LSH banding instead of exact (lang, len_bucket) blocks —
+    the blocked form is quadratic within a block and melts on a 10^7-doc
+    (en, bucket) cell; here pair space is bounded by band-bucket sizes.
+
+    Banding is tuned for the low 0.2 threshold: 8 bands × 1 row (band key
+    = one minhash), so P(candidate | jaccard=s) = 1-(1-s)^8 — ≈0.83 at
+    s=0.2, ≈0.96 at s=0.33, →1 for near-dups. The exact blocked form
+    stays as the verification baseline; recall-vs-cost is the standard
+    LSH knob (more single-row bands → higher recall, bigger buckets)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(WORDS, "spark")
+    mh = [
+        f"array_min(transform(shingle_md5s, m -> "
+        f"cast(conv(substring(m, {1 + 2 * i}, 13), 16, 10) as bigint))) as mh{i}"
+        for i in range(_K)
+    ]
+    sig = (
+        docs.selectExpr("doc_id", "lang", f"{sh} as shingles")
+        .selectExpr(
+            "doc_id", "lang", "shingles",
+            "transform(shingles, s -> md5(s)) as shingle_md5s",
+        )
+        .selectExpr("doc_id", "lang", "shingles", *mh)
+        .persist()
+    )
+    band_cols = ", ".join(
+        f"named_struct('band', {i}, 'key', mh{i})" for i in range(_K)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"explode(array({band_cols})) as bk"
+    ).selectExpr("doc_id", "bk.band as band", "bk.key as key")
+    a = banded.selectExpr("doc_id as doc_a", "band", "key")
+    b = banded.selectExpr("doc_id as doc_b", "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_df = sig.select("doc_id", "lang", "shingles")
+    return (
+        pairs.join(
+            sh_df.selectExpr("doc_id as doc_a", "lang as lang_a", "shingles as sh_a"),
+            "doc_a",
+        )
+        .join(
+            sh_df.selectExpr("doc_id as doc_b", "lang as lang_b", "shingles as sh_b"),
+            "doc_b",
+        )
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .selectExpr(
+            "doc_a", "doc_b", "lang_a as lang",
+            "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _ngram_jaccard_lsh_sql() -> str:
+    sh = _shingles(WORDS_DUCK, "duck")
+    mh = ", ".join(
+        f"list_min(list_transform(shingle_md5s, m -> "
+        f"(('0x' || substr(m, {1 + 2 * i}, 13))::BIGINT))) AS mh{i}"
+        for i in range(_K)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, mh{i} AS key FROM sig" for i in range(_K)
+    )
+    return f"""
+WITH docs_sh AS (
+  SELECT doc_id, lang, {sh} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id, lang, shingles, {mh} FROM (
+    SELECT doc_id, lang, shingles,
+           list_transform(shingles, s -> md5(s)) AS shingle_md5s
+    FROM docs_sh
+  )
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, sa.lang,
+       round(len(list_intersect(sa.shingles, sb.shingles))
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+             4) AS jaccard
+FROM pairs p
+JOIN docs_sh sa ON p.doc_a = sa.doc_id
+JOIN docs_sh sb ON p.doc_b = sb.doc_id
+WHERE sa.lang = sb.lang
+  AND round(len(list_intersect(sa.shingles, sb.shingles))
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+            4) >= 0.2
+"""
+
+
+NGRAM_JACCARD_LSH_SQL = _ngram_jaccard_lsh_sql()
+
+
 NGRAM_JACCARD_SQL = f"""
 WITH base AS (
   SELECT doc_id, lang, (n_chars // 100)::INT AS len_bucket,
@@ -515,6 +619,7 @@ TFIDF_SQL = _tfidf_sql()
 
 QUERIES = {
     "ngram_jaccard": ngram_jaccard,
+    "ngram_jaccard_lsh": ngram_jaccard_lsh,
     "tfidf_top_terms": tfidf_top_terms,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -528,6 +633,7 @@ QUERIES = {
 
 ORACLES = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "ngram_jaccard_lsh": NGRAM_JACCARD_LSH_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "text_tokens": TOKENS_SQL,
     "text_quality": QUALITY_SQL,
