@@ -58,6 +58,11 @@ def encode_cell(value, column_type: int, metadata: int) -> bytes:
         scale = (metadata >> 8) & 0xFF
         return K.encode_decimal(value, precision, scale)
     if column_type in (C.STRING, C.VARCHAR, C.VAR_STRING):
+        if column_type == C.STRING:
+            # CHAR metadata is the packed (type, length) pair — resolve it
+            # like the decoder does (actual_string_type.rs:6-26) so the
+            # length-prefix width matches
+            column_type, metadata = K.get_actual_string_type(column_type, metadata)
         raw = value.encode("utf-8")
         if metadata < 256:
             if len(raw) > 255:

@@ -76,12 +76,18 @@ _FIXED_WIDTH = {
     ColumnType.FLOAT: 4,
     ColumnType.DOUBLE: 8,
     ColumnType.TIMESTAMP: 4,
+    ColumnType.YEAR: 1,
+    ColumnType.DATE: 3,
 }
 _INT_TYPES = (
     ColumnType.TINY, ColumnType.SHORT, ColumnType.INT24,
     ColumnType.LONG, ColumnType.LONGLONG,
 )
-_SUPPORTED_TYPES = frozenset(_FIXED_WIDTH) | {
+_BLOB_TYPES = (
+    ColumnType.TINY_BLOB, ColumnType.MEDIUM_BLOB, ColumnType.LONG_BLOB,
+    ColumnType.BLOB, ColumnType.GEOMETRY, ColumnType.JSON,
+)
+_SUPPORTED_TYPES = frozenset(_FIXED_WIDTH) | set(_BLOB_TYPES) | {
     ColumnType.VARCHAR,
     ColumnType.VAR_STRING,
     ColumnType.TIMESTAMP2,
@@ -325,7 +331,12 @@ class _ColSpec:
 
 
 def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
-    """Per-column decode specs, or None if outside the fast path."""
+    """Per-column decode specs, or None if outside the fast path.
+    STRING columns resolve through the CHAR/ENUM/SET disambiguation
+    (actual_string_type.rs:6-26) first — long CHARs decode like VARCHAR;
+    ENUM/SET (which may need string-value lookup) stay on the scalar
+    path."""
+    from . import kernels as K
     from .reader import _signed_widths
 
     types = tm["column_types"]
@@ -335,6 +346,12 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
     widths = _signed_widths(tm)
     out = []
     for ct, md, sw in zip(types, metas, widths):
+        if ct == ColumnType.STRING:
+            ct, md = K.get_actual_string_type(ct, md)
+            if ct == ColumnType.STRING:
+                # plain CHAR: same wire layout as VARCHAR (1- or 2-byte
+                # length prefix by metadata<256, col_parser.rs:7-14)
+                ct = ColumnType.VARCHAR
         if ct not in _SUPPORTED_TYPES:
             return None
         out.append(_ColSpec(ct, md, sw))
@@ -357,8 +374,8 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
             null = bits[:, j]
             live = ~null
             ct = cs.ctype
-            if ct in (ColumnType.VARCHAR, ColumnType.VAR_STRING):
-                hdr = 1 if cs.meta < 256 else 2
+            if ct in (ColumnType.VARCHAR, ColumnType.VAR_STRING) or ct in _BLOB_TYPES:
+                hdr = cs.meta if ct in _BLOB_TYPES else (1 if cs.meta < 256 else 2)
                 ln = np.where(live, _gather_le(data, off, hdr).astype(np.int64), 0)
                 off = off + np.where(live, hdr + ln, 0)
             elif ct == ColumnType.TIMESTAMP2:
@@ -380,6 +397,12 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
             starts = off + hdr
             cols.append(("bytes", starts.copy(), ln.copy(), null))
             off = off + np.where(live, hdr + ln, 0)
+        elif ct in _BLOB_TYPES:
+            hdr = cs.meta  # metadata-sized LE length prefix (col_parser.rs:23-28)
+            ln = np.where(live, _gather_le(data, off, hdr).astype(np.int64), 0)
+            starts = off + hdr
+            cols.append(("blob", starts.copy(), ln.copy(), null))
+            off = off + np.where(live, hdr + ln, 0)
         elif ct == ColumnType.TIMESTAMP2:
             fl = (cs.meta + 1) // 2
             secs = np.where(live, _gather_be(data, off, 4).astype(np.int64), 0)
@@ -391,6 +414,27 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
             vals = secs * 1000 + micros // 1000
             cols.append(("i64", vals, None, null))
             off = off + np.where(live, 4 + fl, 0)
+        elif ct == ColumnType.DATE:
+            # u24 LE bit-packed d:5/m:4/y:rest (col_parser.rs:34-47) →
+            # days-from-civil (proleptic Gregorian) for Arrow date32
+            v = np.where(live, _gather_le(data, off, 3).astype(np.int64), 0)
+            d = v & 31
+            mth = (v >> 5) & 15
+            yr = v >> 9
+            adj = np.where(mth <= 2, 1, 0)
+            yy = yr - adj
+            era = np.where(yy >= 0, yy, yy - 399) // 400
+            yoe = yy - era * 400
+            doy = (153 * np.where(mth > 2, mth - 3, mth + 9) + 2) // 5 + d - 1
+            doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+            days = era * 146097 + doe - 719468
+            # MySQL zero-date (all components 0) → NULL like _to_date
+            cols.append(("date32", days, None, null | (v == 0)))
+            off = off + np.where(live, 3, 0)
+        elif ct == ColumnType.YEAR:
+            v = np.where(live, _gather_le(data, off, 1).astype(np.int64), 0)
+            cols.append(("i64", 1900 + v, None, null))
+            off = off + np.where(live, 1, 0)
         else:
             w = _FIXED_WIDTH[ct]
             raw = _gather_le(data, off, w)
@@ -429,20 +473,20 @@ def _concat_image_cols(step_cols: list, specs: list[_ColSpec]):
     for j in range(len(specs)):
         kind = step_cols[0][j][0]
         nulls = np.concatenate([s[j][3] for s in step_cols])
-        if kind == "bytes":
+        if kind in ("bytes", "blob"):
             starts = np.concatenate([s[j][1] for s in step_cols])
             lens = np.concatenate([s[j][2] for s in step_cols])
-            out.append(("bytes", starts, lens, nulls))
+            out.append((kind, starts, lens, nulls))
         else:
             vals = np.concatenate([s[j][1] for s in step_cols])
             out.append((kind, vals, None, nulls))
     return out
 
 
-def _strings_from_slices(data: np.ndarray, starts, lens, nulls) -> np.ndarray:
-    """One-gather Arrow large_utf8 build from (start, len) slices → object
-    ndarray (str/None). The per-row Python str objects are materialized by
-    Arrow's C path, not a Python loop."""
+def _strings_from_slices(data: np.ndarray, starts, lens, nulls, binary: bool = False) -> np.ndarray:
+    """One-gather Arrow large_utf8/large_binary build from (start, len)
+    slices → object ndarray (str|bytes / None). The per-row Python objects
+    are materialized by Arrow's C path, not a Python loop."""
     import pyarrow as pa
 
     lens = np.where(nulls, 0, lens)
@@ -456,7 +500,7 @@ def _strings_from_slices(data: np.ndarray, starts, lens, nulls) -> np.ndarray:
         blob = np.zeros(0, dtype=np.uint8)
     validity = np.packbits(~nulls, bitorder="little")
     arr = pa.Array.from_buffers(
-        pa.large_utf8(),
+        pa.large_binary() if binary else pa.large_utf8(),
         len(lens),
         [
             pa.py_buffer(validity.tobytes()),
@@ -468,12 +512,27 @@ def _strings_from_slices(data: np.ndarray, starts, lens, nulls) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _dates_from_days(days: np.ndarray, nulls: np.ndarray) -> np.ndarray:
+    """Arrow date32 build from civil-day numbers → object ndarray of
+    datetime.date / None (C-side materialization)."""
+    import pyarrow as pa
+
+    validity = np.packbits(~nulls, bitorder="little")
+    arr = pa.Array.from_buffers(
+        pa.date32(),
+        len(days),
+        [pa.py_buffer(validity.tobytes()), pa.py_buffer(days.astype(np.int32).tobytes())],
+        null_count=int(nulls.sum()),
+    )
+    return arr.to_numpy(zero_copy_only=False)
+
+
 def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     """Convert a decoded image column to a canonical-kind descriptor:
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
     or None on a kind/type mismatch (→ scalar fallback)."""
     if colref is None:  # column absent from this table map → typed nulls
-        if kind == "str":
+        if kind in ("str", "binary", "date"):
             return ("obj", np.full(n, None, dtype=object))
         if kind == "ts_millis":
             return ("dt", np.full(n, np.datetime64("NaT"), dtype="datetime64[ms]"))
@@ -485,6 +544,14 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         if ckind != "bytes":
             return None
         return ("obj", _strings_from_slices(data, a, b, nulls))
+    if kind == "binary":
+        if ckind != "blob":
+            return None
+        return ("obj", _strings_from_slices(data, a, b, nulls, binary=True))
+    if kind == "date":
+        if ckind != "date32":
+            return None
+        return ("obj", _dates_from_days(a, nulls))
     if kind == "ts_millis":
         if ckind != "i64":
             return None
@@ -679,8 +746,8 @@ def decode_segment_fast(
 ) -> Optional[list[pd.DataFrame]]:
     """Decode one segment fully vectorized; None → caller falls back."""
     for _name, _ddl, kind in spec.columns:
-        if kind not in ("str", "int", "ts_millis", "double"):
-            return None
+        if kind not in ("str", "int", "ts_millis", "double", "binary", "date"):
+            return None  # decimal stays scalar (variable digit-group layout)
     prep = _prepare_segment(content, spec)
     if prep.empty:
         return []

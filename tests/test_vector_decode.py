@@ -37,14 +37,23 @@ def _canon(df: pd.DataFrame) -> dict:
     for c in df.columns:
         s = df[c]
         if str(s.dtype).startswith("datetime"):
-            out[c] = pd.to_datetime(s).astype("datetime64[ns]").tolist()
+            out[c] = [
+                None if pd.isna(v) else v
+                for v in pd.to_datetime(s).astype("datetime64[ns]").tolist()
+            ]
         elif str(s.dtype) == "Int64":
             out[c] = [None if pd.isna(v) else int(v) for v in s]
         else:
-            out[c] = [
-                None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
-                for v in s.tolist()
-            ]
+            import datetime as _dt
+
+            def _norm(v):
+                if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
+                    return None
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                    return pd.Timestamp(v)  # date32 vs datetime.date parity
+                return v
+
+            out[c] = [_norm(v) for v in s.tolist()]
     return out
 
 
@@ -157,3 +166,73 @@ def test_fallback_on_unsupported_type(tmp_path):
 def test_fast_path_used_for_fixture_stream(standard_files):
     with open(standard_files[0], "rb") as f:
         assert decode_segment_fast(f.read(), "x", TRANSCRIPTS) is not None
+
+
+class TestWidenedTypes:
+    """Fast-path coverage for CHAR (STRING disambiguation), YEAR, DATE,
+    and BLOB columns — parity against the scalar decoder under a custom
+    TableSpec using the date/binary kinds."""
+
+    SPEC = None  # built lazily (TableSpec import at module top)
+
+    @classmethod
+    def _spec(cls):
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        if cls.SPEC is None:
+            cls.SPEC = TableSpec(
+                database="db", table="t",
+                columns=(
+                    ("name", "string", "str"),      # CHAR via STRING
+                    ("yr", "int", "int"),           # YEAR
+                    ("day", "date", "date"),        # DATE
+                    ("payload", "binary", "binary"),  # BLOB
+                    ("note", "string", "str"),      # VARCHAR ≥256 meta
+                ),
+                primary_key=("name",),
+            )
+        return cls.SPEC
+
+    def _build(self, rows):
+        ctypes = [ColumnType.STRING, ColumnType.YEAR, ColumnType.DATE,
+                  ColumnType.BLOB, ColumnType.VARCHAR]
+        # CHAR(32): packed big-endian (type<<8 | len) metadata
+        cmeta = [(ColumnType.STRING << 8) | 32, 0, 0, 2, 300]
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+        w.write_table_map(
+            7, "db", "t", ctypes, cmeta, [False, True, True, True, True],
+            column_names=["name", "yr", "day", "payload", "note"],
+        )
+        w.write_rows(7, ctypes, cmeta, rows)
+        w.write_xid(1)
+        return w.getvalue()
+
+    def test_parity_and_values(self):
+        import datetime
+
+        spec = self._spec()
+        rows = [
+            ["alpha", 2024, (2024, 2, 29), b"\x01\x02\x03", "x" * 300],
+            ["beta", 1901, (1970, 1, 1), b"", "short"],
+            ["gamma", None, None, None, None],
+            ["delta", 2000, (1999, 12, 31), bytes(range(200)), "mid"],
+        ]
+        content = self._build(rows)
+        from mysql_cdc_spark.binlog.decoder import _FileDecoder
+
+        scalar_frames = list(_FileDecoder(spec).decode_file("b.000001", content))
+        fast_frames = decode_segment_fast(content, "b.000001", spec)
+        assert fast_frames is not None, "fast path should handle these types"
+        a = pd.concat(scalar_frames, ignore_index=True)
+        b = pd.concat(fast_frames, ignore_index=True)
+        assert len(a) == len(b) == 4
+        ca, cb = _canon(a), _canon(b)
+        for col in ca:
+            assert ca[col] == cb[col], f"column {col} differs"
+        got = b.sort_values("after_name").reset_index(drop=True)
+        assert pd.Timestamp(got["after_day"][0]).date() == datetime.date(2024, 2, 29)
+        assert got["after_payload"][2] == bytes(range(200))
+        assert got["after_yr"][1] == 1901
+        assert got["after_note"][0] == "x" * 300
+        assert got["after_day"][3] is None or pd.isna(got["after_day"][3])
