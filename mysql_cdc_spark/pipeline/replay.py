@@ -264,25 +264,8 @@ class Replayer:
         )
 
         phase_t = {}
-        t_phase = time.time()
 
-        # -- stats + GTID intervals: a dedicated stats-only decode pass
-        # (values skipped, only length prefixes read) rather than caching
-        # the event stream and re-scanning it. Decode is cheap enough to
-        # run twice; at 10^10 events NOT caching the decoded stream is the
-        # only viable plan anyway (the cache would be the whole corpus).
-        # One output row per (file, source), zero shuffle, tiny collect.
-        stats = self._stats_job(files, covered, max_file, max_pos)
-        phase_t["stats_s"] = round(time.time() - t_phase, 2)
-        t_phase = time.time()
-        n_events = sum(r["events"] for r in stats)
-        if n_events == 0:
-            return BatchMetrics(
-                batch_id, files, 0, 0, time.time() - t0, 0.0,
-                str(covered), [],
-            )
-
-        # -- net change per key (salted two-phase LWW)
+        # -- net change per key (salted two-phase LWW) — lazy plan
         payload_cols = list(
             dict.fromkeys(
                 ["op"]
@@ -298,11 +281,82 @@ class Replayer:
             payload_cols=payload_cols,
             salt_buckets=self.salt_buckets,
         )
-
         current_version = self.ledger.current_snapshot_version()
-        new_version = self.target.merge(spark, net, current_version)
+
+        # -- stats pass ∥ merge job. The stats-only decode (values skipped,
+        # only length prefixes read — rather than caching the event stream
+        # and re-scanning it; at 10^10 events the cache would be the whole
+        # corpus) is submitted first, then the merge job: the scheduler
+        # backfills merge tasks into the stats tail, so the stats pass
+        # costs ~zero wall-clock when the cluster has free slots. If stats
+        # reports an empty batch (resume no-op), the in-flight merge is
+        # cancelled before it commits anything and the batch exits without
+        # advancing the snapshot version.
+        import threading
+
+        stats_out: dict = {}
+        merge_out: dict = {}
+        stats_done = threading.Event()
+        merge_group = f"cdc-merge-{batch_id}-{id(self)}"
+        t_phase = time.time()
+
+        def _run_stats():
+            try:
+                stats_out["rows"] = self._stats_job(files, covered, max_file, max_pos)
+            except BaseException as e:  # surfaced on the main thread
+                stats_out["err"] = e
+            finally:
+                stats_out["seconds"] = round(time.time() - t_phase, 2)
+                stats_done.set()
+
+        def _run_merge():
+            spark.sparkContext.setJobGroup(
+                merge_group, "cdc merge", interruptOnCancel=True
+            )
+            try:
+                merge_out["version"] = self.target.merge(spark, net, current_version)
+            except BaseException as e:
+                merge_out["err"] = e
+            finally:
+                merge_out["seconds"] = round(time.time() - t_phase, 2)
+
+        stats_thread = threading.Thread(target=_run_stats, daemon=True)
+        merge_thread = threading.Thread(target=_run_merge, daemon=True)
+        stats_thread.start()
+        time.sleep(0.05)  # let the stats job enter the queue first (FIFO)
+        merge_thread.start()
+
+        stats_done.wait()
+        if "err" in stats_out:
+            spark.sparkContext.cancelJobGroup(merge_group)
+            merge_thread.join()
+            raise stats_out["err"]
+        stats = stats_out["rows"]
+        phase_t["stats_s"] = stats_out["seconds"]
+        n_events = sum(r["events"] for r in stats)
+        if n_events == 0:
+            spark.sparkContext.cancelJobGroup(merge_group)
+            merge_thread.join()
+            # drop the cancelled (or even completed) uncommitted snapshot;
+            # the ledger never names it, so state/version are unchanged
+            if hasattr(self.target, "snapshot_path"):
+                import shutil
+
+                shutil.rmtree(
+                    self.target.snapshot_path(current_version + 1),
+                    ignore_errors=True,
+                )
+            return BatchMetrics(
+                batch_id, files, 0, 0, time.time() - t0, 0.0,
+                str(covered), [],
+            )
+
+        merge_thread.join()
+        if "err" in merge_out:
+            raise merge_out["err"]
+        new_version = merge_out["version"]
         net_rows = -1  # avoid a second action; lineage covers observability
-        phase_t["decode_lww_merge_s"] = round(time.time() - t_phase, 2)
+        phase_t["decode_lww_merge_s"] = merge_out["seconds"]
         t_phase = time.time()
 
         # -- ledger gtid-set update (driver-side splice of the per-file
