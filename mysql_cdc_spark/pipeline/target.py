@@ -125,8 +125,12 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
     order across triggers, and an at-least-once redelivery of an old decode
     output must not regress state to older images. Ties (exact redelivery)
     prefer the incoming row — idempotent, since equal rank implies the
-    identical event. Plan shape: one union + one ``max_by`` aggregate per
-    merge — same shuffle class as the plain anti-join MERGE."""
+    identical event. Deletes persist as **tombstones** (``_deleted`` flag):
+    without them, a delete applied before its out-of-order insert arrives
+    would leave nothing to outrank the insert and the row would resurrect.
+    (At deploy scale, age tombstones out once older than the maximum
+    reordering window.) Plan shape: one union + one ``max_by`` aggregate
+    per merge — same shuffle class as the plain anti-join MERGE."""
 
     def __init__(
         self,
@@ -142,11 +146,12 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
         return [f"_ord_{c}" for c in self.order_cols]
 
     def read_with_order(self, spark: SparkSession, version: int) -> DataFrame:
+        """Full stored form: spec columns + order tuple + tombstone flag."""
         if version <= 0:
             df = empty_state_df(spark, self.spec)
             for o in self._ord_names():
                 df = df.withColumn(o, F.lit(None).cast("long"))
-            return df
+            return df.withColumn("_deleted", F.lit(False))
         df = spark.read.parquet(self.snapshot_path(version))
         for name, ddl, _ in self.spec.columns:
             if name not in df.columns:
@@ -154,11 +159,17 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
         for o in self._ord_names():
             if o not in df.columns:
                 df = df.withColumn(o, F.lit(None).cast("long"))
-        return df.select(*[n for n, _, _ in self.spec.columns], *self._ord_names())
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        return df.select(
+            *[n for n, _, _ in self.spec.columns], *self._ord_names(), "_deleted"
+        )
 
     def read(self, spark: SparkSession, version: int) -> DataFrame:
-        return self.read_with_order(spark, version).select(
-            *[n for n, _, _ in self.spec.columns]
+        return (
+            self.read_with_order(spark, version)
+            .filter(~F.col("_deleted"))
+            .select(*[n for n, _, _ in self.spec.columns])
         )
 
     def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
@@ -178,7 +189,9 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
             F.lit(1).alias("_prio"),
         )
         stored = self.read_with_order(spark, current_version).select(
-            *keys, *value_cols, F.lit("keep").alias("op"), *ords,
+            *keys, *value_cols,
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("keep")).alias("op"),
+            *ords,
             F.lit(0).alias("_prio"),
         )
 
@@ -188,11 +201,11 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
             stored.unionByName(incoming)
             .groupBy(*keys)
             .agg(F.max_by(payload, rank).alias("_win"))
-            .filter(F.col("_win.op") != "delete")
             .select(
                 *keys,
                 *[F.col(f"_win.{c}").alias(c) for c in value_cols],
                 *[F.col(f"_win.{o}").alias(o) for o in ords],
+                (F.col("_win.op") == "delete").alias("_deleted"),
             )
         )
 

@@ -121,3 +121,31 @@ class TestStructuredStreamingApply:
         q2.awaitTermination(120)
         after = _final_pdf(read_stream_state(spark, store))
         pd.testing.assert_frame_equal(before, after)
+
+    def test_out_of_order_changelog_files_cannot_regress(self, spark, txns, tmp_path):
+        """At-least-once file delivery across triggers: applying the NEWER
+        half of the changelog first and the OLDER half in a later trigger
+        must still converge to the oracle state (order-aware merge keeps
+        the higher (gtid_seq, pos, row_in_event) per key)."""
+        binlog = str(tmp_path / "sbinlog3")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS).persist()
+        half_seq = max(t.seq for t in txns) // 2
+        newer = changes.filter(f"gtid_seq > {half_seq}")
+        older = changes.filter(f"gtid_seq <= {half_seq}")
+
+        changelog = str(tmp_path / "changelog3")
+        store = str(tmp_path / "sstore3")
+        # trigger 1: newer events only
+        write_changelog(newer, changelog)
+        q = stream_apply(spark, changelog, store, available_now=True)
+        q.awaitTermination(120)
+        # trigger 2: the older file arrives late
+        write_changelog(older, changelog, mode="append")
+        q2 = stream_apply(spark, changelog, store, available_now=True)
+        q2.awaitTermination(120)
+        changes.unpersist()
+
+        got = _final_pdf(read_stream_state(spark, store))
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
