@@ -207,6 +207,7 @@ class BinlogWriter:
         signedness: list[bool] | None = None,
         enum_string_values: list[list[str]] | None = None,
         set_string_values: list[list[str]] | None = None,
+        extra_metadata: list[tuple[int, bytes]] | None = None,
         timestamp: int = 0,
     ) -> None:
         db = database.encode("utf-8")
@@ -283,6 +284,9 @@ class BinlogWriter:
                 + K.write_len_enc_num(len(section))
                 + section
             )
+        if extra_metadata:
+            for tag, section in extra_metadata:
+                out += bytes([tag]) + K.write_len_enc_num(len(section)) + section
         self._append_event(EventType.TABLE_MAP, out, timestamp=timestamp)
 
     def _encode_rows(self, rows, column_types, column_metadata, present) -> bytes:

@@ -101,8 +101,16 @@ def parse_table_map(payload: bytes) -> dict:
     signedness: Optional[list[bool]] = None
     enum_string_values: Optional[list[list[str]]] = None
     set_string_values: Optional[list[list[str]]] = None
+    default_charset: Optional[dict] = None
+    column_charsets: Optional[list[int]] = None
+    geometry_types: Optional[list[int]] = None
+    primary_keys_with_prefix: Optional[dict[int, int]] = None
+    enum_and_set_default_charset: Optional[dict] = None
+    enum_and_set_column_charsets: Optional[list[int]] = None
+    column_visibility: Optional[list[bool]] = None
     # Optional TableMetadata TLV sections (MySQL 5.6+ / MariaDB 10.5+);
-    # table_map_event.rs:66-70 → table_metadata.rs:55-130
+    # table_map_event.rs:66-70 → table_metadata.rs:55-130; all 12 tags of
+    # metadata_type.rs:3-16 parse
 
     def _parse_type_values(section: bytes) -> list[list[str]]:
         # table_metadata.rs parse_type_values: per ENUM/SET column, a
@@ -118,6 +126,30 @@ def parse_table_map(payload: bytes) -> dict:
             out.append(values)
         return out
 
+    def _parse_int_array(section: bytes) -> list[int]:
+        out, soff = [], 0
+        while soff < len(section):
+            v, soff = K.read_len_enc_num(section, soff)
+            out.append(v)
+        return out
+
+    def _parse_int_map(section: bytes) -> dict[int, int]:
+        out, soff = {}, 0
+        while soff < len(section):
+            k, soff = K.read_len_enc_num(section, soff)
+            v, soff = K.read_len_enc_num(section, soff)
+            out[k] = v
+        return out
+
+    def _parse_default_charset(section: bytes) -> dict:
+        # table_metadata.rs parse_default_charser: lenc default collation
+        # + (column, collation) override pairs
+        dc, soff = K.read_len_enc_num(section, 0)
+        return {
+            "default_collation": dc,
+            "charset_collations": _parse_int_map(section[soff:]),
+        }
+
     while off < len(payload):
         mtype = payload[off]
         off += 1
@@ -131,11 +163,7 @@ def parse_table_map(payload: bytes) -> dict:
                 name, soff = K.read_len_enc_str(section, soff)
                 column_names.append(name)
         elif mtype == MetadataType.SIMPLE_PRIMARY_KEY:
-            simple_primary_keys = []
-            soff = 0
-            while soff < len(section):
-                pk, soff = K.read_len_enc_num(section, soff)
-                simple_primary_keys.append(pk)
+            simple_primary_keys = _parse_int_array(section)
         elif mtype == MetadataType.SIGNEDNESS:
             # one bit per *numeric* column, big-endian reverted bitmap
             # (table_metadata.rs:137-141,182-201)
@@ -146,7 +174,22 @@ def parse_table_map(payload: bytes) -> dict:
             enum_string_values = _parse_type_values(section)
         elif mtype == MetadataType.SET_STR_VALUE:
             set_string_values = _parse_type_values(section)
-        # other sections tolerated and skipped
+        elif mtype == MetadataType.DEFAULT_CHARSET:
+            default_charset = _parse_default_charset(section)
+        elif mtype == MetadataType.COLUMN_CHARSET:
+            column_charsets = _parse_int_array(section)
+        elif mtype == MetadataType.GEOMETRY_TYPE:
+            geometry_types = _parse_int_array(section)
+        elif mtype == MetadataType.PRIMARY_KEY_WITH_PREFIX:
+            primary_keys_with_prefix = _parse_int_map(section)
+        elif mtype == MetadataType.ENUM_AND_SET_DEFAULT_CHARSET:
+            enum_and_set_default_charset = _parse_default_charset(section)
+        elif mtype == MetadataType.ENUM_AND_SET_COLUMN_CHARSET:
+            enum_and_set_column_charsets = _parse_int_array(section)
+        elif mtype == MetadataType.VISIBILITY:
+            nbits = mlen * 8
+            bits, _ = K.read_bitmap_big_endian(section, 0, nbits)
+            column_visibility = list(bits)
 
     return {
         "table_id": table_id,
@@ -160,6 +203,13 @@ def parse_table_map(payload: bytes) -> dict:
         "signedness": signedness,
         "enum_string_values": enum_string_values,
         "set_string_values": set_string_values,
+        "default_charset": default_charset,
+        "column_charsets": column_charsets,
+        "geometry_types": geometry_types,
+        "primary_keys_with_prefix": primary_keys_with_prefix,
+        "enum_and_set_default_charset": enum_and_set_default_charset,
+        "enum_and_set_column_charsets": enum_and_set_column_charsets,
+        "column_visibility": column_visibility,
     }
 
 

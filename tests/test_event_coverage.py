@@ -87,3 +87,51 @@ class TestEnumSetStrings:
         w.write_table_map(1, "db", "t", self.CTYPES, self.CMETA, [False] * 3)
         w.write_rows(1, self.CTYPES, self.CMETA, [["x", 2, 0b1011]])
         assert self._decode_rows(w) == [["x", 2, 0b1011]]
+
+
+class TestFullTableMetadata:
+    """All 12 TableMetadata TLV sections parse (metadata_type.rs:3-16,
+    table_metadata.rs:55-130)."""
+
+    def test_all_sections_roundtrip(self):
+        from mysql_cdc_spark.binlog import kernels as K
+        from mysql_cdc_spark.binlog.constants import MetadataType
+        from mysql_cdc_spark.binlog.reader import parse_table_map
+
+        lenc = K.write_len_enc_num
+        # DEFAULT_CHARSET: default collation 45, overrides {1: 63}
+        default_cs = lenc(45) + lenc(1) + lenc(63)
+        extra = [
+            (MetadataType.DEFAULT_CHARSET, default_cs),
+            (MetadataType.COLUMN_CHARSET, lenc(45) + lenc(63) + lenc(45)),
+            (MetadataType.GEOMETRY_TYPE, lenc(0)),
+            (MetadataType.PRIMARY_KEY_WITH_PREFIX, lenc(0) + lenc(8)),
+            (MetadataType.ENUM_AND_SET_DEFAULT_CHARSET, lenc(45) + lenc(2) + lenc(224)),
+            (MetadataType.ENUM_AND_SET_COLUMN_CHARSET, lenc(45)),
+            (MetadataType.VISIBILITY, K.pack_bitmap_big_endian([True, True, False])),
+        ]
+        w = BinlogWriter("b.000001")
+        w.write_table_map(
+            1, "db", "t", [ColumnType.VARCHAR, ColumnType.LONG, ColumnType.VARCHAR],
+            [64, 0, 64], [False] * 3,
+            column_names=["a", "b", "c"], simple_primary_keys=[0],
+            signedness=[False], extra_metadata=extra,
+        )
+        tm = None
+        for _h, _p, kind, event in BinlogFileReader(w.getvalue(), "x"):
+            if kind == "table_map":
+                tm = event
+        assert tm is not None
+        assert tm["column_names"] == ["a", "b", "c"]
+        assert tm["simple_primary_keys"] == [0]
+        assert tm["default_charset"] == {
+            "default_collation": 45, "charset_collations": {1: 63},
+        }
+        assert tm["column_charsets"] == [45, 63, 45]
+        assert tm["geometry_types"] == [0]
+        assert tm["primary_keys_with_prefix"] == {0: 8}
+        assert tm["enum_and_set_default_charset"] == {
+            "default_collation": 45, "charset_collations": {2: 224},
+        }
+        assert tm["enum_and_set_column_charsets"] == [45]
+        assert tm["column_visibility"][:3] == [True, True, False]
