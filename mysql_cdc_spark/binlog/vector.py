@@ -79,10 +79,6 @@ _FIXED_WIDTH = {
     ColumnType.YEAR: 1,
     ColumnType.DATE: 3,
 }
-_INT_TYPES = (
-    ColumnType.TINY, ColumnType.SHORT, ColumnType.INT24,
-    ColumnType.LONG, ColumnType.LONGLONG,
-)
 _BLOB_TYPES = (
     ColumnType.TINY_BLOB, ColumnType.MEDIUM_BLOB, ColumnType.LONG_BLOB,
     ColumnType.BLOB, ColumnType.GEOMETRY, ColumnType.JSON,
@@ -92,9 +88,6 @@ _SUPPORTED_TYPES = frozenset(_FIXED_WIDTH) | set(_BLOB_TYPES) | {
     ColumnType.VAR_STRING,
     ColumnType.TIMESTAMP2,
 }
-
-_NULL = np.int64(0)
-
 
 def _gather_le(data: np.ndarray, offs: np.ndarray, width: int) -> np.ndarray:
     """Little-endian unsigned gather of `width` bytes at each offset.

@@ -236,3 +236,83 @@ class TestWidenedTypes:
         assert got["after_yr"][1] == 1901
         assert got["after_note"][0] == "x" * 300
         assert got["after_day"][3] is None or pd.isna(got["after_day"][3])
+
+
+class TestPropertyParity:
+    """Hypothesis fuzz: random transaction streams over a random-ish
+    supported-type table must decode identically on both paths."""
+
+    def test_random_streams(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ctypes = [ColumnType.VARCHAR, ColumnType.LONG, ColumnType.VARCHAR,
+                  ColumnType.TIMESTAMP2]
+        cmeta = [40, 0, 500, 3]
+        cols = ["conv_id", "turn_idx", "text", "ts"]
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        spec = TableSpec(
+            database="chat", table="transcripts",
+            columns=(("conv_id", "string", "str"), ("turn_idx", "int", "int"),
+                     ("text", "string", "str"), ("ts", "timestamp", "ts_millis")),
+            primary_key=("conv_id", "turn_idx"),
+        )
+
+        row_st = st.tuples(
+            st.text(alphabet="abcdef-", min_size=0, max_size=12),
+            st.integers(min_value=0, max_value=2**31 - 1),
+            st.one_of(st.none(), st.text(alphabet="xyz €\n", min_size=0, max_size=40)),
+            st.integers(min_value=0, max_value=2**32 * 1000 - 1),
+        )
+        txn_st = st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.lists(row_st, min_size=1, max_size=4),
+            st.sampled_from(["xid", "commit", "rollback", "ddl", "none"]),
+        )
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(txn_st, min_size=1, max_size=8), st.booleans())
+        def run(txns, mariadb):
+            w = BinlogWriter("b.000001")
+            for seq, (kind, rows, ending) in enumerate(txns, start=1):
+                if mariadb:
+                    w.write_mariadb_gtid(0, seq)
+                else:
+                    w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", seq)
+                w.write_query("BEGIN")
+                w.write_table_map(9, "chat", "transcripts", ctypes, cmeta,
+                                  [False, False, True, False], column_names=cols)
+                rws = [list(r) for r in rows]
+                if kind == "insert":
+                    w.write_rows(9, ctypes, cmeta, rws)
+                elif kind == "delete":
+                    w.write_rows(9, ctypes, cmeta, rws,
+                                 event_type=EventType.MYSQL_DELETE_ROWS_V2)
+                else:
+                    w.write_update_rows(9, ctypes, cmeta,
+                                        [(r, r[:2] + [None, r[3]]) for r in rws])
+                if ending == "xid":
+                    w.write_xid(seq)
+                elif ending == "commit":
+                    w.write_query("COMMIT")
+                elif ending == "rollback":
+                    w.write_query("ROLLBACK")
+                elif ending == "ddl":
+                    w.write_query("ALTER TABLE t ADD COLUMN x int")
+                # "none": open group runs into the next GTID (dropped) or
+                # EOF (uncommitted tail)
+            content = w.getvalue()
+            d = _FileDecoder(spec)
+            sf = list(d.decode_file("b.000001", content))
+            a = pd.concat(sf, ignore_index=True) if sf else pd.DataFrame()
+            ff = decode_segment_fast(content, "b.000001", spec)
+            assert ff is not None
+            b = pd.concat(ff, ignore_index=True) if ff else pd.DataFrame()
+            assert len(a) == len(b)
+            if len(a):
+                ca, cb = _canon(a), _canon(b)
+                for col in ca:
+                    assert ca[col] == cb[col], f"column {col}"
+
+        run()
