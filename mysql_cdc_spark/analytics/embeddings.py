@@ -119,13 +119,10 @@ GROUP BY label, t.i - 1
 """
 
 
-def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantization: build cell centroids in-plan (label means
-    stand in for a k-means codebook; at deploy scale persist the codebook
-    and train it offline), then assign every vector to its nearest
-    centroid with a broadcast argmax. Returns (vec_id, cell, v),
-    persisted — every IVF consumer probes this assignment from both
-    sides of a join."""
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors, centroids) for IVF coarse quantization: cell centroids
+    built in-plan (label means stand in for a k-means codebook; at deploy
+    scale persist the codebook and train it offline)."""
     emb = load(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "label", f"{_DOUBLE_VEC} as v"
     )
@@ -137,6 +134,14 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").alias("cv"))
         .selectExpr("label as c_label", "cv")
     )
+    return emb, cents
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment with a broadcast argmax. Returns
+    (vec_id, cell, v), persisted — every IVF consumer probes this
+    assignment from both sides of a join."""
+    emb, cents = _ivf_cells(spark, sf_dir)
     return (
         emb.crossJoin(F.broadcast(cents))
         .selectExpr("vec_id", "v", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
@@ -148,6 +153,19 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # assignment feeds BOTH sides of the probe join — persist so the
         # argmin subplan runs once, not twice
         .persist()
+    )
+
+
+def _per_query_topk(scored: DataFrame) -> DataFrame:
+    """(q_id, vec_id, cos_sim) → ranked top-k per query, without a global
+    sort: per-partition partial aggregation collects candidate lists and
+    the final slice keeps k (shuffle bounded by queries × tasks)."""
+    return (
+        scored.selectExpr("q_id", "vec_id", "cos_sim")
+        .groupBy("q_id")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct(F.expr("struct(-cos_sim as nc, vec_id as tie)").alias("ord"), F.col("vec_id"), F.col("cos_sim")))), 1, TOP_K).alias("top"))
+        .selectExpr("q_id", "posexplode(top) as (rank0, t)")
+        .selectExpr("q_id", "rank0 + 1 as rank", "t.vec_id as neighbor_id", "t.cos_sim as cos_sim")
     )
 
 
@@ -191,13 +209,41 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(assigned, (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")))
         .selectExpr("q_id", "vec_id", f"{_cos_spark('qv', 'v')} as cos_sim")
     )
-    return (
-        scored.selectExpr("q_id", "vec_id", "cos_sim")
-        .groupBy("q_id")
-        .agg(F.slice(F.array_sort(F.collect_list(F.struct(F.expr("struct(-cos_sim as nc, vec_id as tie)").alias("ord"), F.col("vec_id"), F.col("cos_sim")))), 1, TOP_K).alias("top"))
-        .selectExpr("q_id", "posexplode(top) as (rank0, t)")
-        .selectExpr("q_id", "rank0 + 1 as rank", "t.vec_id as neighbor_id", "t.cos_sim as cos_sim")
+    return _per_query_topk(scored)
+
+
+def knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the standard recall knob: each query probes its
+    two nearest cells instead of one, recovering neighbors that sit just
+    across a cell boundary at ~2× the per-query candidate cost. The
+    per-vector top-2 cells come from a combinable collect+slice aggregate
+    (bounded by n_cells per vector, no window over the corpus)."""
+    emb, cents = _ivf_cells(spark, sf_dir)
+    cell_rank = (
+        emb.crossJoin(F.broadcast(cents))
+        .selectExpr("vec_id", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
+        .groupBy("vec_id")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct(F.struct((-F.col("c_sim")).alias("nc"), F.col("c_label").alias("t")).alias("ord"), F.col("c_label")))), 1, 2).alias("top"))
+        .selectExpr("vec_id", "posexplode(top) as (i, s)")
+        .selectExpr("vec_id", "s.c_label as cell", "i as cell_rank")
+    ).persist()
+    vecs = emb.select("vec_id", "v")
+    corpus = (
+        cell_rank.filter(F.col("cell_rank") == 0)
+        .join(vecs, "vec_id")
+        .select("vec_id", "cell", "v")
     )
+    q = (
+        cell_rank.filter(F.col("vec_id") < N_QUERIES)
+        .join(vecs, "vec_id")
+        .selectExpr("vec_id as q_id", "cell as q_cell", "v as qv")
+    )
+    scored = (
+        q.hint("broadcast")
+        .join(corpus, (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")))
+        .selectExpr("q_id", "vec_id", f"{_cos_spark('qv', 'v')} as cos_sim")
+    )
+    return _per_query_topk(scored)
 
 
 KNN_IVF_SQL = f"""{_IVF_ASSIGN_SQL}, q AS (
@@ -206,6 +252,40 @@ KNN_IVF_SQL = f"""{_IVF_ASSIGN_SQL}, q AS (
 ), scored AS (
   SELECT q_id, a.vec_id, {_cos_duck('qv', 'a.v')} AS cos_sim
   FROM q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+KNN_IVF_PROBE2_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
+), cents AS (
+  SELECT label AS c_label, list(x ORDER BY dim) AS cv FROM (
+    SELECT label, t.i - 1 AS dim, avg(emb.v[t.i]) AS x
+    FROM emb, unnest(generate_series(1, len(emb.v))) AS t(i)
+    GROUP BY label, t.i - 1
+  ) GROUP BY label
+), ranked_cells AS (
+  SELECT e.vec_id, c.c_label AS cell, e.v,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cos_duck('e.v', 'c.cv')} DESC,
+                                     c.c_label) AS rn
+  FROM emb e CROSS JOIN cents c
+), corpus AS (
+  SELECT vec_id, cell, v FROM ranked_cells WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, cell AS q_cell, v AS qv FROM ranked_cells
+  WHERE rn <= 2 AND vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, a.vec_id, {_cos_duck('qv', 'a.v')} AS cos_sim
+  FROM q JOIN corpus a ON a.cell = q.q_cell AND a.vec_id != q.q_id
 ), ranked AS (
   SELECT q_id, vec_id, cos_sim,
          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
@@ -275,6 +355,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
     "knn_ivf": knn_ivf,
+    "knn_ivf_probe2": knn_ivf_probe2,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_ivf": embedding_neardup_ivf,
 }
@@ -283,6 +364,7 @@ ORACLES = {
     "knn_bruteforce": KNN_SQL,
     "label_centroids": CENTROIDS_SQL,
     "knn_ivf": KNN_IVF_SQL,
+    "knn_ivf_probe2": KNN_IVF_PROBE2_SQL,
     "embedding_neardup": NEARDUP_SQL,
     "embedding_neardup_ivf": NEARDUP_IVF_SQL,
 }

@@ -67,7 +67,7 @@ def seed_ledger(strategy: StartStrategy, binlog_dir: str, store_dir: str) -> Non
     if isinstance(strategy, FromPosition):
         max_file, max_pos = strategy.filename, strategy.position
     elif isinstance(strategy, FromGtid):
-        gtid_text = str(GtidSet.parse(strategy.gtid_set_text))  # validate
+        gtid_text = str(_parse_start_gtids(strategy.gtid_set_text))
     elif isinstance(strategy, FromEnd):
         # current end = every complete transaction in every present segment;
         # scan GTIDs cheaply (headers + GTID payloads only, no row decode)
@@ -84,6 +84,31 @@ def seed_ledger(strategy: StartStrategy, binlog_dir: str, store_dir: str) -> Non
             metrics={"start_strategy": type(strategy).__name__},
         )
     )
+
+
+def _parse_start_gtids(text: str) -> GtidSet:
+    """Accept both GTID start-state text forms the reference accepts:
+
+    - MySQL GtidSet ("uuid:1-5,uuid2:3" — COM_BINLOG_DUMP_GTID input,
+      dump_binlog_gtid_command.rs)
+    - MariaDB GtidList ("0-1-100,1-2-55" — @slave_connect_state,
+      mariadb_provider.rs:40-62); each domain's last-seen gtid means
+      "everything up to and including seq" → interval 1..seq under the
+      ledger's domain-server source key.
+    """
+    try:
+        return GtidSet.parse(text)
+    except Exception:
+        from ..gtid import GtidList, Interval, Uuid, UuidSet
+
+        gl = GtidList.parse(text)
+        gset = GtidSet()
+        for g in gl.gtids:
+            source = f"{g.domain_id}-{g.server_id}"
+            us = UuidSet(Uuid.parse_lenient(source), [])
+            us.intervals = [Interval(1, g.sequence)]
+            gset.uuid_sets[source] = us
+        return gset
 
 
 def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:

@@ -91,3 +91,21 @@ def test_from_gtid(spark, stream, tmp_path):
     res = rep.replay()
     expect = sum(len(t.ops) for t in txns if t.seq > half_seq)
     assert res.events == expect
+
+
+def test_from_gtid_mariadb_text(spark, tmp_path):
+    """FromGtid accepts MariaDB GtidList text ('domain-server-seq', the
+    @slave_connect_state form, mariadb_provider.rs:40-62): each domain's
+    last gtid covers 1..seq."""
+    txns = generate_changelog(n_conversations=8, max_turns=4, n_extra_ops=10, seed=19)
+    binlog = str(tmp_path / "binlog")
+    write_binlog_files(txns, binlog, txns_per_file=20, provider="mariadb")
+    half = max(t.seq for t in txns) // 2
+    rep = Replayer(
+        spark, binlog, str(tmp_path / "s"), start=FromGtid(f"0-1-{half}")
+    )
+    res = rep.replay()
+    expect = sum(len(t.ops) for t in txns if t.seq > half)
+    assert res.events == expect
+    covered = rep.ledger.covered_gtid_set()
+    assert str(covered).startswith("0-1:1-")
