@@ -345,7 +345,10 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
                 # plain CHAR: same wire layout as VARCHAR (1- or 2-byte
                 # length prefix by metadata<256, col_parser.rs:7-14)
                 ct = ColumnType.VARCHAR
-        if ct not in _SUPPORTED_TYPES:
+        if ct == ColumnType.NEWDECIMAL:
+            if (md & 0xFF) > 18:
+                return None  # unscaled value would overflow int64
+        elif ct not in _SUPPORTED_TYPES:
             return None
         out.append(_ColSpec(ct, md, sw))
     return out
@@ -373,6 +376,11 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
                 off = off + np.where(live, hdr + ln, 0)
             elif ct == ColumnType.TIMESTAMP2:
                 off = off + np.where(live, 4 + (cs.meta + 1) // 2, 0)
+            elif ct == ColumnType.NEWDECIMAL:
+                from .kernels import decimal_binary_size
+
+                w = decimal_binary_size(cs.meta & 0xFF, (cs.meta >> 8) & 0xFF)
+                off = off + np.where(live, w, 0)
             else:
                 off = off + np.where(live, _FIXED_WIDTH[ct], 0)
         return None, off
@@ -407,6 +415,49 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
             vals = secs * 1000 + micros // 1000
             cols.append(("i64", vals, None, null))
             off = off + np.where(live, 4 + fl, 0)
+        elif ct == ColumnType.NEWDECIMAL:
+            # sign-bit flip + one's-complement negatives + big-endian
+            # 9-digit/4-byte groups (decimal.rs:10-83) — fully vectorized:
+            # the layout is FIXED for a given (precision, scale), and for
+            # p ≤ 18 the unscaled value fits an int64
+            from .kernels import COMPRESSED_BYTES, DIGITS_PER_INT, decimal_binary_size
+
+            p_, s_ = cs.meta & 0xFF, (cs.meta >> 8) & 0xFF
+            integral = p_ - s_
+            unc_i, comp_i = divmod(integral, DIGITS_PER_INT)
+            unc_f, comp_f = divmod(s_, DIGITS_PER_INT)
+            w = decimal_binary_size(p_, s_)
+            hi_idx = len(data) - 1
+            mat = np.stack(
+                [data[np.minimum(off + j, hi_idx)] for j in range(w)], axis=1
+            ).astype(np.uint8)
+            negative = (mat[:, 0] & 0x80) == 0
+            mat[:, 0] ^= 0x80
+            mat[negative] ^= 0xFF
+
+            pos_b = 0
+
+            def _grp(nbytes: int) -> np.ndarray:
+                nonlocal pos_b
+                v = np.zeros(k, dtype=np.int64)
+                for j in range(nbytes):
+                    v = v * 256 + mat[:, pos_b + j]
+                pos_b += nbytes
+                return v
+
+            unscaled = np.zeros(k, dtype=np.int64)
+            if comp_i:
+                unscaled = _grp(COMPRESSED_BYTES[comp_i])
+            for _ in range(unc_i):
+                unscaled = unscaled * 10**9 + _grp(4)
+            for _ in range(unc_f):
+                unscaled = unscaled * 10**9 + _grp(4)
+            if comp_f:
+                unscaled = unscaled * 10**comp_f + _grp(COMPRESSED_BYTES[comp_f])
+            unscaled = np.where(negative, -unscaled, unscaled)
+            unscaled = np.where(null, 0, unscaled)
+            cols.append(("dec", unscaled, (p_, s_), null))
+            off = off + np.where(live, w, 0)
         elif ct == ColumnType.DATE:
             # u24 LE bit-packed d:5/m:4/y:rest (col_parser.rs:34-47) →
             # days-from-civil (proleptic Gregorian) for Arrow date32
@@ -472,7 +523,8 @@ def _concat_image_cols(step_cols: list, specs: list[_ColSpec]):
             out.append((kind, starts, lens, nulls))
         else:
             vals = np.concatenate([s[j][1] for s in step_cols])
-            out.append((kind, vals, None, nulls))
+            # b carries per-column static info ((p, s) for decimals)
+            out.append((kind, vals, step_cols[0][j][2], nulls))
     return out
 
 
@@ -505,6 +557,26 @@ def _strings_from_slices(data: np.ndarray, starts, lens, nulls, binary: bool = F
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _decimals_from_unscaled(vals: np.ndarray, nulls: np.ndarray, p: int, s: int) -> np.ndarray:
+    """Arrow decimal128(p, s) build from int64 unscaled values → object
+    ndarray of decimal.Decimal / None (C-side materialization). The
+    128-bit buffer is little-endian two's complement: low word = the
+    int64, high word = its sign extension."""
+    import pyarrow as pa
+
+    buf = np.empty((len(vals), 2), dtype="<i8")
+    buf[:, 0] = vals
+    buf[:, 1] = np.where(vals < 0, -1, 0)
+    validity = np.packbits(~nulls, bitorder="little")
+    arr = pa.Array.from_buffers(
+        pa.decimal128(p, s),
+        len(vals),
+        [pa.py_buffer(validity.tobytes()), pa.py_buffer(buf.tobytes())],
+        null_count=int(nulls.sum()),
+    )
+    return arr.to_numpy(zero_copy_only=False)
+
+
 def _dates_from_days(days: np.ndarray, nulls: np.ndarray) -> np.ndarray:
     """Arrow date32 build from civil-day numbers → object ndarray of
     datetime.date / None (C-side materialization)."""
@@ -525,7 +597,7 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
     or None on a kind/type mismatch (→ scalar fallback)."""
     if colref is None:  # column absent from this table map → typed nulls
-        if kind in ("str", "binary", "date"):
+        if kind in ("str", "binary", "date", "decimal"):
             return ("obj", np.full(n, None, dtype=object))
         if kind == "ts_millis":
             return ("dt", np.full(n, np.datetime64("NaT"), dtype="datetime64[ms]"))
@@ -545,6 +617,10 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         if ckind != "date32":
             return None
         return ("obj", _dates_from_days(a, nulls))
+    if kind == "decimal":
+        if ckind != "dec":
+            return None
+        return ("obj", _decimals_from_unscaled(a, nulls, b[0], b[1]))
     if kind == "ts_millis":
         if ckind != "i64":
             return None
@@ -739,8 +815,8 @@ def decode_segment_fast(
 ) -> Optional[list[pd.DataFrame]]:
     """Decode one segment fully vectorized; None → caller falls back."""
     for _name, _ddl, kind in spec.columns:
-        if kind not in ("str", "int", "ts_millis", "double", "binary", "date"):
-            return None  # decimal stays scalar (variable digit-group layout)
+        if kind not in ("str", "int", "ts_millis", "double", "binary", "date", "decimal"):
+            return None
     prep = _prepare_segment(content, spec)
     if prep.empty:
         return []

@@ -316,3 +316,76 @@ class TestPropertyParity:
                     assert ca[col] == cb[col], f"column {col}"
 
         run()
+
+
+class TestDecimalFastPath:
+    """NEWDECIMAL (p ≤ 18) decodes on the fast path: fixed byte layout per
+    (p, s), one's-complement negatives, int64 unscaled → Arrow decimal128."""
+
+    def _roundtrip(self, p, s, values):
+        from decimal import Decimal
+
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        spec = TableSpec(
+            database="db", table="t",
+            columns=(("k", "string", "str"), ("amt", f"decimal({p},{s})", "decimal")),
+            primary_key=("k",),
+        )
+        ctypes = [ColumnType.VARCHAR, ColumnType.NEWDECIMAL]
+        cmeta = [16, p | (s << 8)]
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+        w.write_table_map(3, "db", "t", ctypes, cmeta, [False, True],
+                          column_names=["k", "amt"])
+        rows = [[f"r{i}", v] for i, v in enumerate(values)]
+        w.write_rows(3, ctypes, cmeta, rows)
+        w.write_xid(1)
+        content = w.getvalue()
+
+        from mysql_cdc_spark.binlog.decoder import _FileDecoder
+
+        a = pd.concat(list(_FileDecoder(spec).decode_file("b", content)), ignore_index=True)
+        frames = decode_segment_fast(content, "b", spec)
+        assert frames is not None
+        b = pd.concat(frames, ignore_index=True)
+        got_a = [None if v is None else Decimal(v) for v in a["after_amt"]]
+        got_b = [None if v is None else Decimal(v) for v in b["after_amt"]]
+        assert got_a == got_b
+        want = [None if v is None else Decimal(v) for v in values]
+        assert got_b == want
+
+    def test_edges(self):
+        self._roundtrip(12, 4, [
+            "0.0000", "-0.0001", "12345678.9999", "-99999999.9999",
+            "1.5000", None, "0.1234",
+        ])
+
+    def test_nine_digit_groups(self):
+        # spans compressed + uncompressed groups on both sides
+        self._roundtrip(18, 9, [
+            "123456789.987654321", "-1.000000001", "0.000000001",
+            "999999999.999999999", "-999999999.999999999",
+        ])
+
+    def test_integral_only_and_frac_only(self):
+        self._roundtrip(10, 0, ["0", "-1", "1234567890", "-987654321"])
+        self._roundtrip(6, 6, ["0.123456", "-0.654321", "0.000000"])
+
+    def test_p_above_18_falls_back(self):
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        spec = TableSpec(
+            database="db", table="t",
+            columns=(("k", "string", "str"), ("amt", "decimal(20,2)", "decimal")),
+            primary_key=("k",),
+        )
+        ctypes = [ColumnType.VARCHAR, ColumnType.NEWDECIMAL]
+        cmeta = [16, 20 | (2 << 8)]
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+        w.write_table_map(3, "db", "t", ctypes, cmeta, [False, False],
+                          column_names=["k", "amt"])
+        w.write_rows(3, ctypes, cmeta, [["a", "123456789012345678.12"]])
+        w.write_xid(1)
+        assert decode_segment_fast(w.getvalue(), "b", spec) is None
