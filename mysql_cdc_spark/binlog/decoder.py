@@ -123,6 +123,7 @@ def _ddl_to_type(ddl: str) -> T.DataType:
         "date": T.DateType(),
         "binary": T.BinaryType(),
         "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
     }[ddl]
 
 
@@ -139,6 +140,17 @@ def _to_decimal(v):
     return Decimal(v)
 
 
+def _to_datetime(v):
+    from datetime import datetime
+
+    # parse_date_time/parse_date_time2 yield (y, mo, d, h, mi, s, millis);
+    # MySQL zero-dates → NULL
+    y, mo, d, h, mi, s, ms = v
+    if y == 0 and mo == 0 and d == 0:
+        return None
+    return datetime(y, mo, d, h, mi, s, ms * 1000)
+
+
 # canonical-kind converters from raw binlog decode output
 # (mysql_value.rs:28-47 variants → Spark column values)
 _CONVERT = {
@@ -147,6 +159,7 @@ _CONVERT = {
     "decimal": _to_decimal,
     "date": _to_date,
     "binary": bytes,
+    "datetime": _to_datetime,
 }
 
 

@@ -77,6 +77,10 @@ def encode_cell(value, column_type: int, metadata: int) -> bytes:
         year, month, day = value
         packed = (year << 9) | (month << 5) | day
         return packed.to_bytes(3, "little")
+    if column_type == C.DATETIME:
+        year, month, day, hour, minute, second, _millis = value
+        packed = ((((year * 100 + month) * 100 + day) * 100 + hour) * 100 + minute) * 100 + second
+        return struct.pack("<Q", packed)
     if column_type == C.DATETIME2:
         year, month, day, hour, minute, second, millis = value
         packed = (

@@ -78,6 +78,7 @@ _FIXED_WIDTH = {
     ColumnType.TIMESTAMP: 4,
     ColumnType.YEAR: 1,
     ColumnType.DATE: 3,
+    ColumnType.DATETIME: 8,
 }
 _BLOB_TYPES = (
     ColumnType.TINY_BLOB, ColumnType.MEDIUM_BLOB, ColumnType.LONG_BLOB,
@@ -87,6 +88,7 @@ _SUPPORTED_TYPES = frozenset(_FIXED_WIDTH) | set(_BLOB_TYPES) | {
     ColumnType.VARCHAR,
     ColumnType.VAR_STRING,
     ColumnType.TIMESTAMP2,
+    ColumnType.DATETIME2,
 }
 
 def _gather_le(data: np.ndarray, offs: np.ndarray, width: int) -> np.ndarray:
@@ -354,6 +356,18 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
     return out
 
 
+def _civil_days(yr: np.ndarray, mth: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Days since 1970-01-01 from proleptic-Gregorian components
+    (Howard Hinnant's days_from_civil, vectorized)."""
+    adj = np.where(mth <= 2, 1, 0)
+    yy = yr - adj
+    era = np.where(yy >= 0, yy, yy - 399) // 400
+    yoe = yy - era * 400
+    doy = (153 * np.where(mth > 2, mth - 3, mth + 9) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
 def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = True):
     """One row image for all active events: null bitmap + column passes.
     Returns (per-column list of (values, null_mask), next offsets).
@@ -376,6 +390,8 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
                 off = off + np.where(live, hdr + ln, 0)
             elif ct == ColumnType.TIMESTAMP2:
                 off = off + np.where(live, 4 + (cs.meta + 1) // 2, 0)
+            elif ct == ColumnType.DATETIME2:
+                off = off + np.where(live, 5 + (cs.meta + 1) // 2, 0)
             elif ct == ColumnType.NEWDECIMAL:
                 from .kernels import decimal_binary_size
 
@@ -462,19 +478,53 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
             # u24 LE bit-packed d:5/m:4/y:rest (col_parser.rs:34-47) →
             # days-from-civil (proleptic Gregorian) for Arrow date32
             v = np.where(live, _gather_le(data, off, 3).astype(np.int64), 0)
-            d = v & 31
-            mth = (v >> 5) & 15
-            yr = v >> 9
-            adj = np.where(mth <= 2, 1, 0)
-            yy = yr - adj
-            era = np.where(yy >= 0, yy, yy - 399) // 400
-            yoe = yy - era * 400
-            doy = (153 * np.where(mth > 2, mth - 3, mth + 9) + 2) // 5 + d - 1
-            doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
-            days = era * 146097 + doe - 719468
+            days = _civil_days(v >> 9, (v >> 5) & 15, v & 31)
             # MySQL zero-date (all components 0) → NULL like _to_date
             cols.append(("date32", days, None, null | (v == 0)))
             off = off + np.where(live, 3, 0)
+        elif ct == ColumnType.DATETIME2:
+            # 5-byte big-endian year*13+month packing + fractional
+            # (col_parser.rs:124-146) → wall-clock millis (no tz)
+            fl = (cs.meta + 1) // 2
+            v = np.where(live, _gather_be(data, off, 5).astype(np.int64), 0)
+            ym = (v >> 22) & ((1 << 17) - 1)
+            yr, mth = ym // 13, ym % 13
+            d = (v >> 17) & 31
+            hh = (v >> 12) & 31
+            mi = (v >> 6) & 63
+            ss = v & 63
+            if fl:
+                frac = np.where(live, _gather_be(data, off + 5, fl).astype(np.int64), 0)
+                ms = (frac * 100 ** (3 - fl)) // 1000
+            else:
+                ms = np.zeros(k, dtype=np.int64)
+            millis = (
+                _civil_days(yr, mth, d) * 86_400_000
+                + hh * 3_600_000 + mi * 60_000 + ss * 1000 + ms
+            )
+            zero = (yr == 0) & (mth == 0) & (d == 0)
+            cols.append(("wall_ms", millis, None, null | zero))
+            off = off + np.where(live, 5 + fl, 0)
+        elif ct == ColumnType.DATETIME:
+            # u64 LE decimal-packed YYYYMMDDhhmmss (col_parser.rs:99-122)
+            v = np.where(live, _gather_le(data, off, 8), np.uint64(0)).astype(np.int64)
+            ss = v % 100
+            v //= 100
+            mi = v % 100
+            v //= 100
+            hh = v % 100
+            v //= 100
+            d = v % 100
+            v //= 100
+            mth = v % 100
+            yr = v // 100
+            millis = (
+                _civil_days(yr, mth, d) * 86_400_000
+                + hh * 3_600_000 + mi * 60_000 + ss * 1000
+            )
+            zero = (yr == 0) & (mth == 0) & (d == 0)
+            cols.append(("wall_ms", millis, None, null | zero))
+            off = off + np.where(live, 8, 0)
         elif ct == ColumnType.YEAR:
             v = np.where(live, _gather_le(data, off, 1).astype(np.int64), 0)
             cols.append(("i64", 1900 + v, None, null))
@@ -599,7 +649,7 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     if colref is None:  # column absent from this table map → typed nulls
         if kind in ("str", "binary", "date", "decimal"):
             return ("obj", np.full(n, None, dtype=object))
-        if kind == "ts_millis":
+        if kind in ("ts_millis", "datetime"):
             return ("dt", np.full(n, np.datetime64("NaT"), dtype="datetime64[ms]"))
         if kind == "double":
             return ("f64", np.full(n, np.nan, dtype=np.float64))
@@ -623,6 +673,12 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         return ("obj", _decimals_from_unscaled(a, nulls, b[0], b[1]))
     if kind == "ts_millis":
         if ckind != "i64":
+            return None
+        out = a.astype("datetime64[ms]")
+        out[nulls] = np.datetime64("NaT")
+        return ("dt", out)
+    if kind == "datetime":
+        if ckind != "wall_ms":
             return None
         out = a.astype("datetime64[ms]")
         out[nulls] = np.datetime64("NaT")
@@ -815,7 +871,9 @@ def decode_segment_fast(
 ) -> Optional[list[pd.DataFrame]]:
     """Decode one segment fully vectorized; None → caller falls back."""
     for _name, _ddl, kind in spec.columns:
-        if kind not in ("str", "int", "ts_millis", "double", "binary", "date", "decimal"):
+        if kind not in (
+            "str", "int", "ts_millis", "double", "binary", "date", "decimal", "datetime"
+        ):
             return None
     prep = _prepare_segment(content, spec)
     if prep.empty:

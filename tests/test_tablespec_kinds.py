@@ -27,6 +27,7 @@ METRICS = TableSpec(
         ("amount", "decimal(12,4)", "decimal"),
         ("day", "date", "date"),
         ("payload", "binary", "binary"),
+        ("created", "timestamp_ntz", "datetime"),
         ("ts", "timestamp", "ts_millis"),
     ),
     primary_key=("sample_id", "k"),
@@ -35,9 +36,9 @@ METRICS = TableSpec(
 CTYPES = [
     ColumnType.VARCHAR, ColumnType.LONG, ColumnType.DOUBLE,
     ColumnType.NEWDECIMAL, ColumnType.DATE, ColumnType.BLOB,
-    ColumnType.TIMESTAMP2,
+    ColumnType.DATETIME2, ColumnType.TIMESTAMP2,
 ]
-CMETA = [64, 0, 8, 12 | (4 << 8), 0, 2, 3]
+CMETA = [64, 0, 8, 12 | (4 << 8), 0, 2, 3, 3]
 COLS = [c[0] for c in METRICS.columns]
 UUID = "24bc7850-2c16-11e6-a073-0242ac110001"
 
@@ -53,8 +54,13 @@ def _write_stream(outdir: str):
 
     def encode_row(row):
         # binlog wire form per kind: decimal → digit string, date → tuple
-        sid, k, val, amt, d, blob, ts = row
-        return [sid, k, val, str(amt), (d.year, d.month, d.day), blob, ts]
+        sid, k, val, amt, d, blob, created, ts = row
+        return [
+            sid, k, val, str(amt), (d.year, d.month, d.day), blob,
+            (created.year, created.month, created.day, created.hour,
+             created.minute, created.second, created.microsecond // 1000),
+            ts,
+        ]
 
     def txn(writer, ops):
         nonlocal seq
@@ -63,7 +69,7 @@ def _write_stream(outdir: str):
         writer.write_query("BEGIN", database="metrics")
         writer.write_table_map(
             200, "metrics", "samples", CTYPES, CMETA,
-            nullability=[False, False, True, True, True, True, False],
+            nullability=[False, False, True, True, True, True, True, False],
             column_names=COLS, simple_primary_keys=[0, 1],
         )
         for kind, before, after in ops:
@@ -90,6 +96,8 @@ def _write_stream(outdir: str):
             Decimal(f"{'-' if i % 3 == 0 else ''}{i * 7}.{(i * 37) % 10000:04d}"),
             date(2024, 1 + (i % 12), 1 + (i % 27)),
             bytes([i % 256, k % 256, rev % 256]) * (1 + i % 4),
+            datetime(2023, 1 + (i % 12), 1 + (i % 27), i % 24, i % 60, (i * 7) % 60,
+                     ((i * 131) % 1000) * 1000),
             1700000000000 + i * 1000 + rev,
         ]
 
@@ -136,7 +144,8 @@ def test_all_kinds_replay_matches_oracle(spark, tmp_path):
         assert Decimal(str(g["amount"])) == w_row[3]
         assert pd.Timestamp(g["day"]).date() == w_row[4]
         assert bytes(g["payload"]) == w_row[5]
-        assert g["ts"] == pd.Timestamp(w_row[6], unit="ms")
+        assert pd.Timestamp(g["created"]) == pd.Timestamp(w_row[6])
+        assert g["ts"] == pd.Timestamp(w_row[7], unit="ms")
 
 
 def test_kinds_schema_types(spark, tmp_path):
@@ -151,3 +160,4 @@ def test_kinds_schema_types(spark, tmp_path):
     assert schema["day"] == T.DateType()
     assert schema["payload"] == T.BinaryType()
     assert schema["value"] == T.DoubleType()
+    assert schema["created"] == T.TimestampNTZType()

@@ -389,3 +389,58 @@ class TestDecimalFastPath:
         w.write_rows(3, ctypes, cmeta, [["a", "123456789012345678.12"]])
         w.write_xid(1)
         assert decode_segment_fast(w.getvalue(), "b", spec) is None
+
+
+class TestDatetimeKind:
+    """DATETIME/DATETIME2 → canonical 'datetime' (wall-clock, no tz) on
+    both decode paths."""
+
+    def _spec(self):
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        return TableSpec(
+            database="db", table="t",
+            columns=(
+                ("k", "string", "str"),
+                ("dt2", "timestamp_ntz", "datetime"),
+                ("dt1", "timestamp_ntz", "datetime"),
+            ),
+            primary_key=("k",),
+        )
+
+    def test_parity_and_values(self):
+        import datetime as dtm
+
+        spec = self._spec()
+        ctypes = [ColumnType.VARCHAR, ColumnType.DATETIME2, ColumnType.DATETIME]
+        cmeta = [16, 3, 0]
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+        w.write_table_map(4, "db", "t", ctypes, cmeta, [False, True, True],
+                          column_names=["k", "dt2", "dt1"])
+        rows = [
+            ["a", (2024, 2, 29, 23, 59, 58, 123), (2024, 2, 29, 23, 59, 58, 0)],
+            ["b", (1970, 1, 1, 0, 0, 0, 0), (1999, 12, 31, 12, 30, 45, 0)],
+            ["c", None, None],
+            ["d", (2038, 1, 19, 3, 14, 7, 999), (1901, 6, 15, 6, 7, 8, 0)],
+        ]
+        w.write_rows(4, ctypes, cmeta, rows)
+        w.write_xid(1)
+        content = w.getvalue()
+
+        a = pd.concat(list(_FileDecoder(spec).decode_file("b", content)), ignore_index=True)
+        frames = decode_segment_fast(content, "b", spec)
+        assert frames is not None, "datetime should be on the fast path"
+        b = pd.concat(frames, ignore_index=True)
+        for col in ("after_dt2", "after_dt1"):
+            av = [None if (v is None or pd.isna(v)) else pd.Timestamp(v) for v in a[col]]
+            bv = [None if pd.isna(v) else pd.Timestamp(v) for v in b[col]]
+            assert av == bv, col
+        got = b.sort_values("after_k").reset_index(drop=True)
+        assert pd.Timestamp(got["after_dt2"][0]) == pd.Timestamp(
+            dtm.datetime(2024, 2, 29, 23, 59, 58, 123000)
+        )
+        assert pd.Timestamp(got["after_dt1"][3]) == pd.Timestamp(
+            dtm.datetime(1901, 6, 15, 6, 7, 8)
+        )
+        assert pd.isna(got["after_dt2"][2])
