@@ -151,6 +151,15 @@ def _to_datetime(v):
     return datetime(y, mo, d, h, mi, s, ms * 1000)
 
 
+def _to_time(v):
+    # parse_time/parse_time2 yield (h, m, s, millis); MySQL TIME spans up
+    # to 838:59:59 so the canonical form is a string, not a time-of-day
+    # (negative TIME raises at decode, like the reference —
+    # col_parser.rs:52-55,75-84)
+    h, m, s, ms = v
+    return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+
+
 # canonical-kind converters from raw binlog decode output
 # (mysql_value.rs:28-47 variants → Spark column values)
 _CONVERT = {
@@ -160,6 +169,7 @@ _CONVERT = {
     "date": _to_date,
     "binary": bytes,
     "datetime": _to_datetime,
+    "time": _to_time,
 }
 
 

@@ -135,3 +135,34 @@ class TestFullTableMetadata:
         }
         assert tm["enum_and_set_column_charsets"] == [45]
         assert tm["column_visibility"][:3] == [True, True, False]
+
+
+class TestTimeKind:
+    """TIME/TIME2 → canonical 'time' kind (string form — MySQL TIME spans
+    ±838:59:59 so it is not a time-of-day). Scalar path only; the
+    vectorized decoder falls back for specs containing it."""
+
+    def test_time2_decodes_via_spec(self):
+        from mysql_cdc_spark.binlog.decoder import TableSpec, _FileDecoder
+        from mysql_cdc_spark.binlog.vector import decode_segment_fast
+        import pandas as pd
+
+        spec = TableSpec(
+            database="db", table="t",
+            columns=(("k", "string", "str"), ("dur", "string", "time")),
+            primary_key=("k",),
+        )
+        ctypes = [ColumnType.VARCHAR, ColumnType.TIME2]
+        cmeta = [16, 3]
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+        w.write_table_map(5, "db", "t", ctypes, cmeta, [False, False],
+                          column_names=["k", "dur"])
+        w.write_rows(5, ctypes, cmeta, [["a", (13, 45, 59, 250)], ["b", (0, 0, 1, 0)]])
+        w.write_xid(1)
+        content = w.getvalue()
+        frames = list(_FileDecoder(spec).decode_file("b", content))
+        got = pd.concat(frames, ignore_index=True)
+        assert got["after_dur"].tolist() == ["13:45:59.250", "00:00:01.000"]
+        # TIME2 is outside the vectorized fast path → scalar fallback
+        assert decode_segment_fast(content, "b", spec) is None
