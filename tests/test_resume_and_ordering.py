@@ -221,3 +221,28 @@ class TestSegmentOrdering:
         assert "binlog.1000000" in rep.pending_files()
         rep.replay(files_per_batch=1)
         _assert_texts_equal(_state_pdf(rep), apply_changelog_oracle(txns))
+
+
+class TestRemoteFsListing:
+    """Segment listing + reads work through pyarrow.fs URIs (the
+    object-store deployment path) — file:// stands in for s3://hdfs://."""
+
+    def test_decode_via_file_uri(self, spark, tmp_path):
+        from mysql_cdc_spark.binlog.decoder import (
+            _list_segments,
+            decode_binlog_dir,
+            list_dir_entries,
+        )
+
+        txns = generate_changelog(n_conversations=6, max_turns=3, n_extra_ops=8, seed=3)
+        outdir = str(tmp_path / "binlog")
+        write_binlog_files(txns, outdir, txns_per_file=10)
+        uri = "file://" + outdir
+
+        assert sorted(list_dir_entries(uri)) == sorted(os.listdir(outdir))
+        assert [os.path.basename(p) for p in _list_segments(uri)] == \
+            [os.path.basename(p) for p in _list_segments(outdir)]
+
+        n_local = decode_binlog_dir(spark, outdir).count()
+        n_uri = decode_binlog_dir(spark, uri).count()
+        assert n_uri == n_local > 0
