@@ -96,6 +96,10 @@ def encode_cell(value, column_type: int, metadata: int) -> bytes:
         epoch_millis = value
         seconds, millis = divmod(epoch_millis, 1000)
         return struct.pack(">I", seconds) + _encode_fractional(millis * 1000, metadata)
+    if column_type == C.TIME:
+        hour, minute, second, _millis = value
+        packed = hour * 10000 + minute * 100 + second
+        return packed.to_bytes(3, "little")
     if column_type == C.TIME2:
         hour, minute, second, millis = value
         packed = (1 << 23) | (hour << 12) | (minute << 6) | second

@@ -33,10 +33,11 @@ marker before the next GTID, aborts on ROLLBACK/DDL, and is an
 uncommitted tail (xid NULL) when its group reaches end-of-file.
 
 ``decode_segment_fast`` returns None when the segment uses a construct
-outside the fast path (unsupported column type for the spec's kinds,
-partial row images, >250 columns, CHAR/ENUM/SET disambiguation cases) —
-the caller falls back to the scalar ``_FileDecoder``, which remains the
-semantics reference; tests assert frame-level equality between the two.
+outside the fast path (partial row images, >63 columns, decimals with
+precision >18, SET columns with >8 members when a string lookup is
+required) — the caller falls back to the scalar ``_FileDecoder``, which
+remains the semantics reference; tests assert frame-level equality
+between the two.
 """
 
 from __future__ import annotations
@@ -89,6 +90,8 @@ _SUPPORTED_TYPES = frozenset(_FIXED_WIDTH) | set(_BLOB_TYPES) | {
     ColumnType.VAR_STRING,
     ColumnType.TIMESTAMP2,
     ColumnType.DATETIME2,
+    ColumnType.TIME,
+    ColumnType.TIME2,
 }
 
 def _gather_le(data: np.ndarray, offs: np.ndarray, width: int) -> np.ndarray:
@@ -317,42 +320,69 @@ def _gate_row_events(ridx, gidx, gsrc, gseq, midx, mcommit, mxid, m_total):
 
 
 class _ColSpec:
-    __slots__ = ("ctype", "meta", "signed_width")
+    __slots__ = ("ctype", "meta", "signed_width", "lut")
 
-    def __init__(self, ctype: int, meta: int, signed_width: Optional[int]):
+    def __init__(
+        self, ctype: int, meta: int, signed_width: Optional[int], lut=None
+    ):
         self.ctype = ctype
         self.meta = meta
         self.signed_width = signed_width
+        # ENUM/SET value lookup: object ndarray indexed by the raw wire
+        # value (enum: [''] + members; set: all 2^m member joins)
+        self.lut = lut
 
 
 def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
     """Per-column decode specs, or None if outside the fast path.
     STRING columns resolve through the CHAR/ENUM/SET disambiguation
-    (actual_string_type.rs:6-26) first — long CHARs decode like VARCHAR;
-    ENUM/SET (which may need string-value lookup) stay on the scalar
-    path."""
+    (actual_string_type.rs:6-26) first — long CHARs decode like VARCHAR.
+    ENUM/SET decode with a precomputed value-lookup ndarray when the
+    string-value metadata is present (SET limited to ≤8 members so the
+    2^m join table stays tiny), raw ints otherwise."""
     from . import kernels as K
-    from .reader import _signed_widths
+    from .reader import _enum_set_lookup, _signed_widths
 
     types = tm["column_types"]
     metas = tm["column_metadata"]
     if len(types) > 250:
         return None
     widths = _signed_widths(tm)
+    es_lut = _enum_set_lookup(tm)
     out = []
-    for ct, md, sw in zip(types, metas, widths):
+    for i, (ct, md, sw) in enumerate(zip(types, metas, widths)):
         if ct == ColumnType.STRING:
             ct, md = K.get_actual_string_type(ct, md)
             if ct == ColumnType.STRING:
                 # plain CHAR: same wire layout as VARCHAR (1- or 2-byte
                 # length prefix by metadata<256, col_parser.rs:7-14)
                 ct = ColumnType.VARCHAR
-        if ct == ColumnType.NEWDECIMAL:
+        lut = None
+        if ct in (ColumnType.ENUM, ColumnType.SET):
+            if md > (2 if ct == ColumnType.ENUM else 8):
+                return None
+            entry = es_lut[i]
+            if entry is not None:
+                kind_, vals = entry
+                if kind_ == "enum":
+                    # index 1-based; 0 and out-of-range → '' (empty member)
+                    lut = np.array([""] + list(vals), dtype=object)
+                else:
+                    if len(vals) > 8:
+                        return None  # 2^m join table would be large
+                    lut = np.array(
+                        [
+                            ",".join(v for b, v in enumerate(vals) if mask >> b & 1)
+                            for mask in range(1 << len(vals))
+                        ],
+                        dtype=object,
+                    )
+        elif ct == ColumnType.NEWDECIMAL:
             if (md & 0xFF) > 18:
                 return None  # unscaled value would overflow int64
         elif ct not in _SUPPORTED_TYPES:
             return None
-        out.append(_ColSpec(ct, md, sw))
+        out.append(_ColSpec(ct, md, sw, lut))
     return out
 
 
@@ -392,6 +422,11 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
                 off = off + np.where(live, 4 + (cs.meta + 1) // 2, 0)
             elif ct == ColumnType.DATETIME2:
                 off = off + np.where(live, 5 + (cs.meta + 1) // 2, 0)
+            elif ct in (ColumnType.ENUM, ColumnType.SET):
+                off = off + np.where(live, cs.meta, 0)
+            elif ct in (ColumnType.TIME, ColumnType.TIME2):
+                w = 3 if ct == ColumnType.TIME else 3 + (cs.meta + 1) // 2
+                off = off + np.where(live, w, 0)
             elif ct == ColumnType.NEWDECIMAL:
                 from .kernels import decimal_binary_size
 
@@ -431,6 +466,66 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
             vals = secs * 1000 + micros // 1000
             cols.append(("i64", vals, None, null))
             off = off + np.where(live, 4 + fl, 0)
+        elif ct in (ColumnType.ENUM, ColumnType.SET):
+            raw = np.where(live, _gather_le(data, off, cs.meta), np.uint64(0)).astype(np.int64)
+            if cs.lut is not None:
+                n_lut = len(cs.lut)
+                if ct == ColumnType.ENUM:
+                    idx = np.where((raw >= 1) & (raw < n_lut), raw, 0)
+                else:
+                    idx = raw & (n_lut - 1)  # bits beyond members ignored
+                vals = cs.lut[idx]
+                vals[null] = None
+                cols.append(("objv", vals, None, null))
+            else:
+                cols.append(("i64", raw, None, null))
+            off = off + np.where(live, cs.meta, 0)
+        elif ct in (ColumnType.TIME, ColumnType.TIME2):
+            # canonical 'time' string "HH:MM:SS.mmm"; negative TIME raises
+            # exactly like the reference (col_parser.rs:52-55,75-84)
+            if ct == ColumnType.TIME:
+                v = np.where(live, _gather_le(data, off, 3).astype(np.int64), 0)
+                v = np.where(v >= (1 << 23), v - (1 << 24), v)  # sign-extend i24
+                if (v < 0).any():
+                    raise ValueError(
+                        "Parsing negative TIME values is not supported in this version"
+                    )
+                hh, mi, ss = v // 10000, (v // 100) % 100, v % 100
+                ms = np.zeros(k, dtype=np.int64)
+                w = 3
+            else:
+                fl = (cs.meta + 1) // 2
+                v = np.where(live, _gather_be(data, off, 3).astype(np.int64), 1 << 23)
+                if (((v >> 23) & 1) == 0).any():
+                    raise ValueError(
+                        "Parsing negative TIME values is not supported in this version"
+                    )
+                hh = (v >> 12) & 1023
+                mi = (v >> 6) & 63
+                ss = v & 63
+                if fl:
+                    frac = np.where(live, _gather_be(data, off + 3, fl).astype(np.int64), 0)
+                    ms = (frac * 100 ** (3 - fl)) // 1000
+                else:
+                    ms = np.zeros(k, dtype=np.int64)
+                w = 3 + fl
+            def _pad(vals: np.ndarray, width: int) -> np.ndarray:
+                # minimum-width zero pad (np.char.zfill TRUNCATES to its
+                # width argument, so prepend zeros conditionally instead)
+                u = vals.astype("U4")
+                out_s = u
+                for p in range(width - 1, 0, -1):  # narrower matches override
+                    out_s = np.where(vals < 10**p, np.char.add("0" * (width - p), u), out_s)
+                return out_s
+
+            txt = np.char.add(
+                np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+                    _pad(hh, 2), ":"), _pad(mi, 2)), ":"), _pad(ss, 2)), "."),
+                _pad(ms, 3),
+            ).astype(object)
+            txt[null] = None
+            cols.append(("objv", txt, None, null))
+            off = off + np.where(live, w, 0)
         elif ct == ColumnType.NEWDECIMAL:
             # sign-bit flip + one's-complement negatives + big-endian
             # 9-digit/4-byte groups (decimal.rs:10-83) — fully vectorized:
@@ -647,7 +742,7 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
     or None on a kind/type mismatch (→ scalar fallback)."""
     if colref is None:  # column absent from this table map → typed nulls
-        if kind in ("str", "binary", "date", "decimal"):
+        if kind in ("str", "binary", "date", "decimal", "time"):
             return ("obj", np.full(n, None, dtype=object))
         if kind in ("ts_millis", "datetime"):
             return ("dt", np.full(n, np.datetime64("NaT"), dtype="datetime64[ms]"))
@@ -656,9 +751,15 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         return ("int_null", np.zeros(n, dtype=np.int64), np.ones(n, dtype=bool))
     ckind, a, b, nulls = colref
     if kind == "str":
+        if ckind == "objv":  # ENUM/SET member strings, pre-materialized
+            return ("obj", a)
         if ckind != "bytes":
             return None
         return ("obj", _strings_from_slices(data, a, b, nulls))
+    if kind == "time":
+        if ckind != "objv":
+            return None
+        return ("obj", a)
     if kind == "binary":
         if ckind != "blob":
             return None
@@ -872,7 +973,8 @@ def decode_segment_fast(
     """Decode one segment fully vectorized; None → caller falls back."""
     for _name, _ddl, kind in spec.columns:
         if kind not in (
-            "str", "int", "ts_millis", "double", "binary", "date", "decimal", "datetime"
+            "str", "int", "ts_millis", "double", "binary", "date",
+            "decimal", "datetime", "time",
         ):
             return None
     prep = _prepare_segment(content, spec)

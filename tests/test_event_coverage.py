@@ -139,8 +139,7 @@ class TestFullTableMetadata:
 
 class TestTimeKind:
     """TIME/TIME2 → canonical 'time' kind (string form — MySQL TIME spans
-    ±838:59:59 so it is not a time-of-day). Scalar path only; the
-    vectorized decoder falls back for specs containing it."""
+    ±838:59:59 so it is not a time-of-day), on both decode paths."""
 
     def test_time2_decodes_via_spec(self):
         from mysql_cdc_spark.binlog.decoder import TableSpec, _FileDecoder
@@ -164,5 +163,7 @@ class TestTimeKind:
         frames = list(_FileDecoder(spec).decode_file("b", content))
         got = pd.concat(frames, ignore_index=True)
         assert got["after_dur"].tolist() == ["13:45:59.250", "00:00:01.000"]
-        # TIME2 is outside the vectorized fast path → scalar fallback
-        assert decode_segment_fast(content, "b", spec) is None
+        fast = decode_segment_fast(content, "b", spec)
+        assert fast is not None
+        fgot = pd.concat(fast, ignore_index=True)
+        assert fgot["after_dur"].tolist() == got["after_dur"].tolist()

@@ -444,3 +444,71 @@ class TestDatetimeKind:
             dtm.datetime(1901, 6, 15, 6, 7, 8)
         )
         assert pd.isna(got["after_dt2"][2])
+
+
+class TestEnumSetTimeFastPath:
+    """ENUM/SET (with and without string-value lookup) and TIME/TIME2 on
+    the vectorized path — parity against the scalar decoder."""
+
+    def _build(self, with_lookup: bool):
+        ctypes = [ColumnType.VARCHAR, ColumnType.ENUM, ColumnType.SET,
+                  ColumnType.TIME2, ColumnType.TIME]
+        cmeta = [16, 1, 1, 3, 0]
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
+        kwargs = {}
+        if with_lookup:
+            kwargs = dict(
+                enum_string_values=[["s", "m", "l"]],
+                set_string_values=[["a", "b", "c"]],
+            )
+        w.write_table_map(6, "db", "t", ctypes, cmeta, [False, True, True, True, True],
+                          column_names=["k", "sz", "flags", "dur", "old"], **kwargs)
+        w.write_rows(6, ctypes, cmeta, [
+            ["r1", 2, 0b101, (13, 45, 59, 250), (838, 59, 59, 0)],
+            ["r2", 0, 0, (0, 0, 0, 0), (0, 0, 1, 0)],
+            ["r3", None, None, None, None],
+            ["r4", 3, 0b111, (1, 2, 3, 999), (10, 20, 30, 0)],
+        ])
+        w.write_xid(1)
+        return w.getvalue()
+
+    def _spec(self, enum_kind):
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        return TableSpec(
+            database="db", table="t",
+            columns=(
+                ("k", "string", "str"),
+                ("sz", "string" if enum_kind == "str" else "int", enum_kind),
+                ("flags", "string" if enum_kind == "str" else "int", enum_kind),
+                ("dur", "string", "time"),
+                ("old", "string", "time"),
+            ),
+            primary_key=("k",),
+        )
+
+    def _parity(self, content, spec):
+        a = pd.concat(list(_FileDecoder(spec).decode_file("b", content)), ignore_index=True)
+        frames = decode_segment_fast(content, "b", spec)
+        assert frames is not None, "expected fast path"
+        b = pd.concat(frames, ignore_index=True)
+        assert len(a) == len(b)
+        ca, cb = _canon(a), _canon(b)
+        for col in ca:
+            assert ca[col] == cb[col], f"column {col} differs"
+        return b
+
+    def test_with_string_lookup(self):
+        content = self._build(with_lookup=True)
+        got = self._parity(content, self._spec("str")).sort_values("after_k")
+        assert got["after_sz"].tolist() == ["m", "", None, "l"]
+        assert got["after_flags"].tolist() == ["a,c", "", None, "a,b,c"]
+        assert got["after_dur"].tolist()[0] == "13:45:59.250"
+        assert got["after_old"].tolist()[0] == "838:59:59.000"
+
+    def test_without_lookup_raw_ints(self):
+        content = self._build(with_lookup=False)
+        got = self._parity(content, self._spec("int")).sort_values("after_k")
+        assert [None if pd.isna(v) else int(v) for v in got["after_sz"]] == [2, 0, None, 3]
+        assert [None if pd.isna(v) else int(v) for v in got["after_flags"]] == [0b101, 0, None, 0b111]
