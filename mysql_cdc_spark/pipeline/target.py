@@ -220,6 +220,32 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
         )
         return new_version
 
+    def prune_tombstones(
+        self, spark: SparkSession, current_version: int, min_live_order: int
+    ) -> int:
+        """GC: drop tombstones whose leading order value (gtid_seq) is
+        below ``min_live_order`` — the caller's low-watermark of possible
+        redelivery (e.g. the decode tier's checkpointed GTID floor: no
+        event ordered below it can ever arrive again, so its tombstone
+        can never be outranked into relevance). Writes a new snapshot and
+        returns its version."""
+        keys = list(self.spec.primary_key)
+        df = self.read_with_order(spark, current_version)
+        lead = self._ord_names()[0]
+        kept = df.filter(
+            (~F.col("_deleted")) | (F.col(lead) >= F.lit(min_live_order))
+        )
+        new_version = current_version + 1
+        out_path = self.snapshot_path(new_version)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        (
+            kept.repartition(self.buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+        return new_version
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is usable on this session."""

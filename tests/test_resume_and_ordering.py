@@ -246,3 +246,25 @@ class TestRemoteFsListing:
         n_local = decode_binlog_dir(spark, outdir).count()
         n_uri = decode_binlog_dir(spark, uri).count()
         assert n_uri == n_local > 0
+
+    def test_tombstone_gc(self, spark, tmp_path):
+        """prune_tombstones drops only tombstones below the redelivery
+        low-watermark; live rows and newer tombstones survive."""
+        tgt = OrderedParquetMergeTarget(str(tmp_path / "st"), TRANSCRIPTS, buckets=2)
+        ts = datetime(2024, 1, 1)
+        net = spark.createDataFrame(
+            [
+                ("a", 0, "update", "user", "LIVE", None, ts, 10, 100, 0),
+                ("b", 0, "delete", None, None, None, None, 5, 50, 0),
+                ("c", 0, "delete", None, None, None, None, 40, 400, 0),
+            ],
+            TestOrderedTarget.NET_SCHEMA,
+        )
+        v = tgt.merge(spark, net, 0)
+        full = tgt.read_with_order(spark, v)
+        assert full.count() == 3 and tgt.read(spark, v).count() == 1
+        v2 = tgt.prune_tombstones(spark, v, min_live_order=20)
+        remaining = tgt.read_with_order(spark, v2).toPandas()
+        # tombstone b (seq 5 < 20) gone; tombstone c (seq 40) kept
+        assert sorted(remaining["conv_id"]) == ["a", "c"]
+        assert tgt.read(spark, v2).count() == 1
