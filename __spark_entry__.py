@@ -6,10 +6,10 @@
   expressible over the driver testdata tables, plus the training-data
   pipeline ops (dedup / similarity / text / multimodal) and the
   end-to-end binlog replay.
-- ``oracle_sql()``: DuckDB-equivalent SQL for each (26 oracle-checked;
-  omitted only for the two genuinely non-SQL ops: the stubbed binary
-  decode and the binlog replay, whose input is generated binlog bytes,
-  not the parquet views).
+- ``oracle_sql()``: DuckDB-equivalent SQL for each (31 oracle-checked as
+  of round 2 — including multimodal_features via exact-integer features;
+  omitted only for the binlog replay, whose input is generated binlog
+  bytes, not the parquet views).
 
 The binlog-native pipeline (decode kernels, GTID algebra, exactly-once
 ledger, MERGE targets) is additionally pinned by the pytest golden
