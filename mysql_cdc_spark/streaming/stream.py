@@ -93,6 +93,71 @@ def stream_apply(
     return writer.start()
 
 
+def stream_apply_frames(
+    spark: SparkSession,
+    frames_dir: str,
+    store_dir: str,
+    spec: TableSpec = TRANSCRIPTS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """End-to-end streaming over the event-frame source: raw binlog
+    frames land as (stream, offset, frame) rows (the message-bus relay
+    shape, binlog/frames.py); each trigger decodes the new frames and
+    merges order-aware. Because decode happens inside the trigger, a
+    frame file arriving out of order is just an out-of-order *event*
+    batch — the tombstoned, rank-checked merge absorbs it, so no
+    cross-trigger coordination with the decode tier is needed.
+
+    Contracts (both mirror the file path's per-segment independence):
+    - a frames file must carry whole transactions per stream (MySQL
+      itself never rotates mid-transaction; a relay that commits at XID
+      boundaries gives this for free) — a split transaction's tail would
+      gate as uncommitted and drop;
+    - cross-trigger ordering rides on gtid_seq (``pos`` restarts per
+      reassembled chunk and only breaks ties within a transaction), so
+      this path requires GTID-enabled streams."""
+    from ..binlog.frames import decode_event_frames
+
+    target = OrderedParquetMergeTarget(store_dir, spec, order_cols=tuple(ORDER_COLS))
+    keys = list(spec.primary_key)
+    payload_cols = list(
+        dict.fromkeys(
+            ["op"]
+            + [f"after_{n}" for n, _, _ in spec.columns]
+            + ORDER_COLS
+            + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
+        )
+    )
+    reader = spark.readStream.schema("stream string, offset long, frame binary")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(frames_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        changes = decode_event_frames(batch_df, spec)
+        changes = changes.filter(F.col("xid").isNotNull())
+        changes = with_change_key(changes, keys)
+        net = last_writer_wins(
+            changes, key_cols=keys, order_cols=ORDER_COLS,
+            payload_cols=payload_cols,
+        )
+        target.merge(batch_df.sparkSession, net, _current_version(store_dir))
+
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{store_dir}/_frames_checkpoint",
+        )
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _current_version(store_dir: str) -> int:
     import os
     import re

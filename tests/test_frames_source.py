@@ -61,3 +61,62 @@ def test_frames_scalar_mode_matches(spark, stream_fixture, monkeypatch):
     fast = decode_event_frames(_frames_df(spark, paths)).count()
     scalar = decode_event_frames(_frames_df(spark, paths), vectorized=False).count()
     assert fast == scalar > 0
+
+
+def test_stream_apply_frames_out_of_order_triggers(spark, stream_fixture, tmp_path):
+    """Streaming over the frame source: the NEWER half of the stream's
+    frames arrives in trigger 1, the OLDER half in trigger 2 — the
+    order-aware merge must still converge to the sequential oracle."""
+    import os
+
+    from mysql_cdc_spark.binlog.reader import BinlogFileReader
+    from mysql_cdc_spark.fixtures import apply_changelog_oracle
+    from mysql_cdc_spark.streaming.stream import read_stream_state, stream_apply_frames
+
+    outdir, paths = stream_fixture
+    txns = generate_changelog(
+        n_conversations=12, max_turns=4, n_extra_ops=30, seed=8,
+        duplicate_txns=2, evolve_after_frac=0.5,
+    )
+    half_seq = max(t.seq for t in txns) // 2
+
+    # split frames at transaction granularity by gtid_seq
+    older, newer = [], []
+    for p in paths:
+        name = os.path.basename(p)
+        with open(p, "rb") as f:
+            content = f.read()
+        cur = None
+        bucket = older
+        for (header, pos, kind, event), (fpos, frame) in zip(
+            BinlogFileReader(content, name), split_segment_frames(content)
+        ):
+            if kind == "format_description":
+                older.append((name, fpos, bytearray(frame)))
+                newer.append((name, fpos, bytearray(frame)))
+                continue
+            if kind == "mysql_gtid":
+                cur = event["transaction_id"]
+                bucket = newer if cur > half_seq else older
+            bucket.append((name, fpos, bytearray(frame)))
+
+    frames_dir = str(tmp_path / "frames")
+    schema = "stream string, offset long, frame binary"
+    # trigger file 1 = newer txns; trigger file 2 = older txns (late)
+    spark.createDataFrame(newer, schema).coalesce(1).write.mode("append").parquet(frames_dir)
+    spark.createDataFrame(older, schema).coalesce(1).write.mode("append").parquet(frames_dir)
+
+    store = str(tmp_path / "store")
+    q = stream_apply_frames(
+        spark, frames_dir, store, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    got = (
+        read_stream_state(spark, store)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = apply_changelog_oracle(txns)
+    assert got["text"].tolist() == want["text"].tolist()
