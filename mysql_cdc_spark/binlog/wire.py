@@ -1,0 +1,155 @@
+"""Wire-protocol scalar functions (F9/F10 in SURVEY.md §2.8) — the pure
+byte-level pieces of the reference's connection layer, implemented so the
+decode library is complete even though this engine never opens a socket
+(the Spark source reads segments/frames; see decoder.py / frames.py).
+
+- password scramble (src/extensions.rs:11-44): sha1/sha256 challenge
+  response for mysql_native_password and caching_sha2_password
+- server response parsers (src/responses/*.rs): ERR packet, EOF packet,
+  initial handshake, auth-plugin switch, text-protocol result-set row
+- response-type dispatch (responses/response_type.rs,
+  extensions.rs:139-146)
+
+All functions take/return plain bytes/str — usable from driver-side
+connection code or tests without any Spark dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+from . import kernels as K
+
+# responses/response_type.rs
+RESPONSE_OK = 0x00
+RESPONSE_ERROR = 0xFF
+RESPONSE_END_OF_FILE = 0xFE
+RESPONSE_AUTH_PLUGIN_SWITCH = 0xFE
+
+# constants/capability_flags.rs:19,23
+SECURE_CONNECTION = 1 << 15
+PLUGIN_AUTH = 1 << 19
+
+MYSQL_NATIVE_PASSWORD = "mysql_native_password"
+CACHING_SHA2_PASSWORD = "caching_sha2_password"
+
+
+def _xor(a: bytes, b: bytes) -> bytes:
+    """extensions.rs:38-44 (b cycles when shorter)."""
+    return bytes(x ^ b[i % len(b)] for i, x in enumerate(a))
+
+
+def encrypt_password(password: str, scramble: str, auth_plugin: str) -> bytes:
+    """Challenge-response hash; extensions.rs:11-24.
+
+    mysql_native_password:  sha1(pw) XOR sha1(scramble ∥ sha1(sha1(pw)))
+    caching_sha2_password:  sha256(pw) XOR sha256(scramble ∥ sha256(sha256(pw)))
+    """
+    if auth_plugin == MYSQL_NATIVE_PASSWORD:
+        h = hashlib.sha1
+    elif auth_plugin == CACHING_SHA2_PASSWORD:
+        h = hashlib.sha256
+    else:
+        raise ValueError(f"unsupported auth plugin: {auth_plugin}")
+    password_hash = h(password.encode()).digest()
+    concat_hash = scramble.encode() + h(password_hash).digest()
+    return _xor(password_hash, h(concat_hash).digest())
+
+
+def parse_error_packet(packet: bytes) -> dict:
+    """ERR packet body (after the 0xFF type byte); error_packet.rs:14-34.
+    A '#sqlstate' marker prefixes the message when present."""
+    error_code = struct.unpack_from("<H", packet, 0)[0]
+    message = packet[2:].decode("utf-8")
+    sql_state: Optional[str] = None
+    if message.startswith("#"):
+        sql_state = message[1:6]
+        message = message[6:]
+    return {
+        "error_code": error_code,
+        "error_message": message,
+        "sql_state": sql_state,
+    }
+
+
+def parse_end_of_file_packet(packet: bytes) -> dict:
+    """EOF packet body; end_of_file_packet.rs:13-24."""
+    warning_count, server_status = struct.unpack_from("<HH", packet, 0)
+    return {"warning_count": warning_count, "server_status": server_status}
+
+
+def _read_null_term(packet: bytes, off: int) -> tuple[str, int]:
+    end = packet.index(0, off)
+    return packet[off:end].decode("utf-8"), end + 1
+
+
+def parse_handshake_packet(packet: bytes) -> dict:
+    """Initial handshake; handshake_packet.rs:24-76 — including the split
+    capability-flag words and the SECURE_CONNECTION scramble tail."""
+    protocol_version = packet[0]
+    off = 1
+    server_version, off = _read_null_term(packet, off)
+    connection_id = struct.unpack_from("<I", packet, off)[0]
+    off += 4
+    scramble, off = _read_null_term(packet, off)
+    cap1 = packet[off : off + 2]
+    off += 2
+    server_collation = packet[off]
+    off += 1
+    status_flags = struct.unpack_from("<H", packet, off)[0]
+    off += 2
+    cap2 = packet[off : off + 2]
+    off += 2
+    auth_plugin_length = packet[off]
+    off += 1
+    filler = packet[off : off + 6].decode("utf-8", "replace")
+    off += 6
+    cap3 = packet[off : off + 4]
+    off += 4
+    server_capabilities = int.from_bytes(cap1 + cap2 + cap3, "little")
+    if server_capabilities & SECURE_CONNECTION:
+        tail, off = _read_null_term(packet, off)
+        scramble += tail
+    auth_plugin_name = ""
+    if server_capabilities & PLUGIN_AUTH:
+        auth_plugin_name, off = _read_null_term(packet, off)
+    return {
+        "protocol_version": protocol_version,
+        "server_version": server_version,
+        "connection_id": connection_id,
+        "scramble": scramble,
+        "server_capabilities": server_capabilities,
+        "server_collation": server_collation,
+        "status_flags": status_flags,
+        "filler": filler,
+        "auth_plugin_length": auth_plugin_length,
+        "auth_plugin_name": auth_plugin_name,
+    }
+
+
+def parse_auth_switch_packet(packet: bytes) -> dict:
+    """Authentication switch request; auth_switch_packet.rs:14-25."""
+    name, off = _read_null_term(packet, 0)
+    data, _ = _read_null_term(packet, off)
+    return {"auth_plugin_name": name, "auth_plugin_data": data}
+
+
+def parse_result_set_row(packet: bytes) -> list[str]:
+    """Text-protocol result-set row (all cells are length-encoded
+    strings); result_set_row_packet.rs:12-27 — the shape 'show master
+    status' / ledger reads come back in."""
+    cells = []
+    off = 0
+    while off < len(packet):
+        cell, off = K.read_len_enc_str(packet, off)
+        cells.append(cell)
+    return cells
+
+
+def check_error_packet(packet: bytes, message: str = "") -> None:
+    """Raise on an ERR response; extensions.rs:139-146."""
+    if packet and packet[0] == RESPONSE_ERROR:
+        err = parse_error_packet(packet[1:])
+        raise ValueError(f"{message} {err}".strip())
