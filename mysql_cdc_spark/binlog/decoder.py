@@ -101,6 +101,13 @@ def change_event_schema(spec: TableSpec = TRANSCRIPTS) -> T.StructType:
         T.StructField("tbl", T.StringType()),
         T.StructField("row_in_event", T.IntegerType()),
     ]
+    # per-image column-presence bitmasks over canonical columns (P1:
+    # binlog_row_image != full leaves columns absent — row_parser.rs:108-111;
+    # bit i set ⇔ canonical column i was present in the image). Consumers
+    # needing per-column merge-apply (MINIMAL images) read these; FULL
+    # streams carry all-ones.
+    fields.append(T.StructField("before_present", T.LongType()))
+    fields.append(T.StructField("after_present", T.LongType()))
     for prefix in ("before_", "after_"):
         for name, ddl, _kind in spec.columns:
             fields.append(
@@ -194,10 +201,14 @@ class _FileDecoder:
         self.kinds = {c[0]: c[2] for c in spec.columns}
         # canonical column index maps, memoized per table-map identity
         self._colmap_memo: dict[int, list] = {}
-        # output columns: _META_COLS then before_*/after_* canonical
-        self.columns = list(self._META_COLS) + [
-            p + n for p in ("before_", "after_") for n in self.canonical
-        ]
+        # canonical presence masks, memoized per (table, presence) combo
+        self._mask_memo: dict[tuple, int] = {}
+        # output columns: _META_COLS, presence masks, before_*/after_*
+        self.columns = (
+            list(self._META_COLS)
+            + ["before_present", "after_present"]
+            + [p + n for p in ("before_", "after_") for n in self.canonical]
+        )
         # flat row tuples (everything except src_file/xid) + per-row xid;
         # one C-level zip(*) transpose per Arrow batch beats 25 list
         # appends per row by ~4×
@@ -255,6 +266,21 @@ class _FileDecoder:
             self._colmap_memo[key] = cm
         return cm
 
+    def _canon_mask(self, table: dict, present: list) -> int:
+        """Canonical-column presence bitmask for one image: bit ci set iff
+        the canonical column maps into this table AND its table column is
+        in the image's columns_present (row_parser.rs:108-111)."""
+        key = (id(table), tuple(present))
+        m = self._mask_memo.get(key)
+        if m is None:
+            m = 0
+            n = len(present)
+            for ci, mi, _kind in self._colmap(table):
+                if mi is not None and mi < n and present[mi]:
+                    m |= 1 << ci
+            self._mask_memo[key] = m
+        return m
+
     def decode_file(
         self, path: str, content: bytes, batch_rows: int = 65536
     ) -> Iterator[pd.DataFrame]:
@@ -304,22 +330,33 @@ class _FileDecoder:
                     continue
                 op = "insert" if kind == "write_rows" else "delete"
                 colmap = self._colmap(table)
+                img_mask = self._canon_mask(table, event["columns_present"])
                 ts = header[0] or None
                 tid = event["table_id"]
                 db, tbl = table["database_name"], table["table_name"]
                 meta = (pos, header[4], ts, header[2], op, cur_gtid_source,
                         cur_gtid_seq, tid, db, tbl)
                 if op == "insert":
+                    masks = (0, img_mask)
                     for i, row in enumerate(event["rows"]):
-                        txn_buffer.append(meta + (i,) + nulls + map_image(row, colmap))
+                        txn_buffer.append(
+                            meta + (i,) + masks + nulls + map_image(row, colmap)
+                        )
                 else:
+                    masks = (img_mask, 0)
                     for i, row in enumerate(event["rows"]):
-                        txn_buffer.append(meta + (i,) + map_image(row, colmap) + nulls)
+                        txn_buffer.append(
+                            meta + (i,) + masks + map_image(row, colmap) + nulls
+                        )
             elif kind == "update_rows":
                 table = reader.table_map[event["table_id"]]
                 if table["database_name"] != spec.database or table["table_name"] != spec.table:
                     continue
                 colmap = self._colmap(table)
+                masks = (
+                    self._canon_mask(table, event["before_present"]),
+                    self._canon_mask(table, event["after_present"]),
+                )
                 ts = header[0] or None
                 tid = event["table_id"]
                 db, tbl = table["database_name"], table["table_name"]
@@ -327,7 +364,8 @@ class _FileDecoder:
                         cur_gtid_seq, tid, db, tbl)
                 for i, (before, after) in enumerate(event["rows"]):
                     txn_buffer.append(
-                        meta + (i,) + map_image(before, colmap) + map_image(after, colmap)
+                        meta + (i,) + masks
+                        + map_image(before, colmap) + map_image(after, colmap)
                     )
             elif kind == "xid":
                 emit_txn(event["xid"])

@@ -336,18 +336,25 @@ class BinlogWriter:
         column_types: list[int],
         column_metadata: list[int],
         row_pairs: list[tuple[list, list]],
+        before_present: list[bool] | None = None,
+        after_present: list[bool] | None = None,
         timestamp: int = 0,
     ) -> None:
+        """UPDATE_ROWS with independent before/after presence bitmaps —
+        full images by default; pass partial bitmaps for the
+        binlog_row_image=MINIMAL shape (before: PK cols, after: PK +
+        changed cols; row_parser.rs:108-111)."""
         n = len(column_types)
-        present = [True] * n
+        bp = before_present or [True] * n
+        ap = after_present or [True] * n
         out = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
         out += struct.pack("<H", 2)
         out += K.write_len_enc_num(n)
-        out += K.pack_bitmap_little_endian(present)  # before image
-        out += K.pack_bitmap_little_endian(present)  # after image
+        out += K.pack_bitmap_little_endian(bp)  # before image
+        out += K.pack_bitmap_little_endian(ap)  # after image
         for before, after in row_pairs:
-            out += self._encode_rows([before], column_types, column_metadata, present)
-            out += self._encode_rows([after], column_types, column_metadata, present)
+            out += self._encode_rows([before], column_types, column_metadata, bp)
+            out += self._encode_rows([after], column_types, column_metadata, ap)
         self._append_event(EventType.MYSQL_UPDATE_ROWS_V2, out, timestamp=timestamp)
 
     def write_intvar(self, intvar_type: int, value: int, timestamp: int = 0) -> None:

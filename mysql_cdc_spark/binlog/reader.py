@@ -413,7 +413,12 @@ def parse_write_or_delete_rows(payload: bytes, table_map: dict, version: int):
     while off < n:
         row, off = parse_row(payload, off, table, columns_present, cells)
         rows.append(row)
-    return {"table_id": table_id, "flags": flags, "rows": rows}
+    return {
+        "table_id": table_id,
+        "flags": flags,
+        "rows": rows,
+        "columns_present": [bool(b) for b in columns_present],
+    }
 
 
 def parse_update_rows(payload: bytes, table_map: dict, version: int):
@@ -432,7 +437,13 @@ def parse_update_rows(payload: bytes, table_map: dict, version: int):
         before, off = parse_row(payload, off, table, before_present, cells_before)
         after, off = parse_row(payload, off, table, after_present, cells_after)
         rows.append((before, after))
-    return {"table_id": table_id, "flags": flags, "rows": rows}
+    return {
+        "table_id": table_id,
+        "flags": flags,
+        "rows": rows,
+        "before_present": [bool(b) for b in before_present],
+        "after_present": [bool(b) for b in after_present],
+    }
 
 
 def parse_format_description(payload: bytes, event_length: int):

@@ -1045,6 +1045,18 @@ def decode_segment_fast(
         out["tbl"] = ("obj", np.full(n_rows, tm["table_name"], dtype=object))
         out["row_in_event"] = ("i32", row_in_event)
 
+        # canonical presence masks: the fast path only handles full row
+        # images, so the mask is the table map's full canonical coverage
+        # (schema-evolution: canonical columns absent from this map stay 0)
+        full_mask = 0
+        for ci, cname in enumerate(canonical):
+            if cname in index:
+                full_mask |= 1 << ci
+        bm = 0 if op == "insert" else full_mask
+        am = 0 if op == "delete" else full_mask
+        out["before_present"] = ("i64", np.full(n_rows, bm, dtype=np.int64))
+        out["after_present"] = ("i64", np.full(n_rows, am, dtype=np.int64))
+
         for prefix, img in (("before_", img_before), ("after_", img_after)):
             for name in canonical:
                 mi = index.get(name)

@@ -240,6 +240,7 @@ def write_binlog_files(
     write_begin_query: bool = True,
     workers: int = 0,
     provider: str = "mysql",
+    row_image: str = "full",
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -263,7 +264,7 @@ def write_binlog_files(
             (
                 txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
                 outdir, fidx, n_files, txns_per_file, file_prefix,
-                source_uuid, server_id, write_begin_query, provider,
+                source_uuid, server_id, write_begin_query, provider, row_image,
             )
             for fidx in range(n_files)
         ]
@@ -276,7 +277,7 @@ def write_binlog_files(
         paths.append(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
-                 source_uuid, server_id, write_begin_query, provider)
+                 source_uuid, server_id, write_begin_query, provider, row_image)
             )
         )
     return paths
@@ -284,7 +285,7 @@ def write_binlog_files(
 
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
-     source_uuid, server_id, write_begin_query, provider) = job
+     source_uuid, server_id, write_begin_query, provider, row_image) = job
     import os
 
     fname = f"{file_prefix}.{fidx + 1:06d}"
@@ -321,23 +322,44 @@ def _write_one_file(job) -> str:
         run_kind = None
         run: list = []
 
+        minimal = row_image == "minimal"
+        pk_idx = (0, 1)  # (conv_id, turn_idx)
+
         def flush_run(kind, ops):
             if not ops:
                 return
+            n = len(cols)
             if kind == "insert":
+                # inserts always carry full images, even under MINIMAL
                 writer.write_rows(
                     table_id, ctypes, cmeta, [op.after for op in ops],
                     event_type=EventType.MYSQL_WRITE_ROWS_V2, timestamp=txn.timestamp,
                 )
             elif kind == "update":
+                bp = ap = None
+                if minimal:
+                    # before: PK only; after: PK ∪ changed columns of the run
+                    changed = set(pk_idx)
+                    for op in ops:
+                        for i in range(n):
+                            if (op.before[i] if i < len(op.before) else None) != (
+                                op.after[i] if i < len(op.after) else None
+                            ):
+                                changed.add(i)
+                    bp = [i in pk_idx for i in range(n)]
+                    ap = [i in changed for i in range(n)]
                 writer.write_update_rows(
                     table_id, ctypes, cmeta, [(op.before, op.after) for op in ops],
-                    timestamp=txn.timestamp,
+                    before_present=bp, after_present=ap, timestamp=txn.timestamp,
                 )
             else:
                 writer.write_rows(
                     table_id, ctypes, cmeta, [op.before for op in ops],
-                    event_type=EventType.MYSQL_DELETE_ROWS_V2, timestamp=txn.timestamp,
+                    event_type=EventType.MYSQL_DELETE_ROWS_V2,
+                    columns_present=(
+                        [i in pk_idx for i in range(n)] if minimal else None
+                    ),
+                    timestamp=txn.timestamp,
                 )
 
         for op in txn.ops:

@@ -88,6 +88,73 @@ def last_writer_wins(
     return phase2.select(*key_cols, *[F.col(f"_win.{c}").alias(c) for c in payload_cols])
 
 
+def last_writer_wins_partial(
+    df: DataFrame,
+    key_cols: list[str],
+    spec,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-COLUMN last-writer-wins for partial row images
+    (binlog_row_image=MINIMAL: updates carry only PK + changed columns,
+    deletes only the PK — row_parser.rs:108-111).
+
+    One aggregation pass per key computes, for every canonical column,
+    the value of the latest event that *carried* it (``after_present``
+    bit set, masked ``max_by``), plus the overall last op and a delete
+    fence: a column winner older than the key's last delete is dead — the
+    delete cleared it and only a later insert (full image) can restore
+    it. Output: keys + op + order cols of the last event + ``after_<c>``
+    + ``carried_mask`` (bit ci set ⇔ the merged state should take
+    ``after_<c>`` for column ci; unset ⇔ keep the stored value).
+
+    Same shuffle shape as the full-image ``last_writer_wins`` — map-side
+    combinable aggregates, one exchange on the key."""
+    order_cols = order_cols or ORDER_COLS
+    ordv = F.struct(*[F.col(c) for c in order_cols])
+    last_fields = list(
+        dict.fromkeys(
+            ["op"] + order_cols + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
+        )
+    )
+    last_payload = F.struct(*[F.col(c) for c in last_fields])
+
+    aggs = [
+        F.max_by(last_payload, ordv).alias("_last"),
+        F.max(F.when(F.col("op") == "delete", ordv)).alias("_fence"),
+    ]
+    for ci, (name, _ddl, _kind) in enumerate(spec.columns):
+        bit = F.shiftright(F.col("after_present"), ci).bitwiseAND(F.lit(1)) == 1
+        aggs.append(
+            F.max_by(
+                F.struct(F.col(f"after_{name}").alias("v"), ordv.alias("o")),
+                F.when(bit, ordv),
+            ).alias(f"_w_{name}")
+        )
+    agg = df.groupBy(*key_cols).agg(*aggs)
+
+    carried_bits = []
+    sel = [
+        *key_cols,
+        F.col("_last.op").alias("op"),
+        *[F.col(f"_last.{c}").alias(c) for c in order_cols],
+        F.col("_last.src_file").alias("src_file"),
+        F.col("_last.gtid_source").alias("gtid_source"),
+        F.col("_last.xid").alias("xid"),
+    ]
+    for ci, (name, _ddl, _kind) in enumerate(spec.columns):
+        w = F.col(f"_w_{name}")
+        alive = w.isNotNull() & (
+            F.col("_fence").isNull() | (w["o"] > F.col("_fence"))
+        )
+        sel.append(F.when(alive, w["v"]).alias(f"after_{name}"))
+        carried_bits.append(F.when(alive, F.lit(1 << ci)).otherwise(F.lit(0)))
+    carried = carried_bits[0]
+    for b in carried_bits[1:]:
+        carried = carried + b
+    sel.append(carried.cast("long").alias("carried_mask"))
+    return agg.select(*sel)
+
+
 def lww_window(df: DataFrame, key_cols: list[str], order_cols: list[str] | None = None) -> DataFrame:
     """Window-function formulation of W1 (row_number desc == 1).
 

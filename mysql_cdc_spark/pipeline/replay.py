@@ -34,6 +34,7 @@ from .order import (
     filter_covered_gtids,
     gate_complete_transactions,
     last_writer_wins,
+    last_writer_wins_partial,
     with_change_key,
 )
 from .target import ParquetMergeTarget
@@ -167,12 +168,19 @@ class Replayer:
         salt_buckets: int = 0,
         target: object | None = None,
         start: object | None = None,
+        row_image: str = "full",
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
         seeds the ledger on first construction, ignored when the store
         already has checkpoints (reconnect keeps state,
         binlog_client.rs:40-43).
+
+        ``row_image``: ``"full"`` (default) applies whole after-images
+        per key (binlog_row_image=FULL, the standard CDC configuration);
+        ``"minimal"`` switches to per-COLUMN last-writer-wins + carried-
+        column merge so MINIMAL streams (updates carry only PK + changed
+        columns) apply without nulling untouched columns.
 
         ``salt_buckets=0`` (default): plain ``max_by`` aggregation — its
         map-side partial combine already collapses a hot key to one row per
@@ -186,6 +194,7 @@ class Replayer:
         self.store_dir = store_dir
         self.spec = spec
         self.salt_buckets = salt_buckets
+        self.row_image = row_image
         self.ledger = Ledger(store_dir)
         # snapshot bucket count tracks cluster parallelism: the output
         # committer's driver-side file moves are a serial cost per bucket,
@@ -259,28 +268,35 @@ class Replayer:
             *keys,
             "src_file", "pos", "next_pos", "ts", "server_id", "op",
             "gtid_source", "gtid_seq", "xid", "table_id", "db", "tbl",
-            "row_in_event",
+            "row_in_event", "after_present",
             *[f"after_{n}" for n, _, _ in spec.columns],
         )
 
         phase_t = {}
 
-        # -- net change per key (salted two-phase LWW) — lazy plan
-        payload_cols = list(
-            dict.fromkeys(
-                ["op"]
-                + [f"after_{n}" for n, _, _ in spec.columns]
-                + ORDER_COLS
-                + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
+        # -- net change per key — lazy plan. FULL images: whole-row LWW
+        # (optionally salted); MINIMAL images: per-column LWW + carried
+        # mask (order.last_writer_wins_partial)
+        if self.row_image == "minimal":
+            net = last_writer_wins_partial(
+                changes, key_cols=keys, spec=spec, order_cols=ORDER_COLS
             )
-        )
-        net = last_writer_wins(
-            changes,
-            key_cols=keys,
-            order_cols=ORDER_COLS,
-            payload_cols=payload_cols,
-            salt_buckets=self.salt_buckets,
-        )
+        else:
+            payload_cols = list(
+                dict.fromkeys(
+                    ["op"]
+                    + [f"after_{n}" for n, _, _ in spec.columns]
+                    + ORDER_COLS
+                    + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
+                )
+            )
+            net = last_writer_wins(
+                changes,
+                key_cols=keys,
+                order_cols=ORDER_COLS,
+                payload_cols=payload_cols,
+                salt_buckets=self.salt_buckets,
+            )
         current_version = self.ledger.current_snapshot_version()
 
         # -- stats pass ∥ merge job. The stats-only decode (values skipped,
@@ -314,7 +330,12 @@ class Replayer:
                 merge_group, "cdc merge", interruptOnCancel=True
             )
             try:
-                merge_out["version"] = self.target.merge(spark, net, current_version)
+                merge_fn = (
+                    self.target.merge_partial
+                    if self.row_image == "minimal"
+                    else self.target.merge
+                )
+                merge_out["version"] = merge_fn(spark, net, current_version)
             except BaseException as e:
                 merge_out["err"] = e
             finally:

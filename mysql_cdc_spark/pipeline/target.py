@@ -108,6 +108,60 @@ class ParquetMergeTarget:
         )
         return new_version
 
+    def merge_partial(
+        self,
+        spark: SparkSession,
+        net: DataFrame,
+        current_version: int,
+    ) -> int:
+        """MERGE for partial-image (MINIMAL) net changes: ``net`` carries
+        key cols + ``op`` + ``after_<col>`` + ``carried_mask`` (from
+        ``last_writer_wins_partial``); a matched row takes ``after_<c>``
+        only for carried columns and keeps its stored value otherwise —
+        the per-column form of Iceberg's ``UPDATE SET c = s.c`` clause
+        list. Plan shape: one full-outer key join (same class as the
+        anti-join ∪ union of the full-image path)."""
+        spec = self.spec
+        keys = list(spec.primary_key)
+        state = self.read(spark, current_version)
+
+        n = net.select(
+            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+            F.col("op").alias("_op"),
+            F.col("carried_mask").alias("_cm"),
+            *[
+                F.col(f"after_{c}").cast(d).alias(f"_s_{c}")
+                for c, d, _ in spec.columns
+                if c not in keys
+            ],
+        )
+        joined = state.join(n, on=keys, how="full_outer")
+        survives = F.col("_op").isNull() | (F.col("_op") != "delete")
+        out_cols = [F.col(k) for k in keys]
+        for ci, (c, _d, _k) in enumerate(spec.columns):
+            if c in keys:
+                continue
+            bit = F.shiftright(F.col("_cm"), ci).bitwiseAND(F.lit(1)) == 1
+            out_cols.append(
+                F.when(F.col("_op").isNotNull() & bit, F.col(f"_s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        merged = joined.filter(survives).select(*out_cols).select(
+            *[n_ for n_, _, _ in spec.columns]
+        )
+
+        new_version = current_version + 1
+        out_path = self.snapshot_path(new_version)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        (
+            merged.repartition(self.buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .parquet(out_path)
+        )
+        return new_version
+
     def gc(self, keep_latest: int) -> None:
         """Drop snapshots older than the newest ``keep_latest`` (bench/io)."""
         snaps = sorted(os.listdir(os.path.join(self.store_dir, "snapshots")))
