@@ -800,36 +800,86 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     return None
 
 
-def _walk_group(data, etype, ps, pe, ev, specs, op: str, values: bool):
-    """Head parse + event-wavefront over one (table-map, op) group.
-    Returns (evt_local, row_in_event, before_steps, after_steps) or None
-    when the layout is outside the fast path."""
-    ncols = len(specs)
-    v2 = np.isin(etype[ev], _V2_TYPES)
-    p = ps[ev]
-    # head: table_id(6) flags(2) [v2: extra_len(2)+extra]
-    head = p + 8
-    if v2.any():
-        extra = _gather_le(data, head, 2).astype(np.int64)
-        head = head + np.where(v2, extra, 0)
-    nc = data[np.minimum(head, len(data) - 1)].astype(np.int64)
-    if (nc >= 251).any() or (nc != ncols).any():
-        return None
-    head = head + 1
-    nb = (ncols + 7) // 8
-    # presence bitmaps must be all-ones (full row images)
-    full_bits = (1 << ncols) - 1
-    n_imgs = 2 if op == "update" else 1
-    if ncols >= 64:
-        return None  # presence check beyond one u64 → scalar path
-    for img in range(n_imgs):
-        pres = _gather_le(data, head + img * nb, nb)
-        if (pres != np.uint64(full_bits)).any():
-            return None  # partial row images → scalar path
-    head = head + n_imgs * nb
+def _group_row_events(prep, data, etype, ps):
+    """Subgroup the kept row events by (unique table map, op kind,
+    presence pattern) — partial row images (binlog_row_image=MINIMAL,
+    row_parser.rs:108-111) simply become their own subgroups, each with a
+    constant column subset the wavefront can decode. Returns a list of
+    dicts {uid, op, loc, rows_start, bits_b, bits_a} (loc = indices into
+    prep.ridx_k; bits = present table-column indices for the before/after
+    image, None for an absent image), or None → scalar fallback."""
+    ridx_k = prep.ridx_k
+    n = len(ridx_k)
+    et_k = etype[ridx_k]
+    op_code = np.where(
+        np.isin(et_k, _ROW_WRITE), 0, np.where(np.isin(et_k, _ROW_DELETE), 1, 2)
+    )
+    pres_b = np.zeros(n, dtype=np.uint64)
+    pres_a = np.zeros(n, dtype=np.uint64)
+    rows_start = np.zeros(n, dtype=np.int64)
+    hi = len(data) - 1
+    for uid in np.unique(prep.gov_k):
+        sel = np.nonzero(prep.gov_k == uid)[0]
+        ncols = len(prep.uniq_tms[uid]["column_types"])
+        if ncols >= 64:
+            return None  # presence word beyond one u64 → scalar path
+        ev = ridx_k[sel]
+        v2 = np.isin(etype[ev], _V2_TYPES)
+        head = ps[ev] + 8
+        if v2.any():
+            extra = _gather_le(data, head, 2).astype(np.int64)
+            head = head + np.where(v2, extra, 0)
+        nc = data[np.minimum(head, hi)].astype(np.int64)
+        if (nc >= 251).any() or (nc != ncols).any():
+            return None
+        head = head + 1
+        nb = (ncols + 7) // 8
+        upd = np.isin(etype[ev], _ROW_UPDATE)
+        p1 = _gather_le(data, head, nb)
+        p2 = np.where(upd, _gather_le(data, head + nb, nb), p1)
+        pres_b[sel] = p1
+        pres_a[sel] = p2
+        rows_start[sel] = head + np.where(upd, 2 * nb, nb)
 
+    groups = []
+    go = prep.gov_k * 3 + op_code
+    for gk in np.unique(go):
+        uid, opc = int(gk) // 3, int(gk) % 3
+        op = ("insert", "delete", "update")[opc]
+        gsel = np.nonzero(go == gk)[0]
+        reps, inv = _unique_pairs(pres_b[gsel], pres_a[gsel])
+        for si, rep in enumerate(reps):
+            loc = gsel[inv == si]
+            pb, pa = int(pres_b[gsel[rep]]), int(pres_a[gsel[rep]])
+            ncols = len(prep.uniq_tms[uid]["column_types"])
+            word = {"insert": pa, "delete": pb, "update": None}[op]
+            if op == "update":
+                bits_b = [i for i in range(ncols) if pb >> i & 1]
+                bits_a = [i for i in range(ncols) if pa >> i & 1]
+            elif op == "insert":
+                bits_b = None
+                bits_a = [i for i in range(ncols) if word >> i & 1]
+            else:
+                bits_b = [i for i in range(ncols) if word >> i & 1]
+                bits_a = None
+            groups.append(
+                {
+                    "uid": uid, "op": op, "loc": loc,
+                    "rows_start": rows_start[loc],
+                    "bits_b": bits_b, "bits_a": bits_a,
+                }
+            )
+    return groups
+
+
+def _walk_group(data, pe, ev, rows_start, specs_b, specs_a, op: str, values: bool):
+    """Event-wavefront over one (table-map, op, presence) subgroup —
+    heads already parsed; specs_b/specs_a are the PRESENT-column subsets
+    for each image (None when the image is absent for this op).
+    Returns (evt_local, row_in_event, before_steps, after_steps) or None
+    when the layout mis-parses."""
     # wavefront: advance one row (or pair) per step
-    cur = head.copy()
+    cur = rows_start.copy()
     end = pe[ev]
     active = np.arange(len(ev), dtype=np.int64)
     step_evt: list[np.ndarray] = []
@@ -845,14 +895,18 @@ def _walk_group(data, etype, ps, pe, ev, specs, op: str, values: bool):
         step_evt.append(active.copy())
         step_row.append(np.full(len(active), r, dtype=np.int32))
         if op == "update":
-            bcols, off2 = _decode_image(data, cur[active], specs, ncols, values)
-            acols, off3 = _decode_image(data, off2, specs, ncols, values)
+            bcols, off2 = _decode_image(data, cur[active], specs_b, len(specs_b), values)
+            acols, off3 = _decode_image(data, off2, specs_a, len(specs_a), values)
             before_steps.append(bcols)
             after_steps.append(acols)
             cur[active] = off3
+        elif op == "delete":
+            cols, off2 = _decode_image(data, cur[active], specs_b, len(specs_b), values)
+            before_steps.append(cols)
+            cur[active] = off2
         else:
-            cols, off2 = _decode_image(data, cur[active], specs, ncols, values)
-            (before_steps if op == "delete" else after_steps).append(cols)
+            cols, off2 = _decode_image(data, cur[active], specs_a, len(specs_a), values)
+            after_steps.append(cols)
             cur[active] = off2
         r += 1
     if (cur > end).any():
@@ -992,39 +1046,54 @@ def decode_segment_fast(
     canonical = [c[0] for c in spec.columns]
     kinds = {c[0]: c[2] for c in spec.columns}
 
-    # group by (unique table-map payload, op kind) — O(schemas × 3)
-    # groups regardless of how many times the server re-emitted the map
+    # subgroup by (unique table-map payload, op kind, presence pattern) —
+    # partial row images decode as their own subgroups with a constant
+    # column subset; O(schemas × 3 × patterns) subgroups total
     frames: list[dict] = []
-    et_k = etype[ridx_k]
-    op_code = np.where(
-        np.isin(et_k, _ROW_WRITE), 0, np.where(np.isin(et_k, _ROW_DELETE), 1, 2)
-    )
-    group_key = prep.gov_k * 3 + op_code
     srcs_lut = np.array(sources + [None], dtype=object)
+    groups = _group_row_events(prep, data, etype, ps)
+    if groups is None:
+        return None
 
-    for gk in np.unique(group_key):
-        uid, opc = int(gk) // 3, int(gk) % 3
-        op = ("insert", "delete", "update")[opc]
-        locals_list = np.nonzero(group_key == gk)[0]
+    for g in groups:
+        uid, op, loc = g["uid"], g["op"], g["loc"]
         tm = uniq_tms[uid]
         specs = _table_colspecs(tm)
         if specs is None:
             return None
-        loc = locals_list
+        specs_b = [specs[i] for i in g["bits_b"]] if g["bits_b"] is not None else None
+        specs_a = [specs[i] for i in g["bits_a"]] if g["bits_a"] is not None else None
         ev = ridx_k[loc]
-        walked = _walk_group(data, etype, ps, pe, ev, specs, op, values=True)
+        walked = _walk_group(
+            data, pe, ev, g["rows_start"], specs_b, specs_a, op, values=True
+        )
         if walked is None:
             return None
         evt_local, row_in_event, before_steps, after_steps = walked
         if len(evt_local) == 0:
             continue
         n_rows = len(evt_local)
-        img_before = _concat_image_cols(before_steps, specs) if before_steps else None
-        img_after = _concat_image_cols(after_steps, specs) if after_steps else None
+        img_before = (
+            _concat_image_cols(before_steps, specs_b) if before_steps else None
+        )
+        img_after = (
+            _concat_image_cols(after_steps, specs_a) if after_steps else None
+        )
 
-        # map image columns → canonical spec columns
+        # map image columns → canonical spec columns: canonical name →
+        # table column index → rank within this image's PRESENT subset
         col_names = tm.get("column_names") or canonical[: len(tm["column_types"])]
         index = {nm: i for i, nm in enumerate(col_names)}
+        rank_b = (
+            {mi: r for r, mi in enumerate(g["bits_b"])}
+            if g["bits_b"] is not None
+            else {}
+        )
+        rank_a = (
+            {mi: r for r, mi in enumerate(g["bits_a"])}
+            if g["bits_a"] is not None
+            else {}
+        )
 
         out: dict[str, tuple] = {}
         e_abs = ev[evt_local]
@@ -1045,22 +1114,28 @@ def decode_segment_fast(
         out["tbl"] = ("obj", np.full(n_rows, tm["table_name"], dtype=object))
         out["row_in_event"] = ("i32", row_in_event)
 
-        # canonical presence masks: the fast path only handles full row
-        # images, so the mask is the table map's full canonical coverage
+        # canonical presence masks from this subgroup's pattern
         # (schema-evolution: canonical columns absent from this map stay 0)
-        full_mask = 0
+        bm = am = 0
         for ci, cname in enumerate(canonical):
-            if cname in index:
-                full_mask |= 1 << ci
-        bm = 0 if op == "insert" else full_mask
-        am = 0 if op == "delete" else full_mask
+            mi = index.get(cname)
+            if mi is None:
+                continue
+            if mi in rank_b:
+                bm |= 1 << ci
+            if mi in rank_a:
+                am |= 1 << ci
         out["before_present"] = ("i64", np.full(n_rows, bm, dtype=np.int64))
         out["after_present"] = ("i64", np.full(n_rows, am, dtype=np.int64))
 
-        for prefix, img in (("before_", img_before), ("after_", img_after)):
+        for prefix, img, rank in (
+            ("before_", img_before, rank_b),
+            ("after_", img_after, rank_a),
+        ):
             for name in canonical:
                 mi = index.get(name)
-                colref = None if (img is None or mi is None) else img[mi]
+                sub = rank.get(mi) if mi is not None else None
+                colref = None if (img is None or sub is None) else img[sub]
                 col = _canonical_column(colref, kinds[name], data, n_rows)
                 if col is None:
                     return None  # kind/type mismatch → fallback
@@ -1142,24 +1217,24 @@ def segment_row_stats(
     etype, ps, pe = fr["etype"], fr["p_start"], fr["p_end"]
     ridx_k = prep.ridx_k
 
-    et_k = etype[ridx_k]
-    op_code = np.where(
-        np.isin(et_k, _ROW_WRITE), 0, np.where(np.isin(et_k, _ROW_DELETE), 1, 2)
-    )
-    group_key = prep.gov_k * 3 + op_code
+    groups = _group_row_events(prep, data, etype, ps)
+    if groups is None:
+        return None
     l_parts = []
-    for gk in np.unique(group_key):
-        uid, opc = int(gk) // 3, int(gk) % 3
-        op = ("insert", "delete", "update")[opc]
-        loc = np.nonzero(group_key == gk)[0]
-        specs = _table_colspecs(prep.uniq_tms[uid])
+    for g in groups:
+        specs = _table_colspecs(prep.uniq_tms[g["uid"]])
         if specs is None:
             return None
-        walked = _walk_group(data, etype, ps, pe, ridx_k[loc], specs, op, values=False)
+        specs_b = [specs[i] for i in g["bits_b"]] if g["bits_b"] is not None else None
+        specs_a = [specs[i] for i in g["bits_a"]] if g["bits_a"] is not None else None
+        walked = _walk_group(
+            data, pe, ridx_k[g["loc"]], g["rows_start"], specs_b, specs_a,
+            g["op"], values=False,
+        )
         if walked is None:
             return None
         evt_local, _row, _b, _a = walked
-        l_parts.append(loc[evt_local])
+        l_parts.append(g["loc"][evt_local])
     if not l_parts:
         return empty
     l_all = np.concatenate(l_parts)

@@ -119,3 +119,38 @@ def test_untouched_columns_survive(spark, tmp_path):
     assert got["text"].tolist() == ["edited"]
     assert got["role"].tolist() == ["assistant"]  # untouched column survives
     assert pd.notna(got["ts"][0])
+
+
+def test_minimal_segments_take_the_fast_path(spark, minimal_stream):
+    """Partial presence patterns are their own subgroups now — MINIMAL
+    segments must decode vectorized (no scalar fallback) and match the
+    scalar reference decoder exactly."""
+    import os
+
+    import numpy as np
+    from mysql_cdc_spark.binlog.decoder import _FileDecoder
+    from mysql_cdc_spark.binlog.vector import decode_segment_fast
+
+    _, outdir = minimal_stream
+    checked = 0
+    for name in sorted(os.listdir(outdir)):
+        with open(os.path.join(outdir, name), "rb") as f:
+            content = f.read()
+        frames = decode_segment_fast(content, name, TRANSCRIPTS)
+        assert frames is not None, f"{name}: unexpected scalar fallback"
+        b = pd.concat(frames, ignore_index=True)
+        a = pd.concat(
+            list(_FileDecoder(TRANSCRIPTS).decode_file(name, content)),
+            ignore_index=True,
+        )
+        assert len(a) == len(b)
+        for col in a.columns:
+            av = a[col]
+            bv = b[col]
+            if str(bv.dtype).startswith("datetime") or str(av.dtype).startswith("datetime"):
+                assert pd.to_datetime(av).tolist() == pd.to_datetime(bv).tolist(), col
+            else:
+                norm = lambda s: [None if pd.isna(v) else v for v in s.tolist()]
+                assert norm(av) == norm(bv), (name, col)
+        checked += 1
+    assert checked >= 2
