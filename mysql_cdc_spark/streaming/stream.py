@@ -48,7 +48,9 @@ def stream_apply(
     max_files_per_trigger: int | None = None,
 ):
     """Run the apply tier as a Structured Streaming query; returns the
-    StreamingQuery (caller awaits termination)."""
+    StreamingQuery (caller awaits termination). Applies FULL row images
+    (whole-row LWW); for binlog_row_image=MINIMAL use the batch path's
+    ``Replayer(row_image="minimal")`` per-column merge."""
     target = OrderedParquetMergeTarget(store_dir, spec, order_cols=tuple(ORDER_COLS))
     keys = list(spec.primary_key)
     payload_cols = list(
