@@ -367,3 +367,35 @@ class IcebergMergeTarget:
             """
         )
         return current_version + 1
+
+    def merge_partial(self, spark: SparkSession, net: DataFrame, current_version: int = -1) -> int:
+        """MERGE for partial-image (MINIMAL) net changes: each UPDATE SET
+        clause takes ``s.after_<c>`` only when the column's
+        ``carried_mask`` bit is set, keeping ``t.<c>`` otherwise — the SQL
+        form of ``ParquetMergeTarget.merge_partial``'s per-column apply.
+        ``net`` comes from ``order.last_writer_wins_partial``."""
+        spec = self.spec
+        keys = list(spec.primary_key)
+        net.createOrReplaceTempView("_cdc_net")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        set_cols = ", ".join(
+            f"t.{n} = CASE WHEN (s.carried_mask >> {ci}) & 1 = 1 "
+            f"THEN s.after_{n} ELSE t.{n} END"
+            for ci, (n, _, _) in enumerate(spec.columns)
+            if n not in keys
+        )
+        ins_cols = ", ".join(n for n, _, _ in spec.columns)
+        ins_vals = ", ".join(
+            (n if n in keys else f"after_{n}") for n, _, _ in spec.columns
+        )
+        spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING _cdc_net s
+            ON {on}
+            WHEN MATCHED AND s.op = 'delete' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET {set_cols}
+            WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            """
+        )
+        return current_version + 1

@@ -64,3 +64,20 @@ def test_merge_statement_shape():
     assert "WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT" in merge
     # key columns insert from the coalesced key, payload from after-image
     assert "VALUES (conv_id, turn_idx, after_role, after_text, after_tool, after_ts)" in merge
+
+
+def test_merge_partial_statement_shape():
+    """MINIMAL-image MERGE: per-column carried_mask CASE in each SET
+    clause (the SQL form of the parquet target's per-column apply)."""
+    spark = _CaptureSpark()
+    tgt = IcebergMergeTarget("cdc.chat.transcripts", TRANSCRIPTS)
+    tgt.merge_partial(spark, _FakeNet(), current_version=3)
+    [merge] = spark.sqls
+    assert "MERGE INTO cdc.chat.transcripts t USING _cdc_net s" in merge
+    assert "WHEN MATCHED AND s.op = 'delete' THEN DELETE" in merge
+    # text is canonical column index 3 → bit 3 guards its SET clause
+    assert (
+        "t.text = CASE WHEN (s.carried_mask >> 3) & 1 = 1 "
+        "THEN s.after_text ELSE t.text END" in merge
+    )
+    assert "WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT" in merge
