@@ -386,6 +386,14 @@ class BinlogWriter:
     def getvalue(self) -> bytes:
         return b"".join(self.chunks)
 
+    @staticmethod
+    def make_fde_frame(checksum: int = ChecksumType.CRC32) -> bytes:
+        """Standalone FORMAT_DESCRIPTION frame declaring ``checksum`` —
+        prepended by the event-frame source when a relay stream group
+        carries no FDE of its own (binlog/frames.py)."""
+        w = BinlogWriter("synthetic", checksum=checksum)
+        return w.getvalue()[len(MAGIC_NUMBER):]
+
     def save(self, path: str) -> str:
         data = self.getvalue()
         with open(path, "wb") as f:

@@ -32,7 +32,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .constants import MAGIC_NUMBER
+from .constants import MAGIC_NUMBER, EventType
 from .decoder import TRANSCRIPTS, TableSpec, change_event_schema
 
 
@@ -43,19 +43,46 @@ def decode_event_frames(
     offset_col: str = "offset",
     frame_col: str = "frame",
     vectorized: Optional[bool] = None,
+    checksum_type: Optional[int] = None,
 ) -> DataFrame:
-    """(stream, offset, frame-bytes) rows → change-event DataFrame."""
+    """(stream, offset, frame-bytes) rows → change-event DataFrame.
+
+    Checksum handling: a stream's FORMAT_DESCRIPTION frame declares whether
+    events carry a CRC32 trailer. The FDE need not arrive first — the
+    group's first FDE (by offset) is hoisted to the head of the reassembled
+    segment so both decode paths apply its checksum mode to the whole group
+    (one server stream has one checksum mode). For streams that carry no
+    FDE at all, pass ``checksum_type`` (``constants.ChecksumType``) and a
+    synthetic FDE declaring it is prepended. With neither, payloads are
+    taken checksum-free: a CRC32 stream with no FDE is *undetectable* from
+    bytes alone and would silently mis-parse — callers of such streams must
+    supply ``checksum_type``.
+    """
     schema = change_event_schema(spec)
     if vectorized is None:
         vectorized = os.environ.get("SPARK_CDC_SCALAR_DECODE", "") != "1"
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         from .decoder import _FileDecoder
+        from .encoder import BinlogWriter
         from .vector import decode_segment_fast
 
         pdf = pdf.sort_values(offset_col, kind="mergesort")
         name = str(pdf[stream_col].iloc[0])
-        content = MAGIC_NUMBER + b"".join(bytes(b) for b in pdf[frame_col])
+        blobs = [bytes(b) for b in pdf[frame_col]]
+        fde_i = next(
+            (
+                i
+                for i, b in enumerate(blobs)
+                if len(b) > 4 and b[4] == EventType.FORMAT_DESCRIPTION
+            ),
+            None,
+        )
+        if fde_i is not None and fde_i > 0:
+            blobs.insert(0, blobs[fde_i])  # checksum mode applies stream-wide
+        elif fde_i is None and checksum_type is not None:
+            blobs.insert(0, BinlogWriter.make_fde_frame(checksum_type))
+        content = MAGIC_NUMBER + b"".join(blobs)
         out: Optional[list] = None
         if vectorized:
             out = decode_segment_fast(content, name, spec)

@@ -302,12 +302,13 @@ class Replayer:
         # -- stats pass ∥ merge job. The stats-only decode (values skipped,
         # only length prefixes read — rather than caching the event stream
         # and re-scanning it; at 10^10 events the cache would be the whole
-        # corpus) is submitted first, then the merge job: the scheduler
-        # backfills merge tasks into the stats tail, so the stats pass
-        # costs ~zero wall-clock when the cluster has free slots. If stats
-        # reports an empty batch (resume no-op), the in-flight merge is
-        # cancelled before it commits anything and the batch exits without
-        # advancing the snapshot version.
+        # corpus) runs concurrently with the merge job in separate FAIR
+        # scheduler pools (session.py sets spark.scheduler.mode=FAIR), so
+        # the short stats job gets task slots immediately regardless of
+        # submission order — a guarantee, not a FIFO race. If stats reports
+        # an empty batch (resume no-op), the in-flight merge is cancelled
+        # before it commits anything and the batch exits without advancing
+        # the snapshot version.
         import threading
 
         stats_out: dict = {}
@@ -317,6 +318,7 @@ class Replayer:
         t_phase = time.time()
 
         def _run_stats():
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "cdc-stats")
             try:
                 stats_out["rows"] = self._stats_job(files, covered, max_file, max_pos)
             except BaseException as e:  # surfaced on the main thread
@@ -326,6 +328,7 @@ class Replayer:
                 stats_done.set()
 
         def _run_merge():
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "cdc-merge")
             spark.sparkContext.setJobGroup(
                 merge_group, "cdc merge", interruptOnCancel=True
             )
@@ -344,7 +347,6 @@ class Replayer:
         stats_thread = threading.Thread(target=_run_stats, daemon=True)
         merge_thread = threading.Thread(target=_run_merge, daemon=True)
         stats_thread.start()
-        time.sleep(0.05)  # let the stats job enter the queue first (FIFO)
         merge_thread.start()
 
         stats_done.wait()

@@ -282,12 +282,20 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
         redelivery (e.g. the decode tier's checkpointed GTID floor: no
         event ordered below it can ever arrive again, so its tombstone
         can never be outranked into relevance). Writes a new snapshot and
-        returns its version."""
+        returns its version.
+
+        Tombstones with a NULL leading order value (gtid-less streams)
+        carry no watermark to compare against, so they are always kept —
+        dropping them would let a redelivered old insert resurrect the
+        row. GC for such streams needs an order column that is never
+        NULL (e.g. pos)."""
         keys = list(self.spec.primary_key)
         df = self.read_with_order(spark, current_version)
         lead = self._ord_names()[0]
         kept = df.filter(
-            (~F.col("_deleted")) | (F.col(lead) >= F.lit(min_live_order))
+            (~F.col("_deleted"))
+            | F.col(lead).isNull()
+            | (F.col(lead) >= F.lit(min_live_order))
         )
         new_version = current_version + 1
         out_path = self.snapshot_path(new_version)

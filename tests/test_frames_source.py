@@ -63,6 +63,82 @@ def test_frames_scalar_mode_matches(spark, stream_fixture, monkeypatch):
     assert fast == scalar > 0
 
 
+_VALUE_COLS = [
+    "op", "gtid_source", "gtid_seq", "xid", "db", "tbl", "row_in_event",
+    "after_conv_id", "after_turn_idx", "after_role", "after_text",
+]
+
+
+def _value_pdf(df):
+    pdf = (
+        df.orderBy("src_file", "gtid_seq", "pos", "row_in_event")
+        .select(*_VALUE_COLS)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    return {
+        c: [None if pd.isna(v) else v for v in pdf[c].tolist()]
+        for c in _VALUE_COLS
+    }
+
+
+@pytest.mark.parametrize("vectorized", [True, False])
+def test_frames_fde_not_first(spark, stream_fixture, vectorized):
+    """A CRC32 relay group whose FORMAT_DESCRIPTION frame arrives mid-
+    stream must still decode with checksum trim (the FDE is hoisted to the
+    head of the reassembly) — previously the 4 CRC bytes stayed inside
+    every payload and row decode mis-parsed."""
+    outdir, paths = stream_fixture
+    baseline = _value_pdf(decode_event_frames(_frames_df(spark, paths)))
+
+    rows = []
+    for p in paths:
+        import os
+
+        name = os.path.basename(p)
+        with open(p, "rb") as f:
+            frames = split_segment_frames(f.read())
+        mid = frames[len(frames) // 2][0]  # push the FDE to a mid offset
+        for pos, frame in frames:
+            offset = mid + 1 if pos == 4 else (pos if pos < mid else pos + 2)
+            rows.append((name, offset, bytearray(frame)))
+    shuffled = spark.createDataFrame(rows, "stream string, offset long, frame binary")
+    got = _value_pdf(decode_event_frames(shuffled, vectorized=vectorized))
+    assert len(got["op"]) == len(baseline["op"]) > 0
+    for col in _VALUE_COLS:
+        assert got[col] == baseline[col], col
+
+
+@pytest.mark.parametrize("vectorized", [True, False])
+def test_frames_no_fde_explicit_checksum(spark, stream_fixture, vectorized):
+    """A CRC32 relay group with NO FDE decodes when the caller supplies
+    checksum_type (a synthetic FDE is prepended)."""
+    from mysql_cdc_spark.binlog.constants import ChecksumType
+
+    outdir, paths = stream_fixture
+    baseline = _value_pdf(decode_event_frames(_frames_df(spark, paths)))
+
+    rows = []
+    for p in paths:
+        import os
+
+        name = os.path.basename(p)
+        with open(p, "rb") as f:
+            for pos, frame in split_segment_frames(f.read()):
+                if pos == 4:  # drop the FDE
+                    continue
+                rows.append((name, pos, bytearray(frame)))
+    no_fde = spark.createDataFrame(rows, "stream string, offset long, frame binary")
+    got = _value_pdf(
+        decode_event_frames(
+            no_fde, vectorized=vectorized, checksum_type=ChecksumType.CRC32
+        )
+    )
+    assert len(got["op"]) == len(baseline["op"]) > 0
+    for col in _VALUE_COLS:
+        assert got[col] == baseline[col], col
+
+
 def test_stream_apply_frames_out_of_order_triggers(spark, stream_fixture, tmp_path):
     """Streaming over the frame source: the NEWER half of the stream's
     frames arrives in trigger 1, the OLDER half in trigger 2 — the

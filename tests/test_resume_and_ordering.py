@@ -223,6 +223,69 @@ class TestSegmentOrdering:
         _assert_texts_equal(_state_pdf(rep), apply_changelog_oracle(txns))
 
 
+class TestStatsMergeFilterParity:
+    """The concurrent stats pass (numpy/pandas filters) and the merge pass
+    (Spark SQL filters) must agree event-for-event — the empty-batch
+    cancel in run_batch assumes empty stats ⇒ empty net (ADVICE r2 #3)."""
+
+    def _spark_side_counts(self, spark, rep, outdir):
+        from pyspark.sql import functions as F
+
+        from mysql_cdc_spark.binlog.decoder import decode_binlog_dir
+        from mysql_cdc_spark.pipeline.order import (
+            filter_covered_gtids,
+            gate_complete_transactions,
+        )
+        from mysql_cdc_spark.pipeline.replay import _after_position_predicate
+
+        covered = rep.ledger.covered_gtid_set()
+        max_file, max_pos = rep.ledger.max_position()
+        changes = gate_complete_transactions(decode_binlog_dir(spark, outdir))
+        if covered.uuid_sets:
+            intervals = spark.createDataFrame(
+                covered.to_intervals(), "uuid string, start long, end long"
+            )
+            changes = filter_covered_gtids(changes, intervals)
+        if max_file:
+            changes = changes.filter(_after_position_predicate(max_file, max_pos))
+        return {
+            r["src_file"]: r["n"]
+            for r in changes.groupBy("src_file").agg(F.count("*").alias("n")).collect()
+        }
+
+    def _stats_counts(self, rep, files):
+        covered = rep.ledger.covered_gtid_set()
+        max_file, max_pos = rep.ledger.max_position()
+        stats = rep._stats_job(files, covered, max_file, max_pos)
+        out: dict = {}
+        for r in stats:
+            out[r["src_file"]] = out.get(r["src_file"], 0) + r["events"]
+        return {k: v for k, v in out.items() if v}
+
+    def test_partial_and_empty_batches_agree(self, spark, tmp_path):
+        txns = generate_changelog(
+            n_conversations=10, max_turns=4, n_extra_ops=25, seed=21,
+            duplicate_txns=2,
+        )
+        outdir = str(tmp_path / "binlog")
+        write_binlog_files(txns, outdir, txns_per_file=10)
+        rep = Replayer(spark, outdir, str(tmp_path / "store"))
+        files = rep.pending_files()
+        assert len(files) >= 3
+        rep.run_batch(files[:2])
+
+        # mid-stream checkpoint: both stacks must count the same remainder
+        assert self._stats_counts(rep, files) == self._spark_side_counts(
+            spark, rep, outdir
+        )
+
+        # fully replayed: both stacks must see an empty batch
+        rep.replay(files_per_batch=1)
+        assert self._stats_counts(rep, files) == {}
+        assert self._spark_side_counts(spark, rep, outdir) == {}
+        _assert_texts_equal(_state_pdf(rep), apply_changelog_oracle(txns))
+
+
 class TestRemoteFsListing:
     """Segment listing + reads work through pyarrow.fs URIs (the
     object-store deployment path) — file:// stands in for s3://hdfs://."""
@@ -257,14 +320,19 @@ class TestRemoteFsListing:
                 ("a", 0, "update", "user", "LIVE", None, ts, 10, 100, 0),
                 ("b", 0, "delete", None, None, None, None, 5, 50, 0),
                 ("c", 0, "delete", None, None, None, None, 40, 400, 0),
+                # gtid-less stream: NULL leading order value — no watermark
+                # to compare against, must never be GC'd (a dropped
+                # tombstone would let a redelivered old insert resurrect)
+                ("d", 0, "delete", None, None, None, None, None, 60, 0),
             ],
             TestOrderedTarget.NET_SCHEMA,
         )
         v = tgt.merge(spark, net, 0)
         full = tgt.read_with_order(spark, v)
-        assert full.count() == 3 and tgt.read(spark, v).count() == 1
+        assert full.count() == 4 and tgt.read(spark, v).count() == 1
         v2 = tgt.prune_tombstones(spark, v, min_live_order=20)
         remaining = tgt.read_with_order(spark, v2).toPandas()
-        # tombstone b (seq 5 < 20) gone; tombstone c (seq 40) kept
-        assert sorted(remaining["conv_id"]) == ["a", "c"]
+        # tombstone b (seq 5 < 20) gone; tombstone c (seq 40) and the
+        # NULL-ordered tombstone d kept
+        assert sorted(remaining["conv_id"]) == ["a", "c", "d"]
         assert tgt.read(spark, v2).count() == 1
