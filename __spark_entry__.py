@@ -6,10 +6,10 @@
   expressible over the driver testdata tables, plus the training-data
   pipeline ops (dedup / similarity / text / multimodal) and the
   end-to-end binlog replay.
-- ``oracle_sql()``: DuckDB-equivalent SQL for each (31 oracle-checked as
-  of round 2 — including multimodal_features via exact-integer features;
-  omitted only for the binlog replay, whose input is generated binlog
-  bytes, not the parquet views).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every entry — including
+  the end-to-end binlog replay, whose oracle replays a dual-written
+  *logical* changelog parquet (fixtures.changelog_to_pandas) since DuckDB
+  cannot read binlog bytes.
 
 The binlog-native pipeline (decode kernels, GTID algebra, exactly-once
 ledger, MERGE targets) is additionally pinned by the pytest golden
@@ -50,27 +50,79 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# the e2e fixture is deterministic (seeded); these knobs are shared by the
+# Spark query and the DuckDB oracle's dual-written logical changelog
+_E2E_KNOBS = dict(n_conversations=20, n_extra_ops=60, seed=7, duplicate_txns=3)
+_E2E_ORACLE_PARQUET = os.path.join(
+    tempfile.gettempdir(), "cdc_replay_e2e_changelog.parquet"
+)
+
+
+def _ensure_e2e_oracle_parquet() -> str:
+    """Dual-write the generated changelog as logical change rows so DuckDB
+    can replay the same stream in SQL (fixtures.changelog_to_pandas)."""
+    from mysql_cdc_spark.fixtures import generate_changelog, write_changelog_parquet
+
+    txns = generate_changelog(**_E2E_KNOBS)
+    return write_changelog_parquet(txns, _E2E_ORACLE_PARQUET)
+
+
 def cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end binlog replay: deterministic transcript changelog →
     binlog-format bytes → distributed decode (mapInPandas) → transaction
     gate → LWW → MERGE → final transcript state. Input is generated
-    binlog bytes (seeded, independent of sf_dir) — rows-only check here;
-    full state equality vs the sequential oracle is pinned in
-    tests/test_replay_e2e.py."""
+    binlog bytes (seeded, independent of sf_dir). The oracle replays the
+    dual-written *logical* change rows sequentially in SQL (per-key
+    last-writer over (seq, op_ord) with at-most-once per GTID seq —
+    the SQL twin of pipeline/order.py last_writer_wins + the ledger's
+    covered-set check); full binlog-native state equality is additionally
+    pinned in tests/test_replay_e2e.py."""
     from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
     from mysql_cdc_spark.pipeline.replay import Replayer
 
+    _ensure_e2e_oracle_parquet()
     tmp = tempfile.mkdtemp(prefix="cdc_entry_")
-    txns = generate_changelog(
-        n_conversations=20, n_extra_ops=60, seed=7, duplicate_txns=3
-    )
+    txns = generate_changelog(**_E2E_KNOBS)
     write_binlog_files(txns, os.path.join(tmp, "binlog"), txns_per_file=40)
     rep = Replayer(
         spark, os.path.join(tmp, "binlog"), os.path.join(tmp, "store"),
         salt_buckets=4,
     )
     rep.replay(files_per_batch=1)
-    return rep.read_state().orderBy("conv_id", "turn_idx")
+    # coalesce the evolution column: NULL-vs-empty must not depend on the
+    # engines' null hashing (pre-evolution rows carry no tool)
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+# Sequential replay of the dual-written logical changelog: at-most-once per
+# transaction seq (uuid_set.rs:46-48 idempotence — first delivery wins),
+# then per-key last-writer over the (seq, op_ord) total order, deletes
+# removing the key. Mirrors apply_changelog_oracle / order.last_writer_wins.
+# {src} is the change-row relation (read_parquet for the driver; a
+# registered view in tests).
+E2E_REPLAY_SQL_TEMPLATE = """
+WITH ops AS (
+  SELECT * FROM {src}
+), first_occ AS (
+  SELECT seq, min(txn_ord) AS txn_ord FROM ops GROUP BY seq
+), applied AS (
+  SELECT o.* FROM ops o JOIN first_occ f USING (seq, txn_ord)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC, op_ord DESC) AS rn
+  FROM applied
+)
+SELECT conv_id, turn_idx, role, text, coalesce(tool, '') AS tool, ts_ms
+FROM ranked WHERE rn = 1 AND kind <> 'delete'
+"""
+
+CDC_REPLAY_E2E_SQL = E2E_REPLAY_SQL_TEMPLATE.format(
+    src=f"read_parquet('{_E2E_ORACLE_PARQUET}')"
+)
 
 
 _MODULES = (cdc_ops, relational, text, embeddings, multimodal)
@@ -88,4 +140,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
+    # materialize the dual-written changelog now: the driver may run the
+    # oracle SQL before (or without) the Spark-side query
+    _ensure_e2e_oracle_parquet()
+    out["cdc_replay_e2e"] = CDC_REPLAY_E2E_SQL
     return out

@@ -380,3 +380,58 @@ def _write_one_file(job) -> str:
 def count_change_events(txns: list[Txn]) -> int:
     """Row-level change count (for events/sec metrics)."""
     return sum(len(t.ops) for t in txns)
+
+
+def changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
+    """Logical change rows — the dual-write of the binlog bytes, so an
+    external SQL engine (the DuckDB correctness oracle) can replay the
+    identical stream without a binlog parser.
+
+    One row per op with its replay-order tuple: ``txn_ord`` is delivery
+    order (redelivered duplicates keep their original ``seq`` but get a
+    later ``txn_ord``), ``op_ord`` the within-transaction statement order —
+    the SQL twin of the engine's (gtid_seq, pos, row_in_event) total order.
+    Deletes carry the key from the before-image and NULL values, exactly
+    the information a DELETE_ROWS event contributes to final state."""
+    rows = []
+    for txn_ord, txn in enumerate(txns):
+        for op_ord, op in enumerate(txn.ops):
+            src = op.after if op.kind != "delete" else op.before
+            is_del = op.kind == "delete"
+            rows.append(
+                {
+                    "txn_ord": txn_ord,
+                    "seq": txn.seq,
+                    "op_ord": op_ord,
+                    "kind": op.kind,
+                    "conv_id": src[0],
+                    "turn_idx": src[1],
+                    "role": None if is_del else src[2],
+                    "text": None if is_del else src[3],
+                    "tool": None if is_del else (src[5] if len(src) > 5 else None),
+                    "ts_ms": None if is_del else src[4],
+                }
+            )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "txn_ord", "seq", "op_ord", "kind", "conv_id", "turn_idx",
+            "role", "text", "tool", "ts_ms",
+        ],
+    )
+    pdf["ts_ms"] = pdf["ts_ms"].astype("Int64")
+    return pdf
+
+
+def write_changelog_parquet(txns: list[Txn], path: str) -> str:
+    """Write the logical change rows next to the binlog bytes (atomic
+    rename so a concurrent reader never sees a torn file)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(changelog_to_pandas(txns)), tmp)
+    os.replace(tmp, path)
+    return path

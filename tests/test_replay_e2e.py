@@ -7,6 +7,8 @@ mid-stream / exactly-once, (d) additive schema evolution, plus duplicate
 redelivery (ST5 idempotence).
 """
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -230,3 +232,35 @@ class TestMariaDBProvider:
         # text form round-trips through the ledger
         from mysql_cdc_spark.gtid import GtidSet
         assert str(GtidSet.parse(str(covered))) == str(covered)
+
+
+def test_dual_written_changelog_sql_replay_matches_pandas_oracle():
+    """The DuckDB oracle registered for cdc_replay_e2e (sequential SQL
+    replay of the dual-written logical change rows) must agree with the
+    single-threaded pandas oracle on the identical transaction list —
+    pinning the harness entry's oracle semantics independently of Spark."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __spark_entry__ import _E2E_KNOBS, E2E_REPLAY_SQL_TEMPLATE
+    from mysql_cdc_spark.fixtures import changelog_to_pandas
+
+    txns = generate_changelog(**_E2E_KNOBS)
+    ops = changelog_to_pandas(txns)
+    con = duckdb.connect()
+    con.register("ops_view", ops)
+    got = (
+        con.execute(E2E_REPLAY_SQL_TEMPLATE.format(src="ops_view"))
+        .df()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    oracle = apply_changelog_oracle(txns)
+    assert got["text"].tolist() == oracle["text"].tolist()
+    assert got["role"].tolist() == oracle["role"].tolist()
+    assert got["tool"].tolist() == oracle["tool"].fillna("").tolist()
+    assert got["ts_ms"].tolist() == [
+        int(t.value // 10**6) for t in oracle["ts"]
+    ]
