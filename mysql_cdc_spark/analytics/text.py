@@ -195,8 +195,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint; emit
     one row per duplicate group (canonical = min doc_id). Shuffles the
     16-byte hash + doc_id only — never the text — so at 100 TB the
-    exchange is ~24 B/doc."""
-    fps = text_fingerprint(spark, sf_dir)
+    exchange is ~24 B/doc.
+
+    The corpus is augmented with a deterministic re-crawl slice (every
+    97th doc re-ingested under a shifted id — the duplicate shape a real
+    multi-crawl corpus has) so the dedup output is non-empty and the
+    oracle comparison discriminates; the synthetic testdata itself
+    contains no exact duplicates."""
+    docs = load(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    corpus = docs.unionByName(recrawl)
+    fps = corpus.selectExpr(
+        "doc_id", f"md5(array_join({WORDS}, ' ')) as fp_full"
+    )
     return (
         fps.groupBy("fp_full")
         .agg(
@@ -209,8 +222,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = f"""
-WITH fps AS (
-  SELECT doc_id, md5(array_to_string({WORDS_DUCK}, ' ')) AS fp_full FROM documents
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM documents
+  WHERE doc_id % 97 = 0
+), fps AS (
+  SELECT doc_id, md5(array_to_string({WORDS_DUCK}, ' ')) AS fp_full FROM corpus
 )
 SELECT fp_full, count(*) AS n_copies, min(doc_id) AS canonical_doc_id,
        max(doc_id) AS max_doc_id
