@@ -69,6 +69,21 @@ class TableSpec:
     columns: tuple[tuple[str, str, str], ...]  # (name, spark_type_ddl, kind)
     primary_key: tuple[str, ...]
 
+    def __post_init__(self):
+        # the canonical presence masks (before_present / after_present /
+        # carried_mask) are int64 bitmasks over spec columns — 1 << 63
+        # would overflow LongType, so fail construction loudly instead of
+        # failing Arrow conversion later. (The *source table* in the
+        # binlog may be arbitrarily wide; only the canonical projection
+        # is capped.)
+        if len(self.columns) > 63:
+            raise ValueError(
+                f"TableSpec {self.database}.{self.table} has "
+                f"{len(self.columns)} columns; canonical specs are capped "
+                "at 63 (int64 presence bitmask). Project the source table "
+                "onto the needed columns."
+            )
+
 
 TRANSCRIPTS = TableSpec(
     database="chat",

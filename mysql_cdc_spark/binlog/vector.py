@@ -33,11 +33,14 @@ marker before the next GTID, aborts on ROLLBACK/DDL, and is an
 uncommitted tail (xid NULL) when its group reaches end-of-file.
 
 ``decode_segment_fast`` returns None when the segment uses a construct
-outside the fast path (partial row images, >63 columns, decimals with
-precision >18, SET columns with >8 members when a string lookup is
-required) — the caller falls back to the scalar ``_FileDecoder``, which
-remains the semantics reference; tests assert frame-level equality
-between the two.
+outside the fast path (decimals beyond decimal128's 38 digits, SET
+columns with >8 members when a string lookup is required, unsupported
+column types) — the caller falls back to the scalar ``_FileDecoder``,
+which remains the semantics reference; tests assert frame-level equality
+between the two. Partial row images decode as presence-pattern
+subgroups; tables wider than 64 columns use multi-word presence bitmaps;
+decimals with precision 19–38 accumulate in two 64-bit limbs — all on
+the fast path.
 """
 
 from __future__ import annotations
@@ -378,12 +381,30 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
                         dtype=object,
                     )
         elif ct == ColumnType.NEWDECIMAL:
-            if (md & 0xFF) > 18:
-                return None  # unscaled value would overflow int64
+            if (md & 0xFF) > 38:
+                return None  # beyond decimal128 — MySQL caps at 65 digits
         elif ct not in _SUPPORTED_TYPES:
             return None
         out.append(_ColSpec(ct, md, sw, lut))
     return out
+
+
+def _muladd128(
+    hi: np.ndarray, lo: np.ndarray, mult: int, add: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hi·2^64 + lo)·mult + add over unsigned 64-bit limb arrays,
+    vectorized base-2^32 schoolbook. Preconditions (met by the decimal
+    group walk): mult < 2^31, add < 2^32, and the true result magnitude
+    stays < 10^38 (< 2^127), so no limb wraps."""
+    m = np.uint64(mult)
+    mask32 = np.uint64(0xFFFFFFFF)
+    lo_lo = lo & mask32
+    lo_hi = lo >> np.uint64(32)
+    c1 = lo_lo * m + add.astype(np.uint64)
+    c2 = lo_hi * m + (c1 >> np.uint64(32))
+    new_lo = (c1 & mask32) | ((c2 & mask32) << np.uint64(32))
+    new_hi = hi * m + (c2 >> np.uint64(32))
+    return new_hi, new_lo
 
 
 def _civil_days(yr: np.ndarray, mth: np.ndarray, d: np.ndarray) -> np.ndarray:
@@ -529,8 +550,10 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
         elif ct == ColumnType.NEWDECIMAL:
             # sign-bit flip + one's-complement negatives + big-endian
             # 9-digit/4-byte groups (decimal.rs:10-83) — fully vectorized:
-            # the layout is FIXED for a given (precision, scale), and for
-            # p ≤ 18 the unscaled value fits an int64
+            # the layout is FIXED for a given (precision, scale). p ≤ 18
+            # accumulates the unscaled value in one int64; p ≤ 38 in two
+            # 64-bit limbs (base-2^64 multiply-add, still no per-row
+            # Python) for Arrow decimal128.
             from .kernels import COMPRESSED_BYTES, DIGITS_PER_INT, decimal_binary_size
 
             p_, s_ = cs.meta & 0xFF, (cs.meta >> 8) & 0xFF
@@ -556,18 +579,40 @@ def _decode_image(data, cur, specs: list[_ColSpec], ncols: int, values: bool = T
                 pos_b += nbytes
                 return v
 
-            unscaled = np.zeros(k, dtype=np.int64)
-            if comp_i:
-                unscaled = _grp(COMPRESSED_BYTES[comp_i])
-            for _ in range(unc_i):
-                unscaled = unscaled * 10**9 + _grp(4)
-            for _ in range(unc_f):
-                unscaled = unscaled * 10**9 + _grp(4)
-            if comp_f:
-                unscaled = unscaled * 10**comp_f + _grp(COMPRESSED_BYTES[comp_f])
-            unscaled = np.where(negative, -unscaled, unscaled)
-            unscaled = np.where(null, 0, unscaled)
-            cols.append(("dec", unscaled, (p_, s_), null))
+            if p_ <= 18:
+                unscaled = np.zeros(k, dtype=np.int64)
+                if comp_i:
+                    unscaled = _grp(COMPRESSED_BYTES[comp_i])
+                for _ in range(unc_i):
+                    unscaled = unscaled * 10**9 + _grp(4)
+                for _ in range(unc_f):
+                    unscaled = unscaled * 10**9 + _grp(4)
+                if comp_f:
+                    unscaled = unscaled * 10**comp_f + _grp(COMPRESSED_BYTES[comp_f])
+                unscaled = np.where(negative, -unscaled, unscaled)
+                unscaled = np.where(null, 0, unscaled)
+                cols.append(("dec", unscaled, (p_, s_), null))
+            else:
+                lo_l = np.zeros(k, dtype=np.uint64)
+                hi_l = np.zeros(k, dtype=np.uint64)
+                if comp_i:
+                    lo_l = _grp(COMPRESSED_BYTES[comp_i]).astype(np.uint64)
+                for _ in range(unc_i):
+                    hi_l, lo_l = _muladd128(hi_l, lo_l, 10**9, _grp(4))
+                for _ in range(unc_f):
+                    hi_l, lo_l = _muladd128(hi_l, lo_l, 10**9, _grp(4))
+                if comp_f:
+                    hi_l, lo_l = _muladd128(
+                        hi_l, lo_l, 10**comp_f, _grp(COMPRESSED_BYTES[comp_f])
+                    )
+                # 128-bit two's-complement negate where the sign bit said so
+                neg_lo = (~lo_l) + np.uint64(1)
+                neg_hi = (~hi_l) + (lo_l == 0).astype(np.uint64)
+                lo_l = np.where(negative, neg_lo, lo_l)
+                hi_l = np.where(negative, neg_hi, hi_l)
+                lo_l = np.where(null, np.uint64(0), lo_l)
+                hi_l = np.where(null, np.uint64(0), hi_l)
+                cols.append(("dec128", (hi_l, lo_l), (p_, s_), null))
             off = off + np.where(live, w, 0)
         elif ct == ColumnType.DATE:
             # u24 LE bit-packed d:5/m:4/y:rest (col_parser.rs:34-47) →
@@ -666,6 +711,10 @@ def _concat_image_cols(step_cols: list, specs: list[_ColSpec]):
             starts = np.concatenate([s[j][1] for s in step_cols])
             lens = np.concatenate([s[j][2] for s in step_cols])
             out.append((kind, starts, lens, nulls))
+        elif kind == "dec128":
+            his = np.concatenate([s[j][1][0] for s in step_cols])
+            los = np.concatenate([s[j][1][1] for s in step_cols])
+            out.append((kind, (his, los), step_cols[0][j][2], nulls))
         else:
             vals = np.concatenate([s[j][1] for s in step_cols])
             # b carries per-column static info ((p, s) for decimals)
@@ -722,6 +771,27 @@ def _decimals_from_unscaled(vals: np.ndarray, nulls: np.ndarray, p: int, s: int)
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _decimals_from_limbs(
+    hi: np.ndarray, lo: np.ndarray, nulls: np.ndarray, p: int, s: int
+) -> np.ndarray:
+    """Arrow decimal128(p, s) build from two's-complement 64-bit limb
+    pairs (little-endian: low word, then high word) → object ndarray of
+    decimal.Decimal / None."""
+    import pyarrow as pa
+
+    buf = np.empty((len(lo), 2), dtype="<u8")
+    buf[:, 0] = lo
+    buf[:, 1] = hi
+    validity = np.packbits(~nulls, bitorder="little")
+    arr = pa.Array.from_buffers(
+        pa.decimal128(p, s),
+        len(lo),
+        [pa.py_buffer(validity.tobytes()), pa.py_buffer(buf.tobytes())],
+        null_count=int(nulls.sum()),
+    )
+    return arr.to_numpy(zero_copy_only=False)
+
+
 def _dates_from_days(days: np.ndarray, nulls: np.ndarray) -> np.ndarray:
     """Arrow date32 build from civil-day numbers → object ndarray of
     datetime.date / None (C-side materialization)."""
@@ -769,9 +839,11 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
             return None
         return ("obj", _dates_from_days(a, nulls))
     if kind == "decimal":
-        if ckind != "dec":
-            return None
-        return ("obj", _decimals_from_unscaled(a, nulls, b[0], b[1]))
+        if ckind == "dec":
+            return ("obj", _decimals_from_unscaled(a, nulls, b[0], b[1]))
+        if ckind == "dec128":
+            return ("obj", _decimals_from_limbs(a[0], a[1], nulls, b[0], b[1]))
+        return None
     if kind == "ts_millis":
         if ckind != "i64":
             return None
@@ -814,15 +886,24 @@ def _group_row_events(prep, data, etype, ps):
     op_code = np.where(
         np.isin(et_k, _ROW_WRITE), 0, np.where(np.isin(et_k, _ROW_DELETE), 1, 2)
     )
-    pres_b = np.zeros(n, dtype=np.uint64)
-    pres_a = np.zeros(n, dtype=np.uint64)
+    # presence bitmaps kept as raw little-endian byte rows — multi-word
+    # safe, so tables wider than 64 columns stay on the fast path
+    uids = np.unique(prep.gov_k)
+    nb_max = (
+        max(
+            ((len(prep.uniq_tms[int(u)]["column_types"]) + 7) // 8)
+            for u in uids
+        )
+        if len(uids)
+        else 1
+    )
+    pres_b = np.zeros((n, nb_max), dtype=np.uint8)
+    pres_a = np.zeros((n, nb_max), dtype=np.uint8)
     rows_start = np.zeros(n, dtype=np.int64)
     hi = len(data) - 1
-    for uid in np.unique(prep.gov_k):
+    for uid in uids:
         sel = np.nonzero(prep.gov_k == uid)[0]
         ncols = len(prep.uniq_tms[uid]["column_types"])
-        if ncols >= 64:
-            return None  # presence word beyond one u64 → scalar path
         ev = ridx_k[sel]
         v2 = np.isin(etype[ev], _V2_TYPES)
         head = ps[ev] + 8
@@ -835,10 +916,12 @@ def _group_row_events(prep, data, etype, ps):
         head = head + 1
         nb = (ncols + 7) // 8
         upd = np.isin(etype[ev], _ROW_UPDATE)
-        p1 = _gather_le(data, head, nb)
-        p2 = np.where(upd, _gather_le(data, head + nb, nb), p1)
-        pres_b[sel] = p1
-        pres_a[sel] = p2
+        for j in range(nb):
+            b1 = data[np.minimum(head + j, hi)]
+            pres_b[sel, j] = b1
+            pres_a[sel, j] = np.where(
+                upd, data[np.minimum(head + nb + j, hi)], b1
+            )
         rows_start[sel] = head + np.where(upd, 2 * nb, nb)
 
     groups = []
@@ -847,21 +930,26 @@ def _group_row_events(prep, data, etype, ps):
         uid, opc = int(gk) // 3, int(gk) % 3
         op = ("insert", "delete", "update")[opc]
         gsel = np.nonzero(go == gk)[0]
-        reps, inv = _unique_pairs(pres_b[gsel], pres_a[gsel])
-        for si, rep in enumerate(reps):
+        ncols = len(prep.uniq_tms[uid]["column_types"])
+        key = np.concatenate([pres_b[gsel], pres_a[gsel]], axis=1)
+        _, first_idx, inv = np.unique(
+            key, axis=0, return_index=True, return_inverse=True
+        )
+        inv = inv.reshape(-1)  # numpy 2.x keeps the axis shape
+        for si, rep in enumerate(first_idx):
             loc = gsel[inv == si]
-            pb, pa = int(pres_b[gsel[rep]]), int(pres_a[gsel[rep]])
-            ncols = len(prep.uniq_tms[uid]["column_types"])
-            word = {"insert": pa, "delete": pb, "update": None}[op]
-            if op == "update":
-                bits_b = [i for i in range(ncols) if pb >> i & 1]
-                bits_a = [i for i in range(ncols) if pa >> i & 1]
-            elif op == "insert":
-                bits_b = None
-                bits_a = [i for i in range(ncols) if word >> i & 1]
-            else:
-                bits_b = [i for i in range(ncols) if word >> i & 1]
-                bits_a = None
+            pb_bits = np.unpackbits(pres_b[gsel[rep]], bitorder="little")[:ncols]
+            pa_bits = np.unpackbits(pres_a[gsel[rep]], bitorder="little")[:ncols]
+            bits_b = (
+                [int(i) for i in np.nonzero(pb_bits)[0]]
+                if op in ("update", "delete")
+                else None
+            )
+            bits_a = (
+                [int(i) for i in np.nonzero(pa_bits)[0]]
+                if op in ("update", "insert")
+                else None
+            )
             groups.append(
                 {
                     "uid": uid, "op": op, "loc": loc,

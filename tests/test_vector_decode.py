@@ -372,23 +372,135 @@ class TestDecimalFastPath:
         self._roundtrip(10, 0, ["0", "-1", "1234567890", "-987654321"])
         self._roundtrip(6, 6, ["0.123456", "-0.654321", "0.000000"])
 
-    def test_p_above_18_falls_back(self):
+    def test_p_above_18_two_limb_fast_path(self):
+        # 19–38 digits accumulate in two 64-bit limbs — still the fast
+        # path (no scalar fallback), still exact
+        self._roundtrip(20, 2, [
+            "123456789012345678.12", "-999999999999999999.99", "0.01", None,
+        ])
+        self._roundtrip(30, 10, [
+            "12345678901234567890.0123456789",
+            "-9999999999999999999.9999999999",
+            "0.0000000001", "-0.0000000001", None, "1.0000000000",
+        ])
+        self._roundtrip(38, 0, [
+            "99999999999999999999999999999999999999",   # 10^38 - 1 (max)
+            "-99999999999999999999999999999999999999",
+            "12345678901234567890123456789012345678",
+        ])
+        self._roundtrip(38, 30, [
+            "12345678.123456789012345678901234567890",
+            "-0.000000000000000000000000000001",
+        ])
+
+    def test_p_above_38_falls_back(self):
         from mysql_cdc_spark.binlog.decoder import TableSpec
 
         spec = TableSpec(
             database="db", table="t",
-            columns=(("k", "string", "str"), ("amt", "decimal(20,2)", "decimal")),
+            columns=(("k", "string", "str"), ("amt", "decimal(38,2)", "decimal")),
             primary_key=("k",),
         )
         ctypes = [ColumnType.VARCHAR, ColumnType.NEWDECIMAL]
-        cmeta = [16, 20 | (2 << 8)]
+        cmeta = [16, 40 | (2 << 8)]
         w = BinlogWriter("b.000001")
         w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110001", 1)
         w.write_table_map(3, "db", "t", ctypes, cmeta, [False, False],
                           column_names=["k", "amt"])
-        w.write_rows(3, ctypes, cmeta, [["a", "123456789012345678.12"]])
+        w.write_rows(3, ctypes, cmeta, [["a", "12345678901234567890123456789012345678.12"]])
         w.write_xid(1)
         assert decode_segment_fast(w.getvalue(), "b", spec) is None
+
+
+class TestWideTable:
+    """Source tables wider than 64 columns use multi-word presence
+    bitmaps and stay on the fast path (the canonical spec projects a
+    subset; only specs are capped at 63 columns)."""
+
+    NCOLS = 70
+    UUID = "24bc7850-2c16-11e6-a073-0242ac110001"
+
+    def _fixture(self, minimal_update: bool):
+        from mysql_cdc_spark.binlog.decoder import TableSpec
+
+        n = self.NCOLS
+        names = [f"c{i:02d}" for i in range(n)]
+        spec = TableSpec(
+            database="db", table="wide",
+            columns=(
+                ("c00", "string", "str"),
+                ("c01", "bigint", "int"),
+                ("c34", "string", "str"),
+                ("c69", "bigint", "int"),
+            ),
+            primary_key=("c00",),
+        )
+        ctypes = [
+            ColumnType.VARCHAR if i % 2 == 0 else ColumnType.LONGLONG
+            for i in range(n)
+        ]
+        cmeta = [64 if i % 2 == 0 else 0 for i in range(n)]
+
+        def row(r):
+            return [
+                (f"v{i}_{r}" if i % 2 == 0 else i * 1000 + r) for i in range(n)
+            ]
+
+        w = BinlogWriter("b.000001")
+        w.write_mysql_gtid(self.UUID, 1)
+        w.write_table_map(
+            5, "db", "wide", ctypes, cmeta,
+            [i % 3 == 0 for i in range(n)], column_names=names,
+        )
+        rows = [row(r) for r in range(4)]
+        w.write_rows(5, ctypes, cmeta, rows)
+        upd = list(rows[1])
+        upd[34] = "edited"
+        upd[69] = -1 & 0x7FFFFFFF
+        if minimal_update:
+            bp = [i == 0 for i in range(n)]
+            ap = [i in (0, 34, 69) for i in range(n)]
+            w.write_update_rows(
+                5, ctypes, cmeta, [(rows[1], upd)],
+                before_present=bp, after_present=ap,
+            )
+        else:
+            w.write_update_rows(5, ctypes, cmeta, [(rows[1], upd)])
+        w.write_rows(
+            5, ctypes, cmeta, [rows[2]],
+            event_type=EventType.MYSQL_DELETE_ROWS_V2,
+        )
+        w.write_xid(1)
+        return w.getvalue(), spec
+
+    @pytest.mark.parametrize("minimal_update", [False, True])
+    def test_70_column_fast_path_parity(self, minimal_update):
+        content, spec = self._fixture(minimal_update)
+        a = pd.concat(
+            list(_FileDecoder(spec).decode_file("b", content)), ignore_index=True
+        )
+        frames = decode_segment_fast(content, "b", spec)
+        assert frames is not None, "70-column table fell back to scalar"
+        b = pd.concat(frames, ignore_index=True)
+        assert len(a) == len(b) == 6
+        assert list(a.columns) == list(b.columns)
+        ca, cb = _canon(a), _canon(b)
+        for col in ca:
+            assert ca[col] == cb[col], f"column {col} differs"
+        # spot-check the projected wide-offset columns
+        upd_rows = b[b["op"] == "update"]
+        assert upd_rows["after_c34"].tolist() == ["edited"]
+
+
+def test_spec_beyond_63_columns_rejected():
+    from mysql_cdc_spark.binlog.decoder import TableSpec
+
+    with pytest.raises(ValueError, match="63"):
+        TableSpec(
+            database="db", table="t",
+            columns=tuple((f"c{i}", "string", "str") for i in range(64)),
+            primary_key=("c0",),
+        )
 
 
 class TestDatetimeKind:
