@@ -153,3 +153,95 @@ def check_error_packet(packet: bytes, message: str = "") -> None:
     if packet and packet[0] == RESPONSE_ERROR:
         err = parse_error_packet(packet[1:])
         raise ValueError(f"{message} {err}".strip())
+
+
+# ---------------------------------------------------------------------------
+# MySQL packet framing (S3) — packet_channel.rs:21-40, pure bytes.
+# ---------------------------------------------------------------------------
+
+PACKET_HEADER_SIZE = 4  # constants/mod.rs PACKET_HEADER_SIZE
+MAX_PACKET_BODY = 0xFFFFFF  # 16 MiB - 1: larger payloads continue
+
+
+def split_packets(data: bytes) -> list[tuple[bytes, int]]:
+    """Split a byte stream into (payload, first_seq) pairs — the
+    pure-bytes form of ``PacketChannel::read_packet``
+    (packet_channel.rs:21-32): 3-byte LE length + 1-byte sequence, then
+    the body. Bodies of exactly 0xFFFFFF bytes continue in the following
+    packet (a payload that is an exact multiple ends with an empty
+    packet); the reassembled payload carries its first packet's sequence
+    number. Raises on a truncated header/body or a stream that ends
+    mid-continuation."""
+    out: list[tuple[bytes, int]] = []
+    pos, n = 0, len(data)
+    pending: Optional[tuple[bytearray, int]] = None
+    while pos < n:
+        if pos + PACKET_HEADER_SIZE > n:
+            raise ValueError(f"truncated packet header at offset {pos}")
+        size = int.from_bytes(data[pos : pos + 3], "little")
+        seq = data[pos + 3]
+        body_end = pos + PACKET_HEADER_SIZE + size
+        if body_end > n:
+            raise ValueError(
+                f"truncated packet body at offset {pos} (need {size} bytes)"
+            )
+        body = data[pos + PACKET_HEADER_SIZE : body_end]
+        pos = body_end
+        if pending is not None:
+            buf, first_seq = pending
+            buf += body
+            if size < MAX_PACKET_BODY:
+                out.append((bytes(buf), first_seq))
+                pending = None
+        elif size == MAX_PACKET_BODY:
+            pending = (bytearray(body), seq)
+        else:
+            out.append((body, seq))
+    if pending is not None:
+        raise ValueError("stream ended mid-continuation (>16 MiB payload)")
+    return out
+
+
+def write_packets(payload: bytes, first_seq: int = 0) -> bytes:
+    """Inverse of ``split_packets`` for one payload — the pure-bytes form
+    of ``PacketChannel::write_packet`` (packet_channel.rs:34-40), with
+    >16 MiB payloads split into continuation packets (and an exact
+    multiple terminated by an empty packet)."""
+    out = bytearray()
+    view = memoryview(payload)
+    seq = first_seq
+    pos = 0
+    while True:
+        chunk = view[pos : pos + MAX_PACKET_BODY]
+        out += len(chunk).to_bytes(3, "little")
+        out.append(seq & 0xFF)
+        out += chunk
+        seq += 1
+        pos += len(chunk)
+        if len(chunk) < MAX_PACKET_BODY:
+            return bytes(out)
+
+
+def binlog_stream_frames(data: bytes) -> list[bytes]:
+    """COM_BINLOG_DUMP reply stream → raw binlog event frames: split the
+    packet stream, then dispatch each payload on its response type byte
+    (binlog_events.rs:48-57): OK (0x00) wraps one event frame, ERR
+    raises, EOF ends the stream. Composes with frames.decode_event_frames
+    (the frames become (stream, offset, frame) rows)."""
+    frames: list[bytes] = []
+    for body, _seq in split_packets(data):
+        if not body:
+            continue
+        rtype = body[0]
+        if rtype == RESPONSE_OK:
+            frames.append(body[1:])
+        elif rtype == RESPONSE_ERROR:
+            err = parse_error_packet(body[1:])
+            raise ValueError(
+                f"server error {err['error_code']}: {err['error_message']}"
+            )
+        elif rtype == RESPONSE_END_OF_FILE:
+            break
+        else:
+            raise ValueError(f"unexpected response type 0x{rtype:02x}")
+    return frames

@@ -126,3 +126,104 @@ class TestResponses:
         assert got["server_collation"] == 45
         assert got["status_flags"] == 2
         assert got["auth_plugin_name"] == "mysql_native_password"
+
+
+class TestPacketFraming:
+    """S3: 3-byte LE length + sequence framing with 16 MiB continuation
+    reassembly (packet_channel.rs:21-40), pure bytes."""
+
+    def test_roundtrip_small(self):
+        from mysql_cdc_spark.binlog.wire import split_packets, write_packets
+
+        stream = (
+            write_packets(b"hello", 0)
+            + write_packets(b"", 1)
+            + write_packets(b"world!", 2)
+        )
+        assert split_packets(stream) == [(b"hello", 0), (b"", 1), (b"world!", 2)]
+
+    def test_roundtrip_over_16mb(self):
+        from mysql_cdc_spark.binlog.wire import (
+            MAX_PACKET_BODY,
+            split_packets,
+            write_packets,
+        )
+
+        big = bytes(range(256)) * 66000  # ~16.9 MB, > one packet body
+        assert len(big) > MAX_PACKET_BODY
+        stream = write_packets(b"pre", 0) + write_packets(big, 1) + write_packets(b"post", 3)
+        got = split_packets(stream)
+        assert [(len(p), s) for p, s in got] == [(3, 0), (len(big), 1), (4, 3)]
+        assert got[1][0] == big
+
+    def test_exact_multiple_terminated_by_empty_packet(self):
+        from mysql_cdc_spark.binlog.wire import (
+            MAX_PACKET_BODY,
+            split_packets,
+            write_packets,
+        )
+
+        payload = b"\xab" * MAX_PACKET_BODY
+        stream = write_packets(payload, 5)
+        # encoded as one full packet + one empty continuation
+        assert stream[-4:] == b"\x00\x00\x00\x06"
+        assert split_packets(stream) == [(payload, 5)]
+
+    def test_truncation_raises(self):
+        from mysql_cdc_spark.binlog.wire import split_packets, write_packets
+
+        stream = write_packets(b"abcdef", 0)
+        with pytest.raises(ValueError, match="truncated packet body"):
+            split_packets(stream[:-2])
+        with pytest.raises(ValueError, match="truncated packet header"):
+            split_packets(stream + b"\x05\x00")
+        full = b"\xff\xff\xff\x00" + b"x" * 0xFFFFFF
+        with pytest.raises(ValueError, match="mid-continuation"):
+            split_packets(full)
+
+    def test_binlog_stream_composes_with_frame_decode(self, spark):
+        """End-to-end wire composition: binlog events wrapped as OK-typed
+        dump-reply packets → split_packets → binlog_stream_frames →
+        decode_event_frames must equal the file-path decode."""
+        from mysql_cdc_spark.binlog.frames import (
+            decode_event_frames,
+            split_segment_frames,
+        )
+        from mysql_cdc_spark.binlog.wire import binlog_stream_frames, write_packets
+        from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+        import os
+        import tempfile
+
+        txns = generate_changelog(n_conversations=8, max_turns=4, n_extra_ops=15, seed=17)
+        outdir = tempfile.mkdtemp(prefix="wire_e2e_")
+        (path,) = write_binlog_files(txns, outdir, txns_per_file=len(txns))
+        with open(path, "rb") as f:
+            content = f.read()
+        file_frames = split_segment_frames(content)
+
+        # server side: each event frame rides one OK packet; EOF ends
+        stream = b""
+        for i, (_pos, frame) in enumerate(file_frames):
+            stream += write_packets(b"\x00" + frame, i % 256)
+        stream += write_packets(b"\xfe\x00\x00\x00\x00", (len(file_frames)) % 256)
+
+        wire_frames = binlog_stream_frames(stream)
+        assert wire_frames == [f for _p, f in file_frames]
+
+        rows = [("net", i, bytearray(f)) for i, f in enumerate(wire_frames)]
+        frames_df = spark.createDataFrame(rows, "stream string, offset long, frame binary")
+        via_wire = decode_event_frames(frames_df)
+        from mysql_cdc_spark.binlog.decoder import decode_binlog_dir
+
+        via_file = decode_binlog_dir(spark, outdir)
+        a = via_file.orderBy("pos", "row_in_event").select("op", "gtid_seq", "after_text").toPandas()
+        b = via_wire.orderBy("pos", "row_in_event").select("op", "gtid_seq", "after_text").toPandas()
+        assert a["after_text"].tolist() == b["after_text"].tolist()
+        assert a["op"].tolist() == b["op"].tolist()
+
+    def test_error_packet_in_stream_raises(self):
+        from mysql_cdc_spark.binlog.wire import binlog_stream_frames, write_packets
+
+        err_body = b"\xff" + struct.pack("<H", 1236) + b"#HY000Could not find first log"
+        with pytest.raises(ValueError, match="1236"):
+            binlog_stream_frames(write_packets(err_body, 0))
