@@ -142,7 +142,9 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
     from mysql_cdc_spark.pipeline.replay import Replayer
 
     # same corpus shape as tools/bench_scaling.py, scaled by sf
-    # (sf0.1 → ~450k events over 16 segments, 2 micro-batches)
+    # (sf0.1 → ~450k events over 16 segments, replayed as ONE batch: the
+    # 16 merge-pass decode tasks and the 16 concurrent stats-pass tasks
+    # fill all 32 cores, and the per-batch fixed cost is paid once)
     n_conv = max(500, int(300000 * sf))
     n_ops = max(2000, int(1200000 * sf))
     root = f"/tmp/cdc_bench_sf{sf}_v4"
@@ -190,7 +192,7 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
         store = tempfile.mkdtemp(prefix="cdc_bench_store_")
         rep = Replayer(spark, cache, store)  # plain max_by LWW (see Replayer docstring)
         t0 = time.time()
-        result = rep.replay(files_per_batch=8)
+        result = rep.replay(files_per_batch=16)
         final_rows = rep.read_state().count()
         attempt_s = time.time() - t0
         replay_s = attempt_s if replay_s is None else min(replay_s, attempt_s)
