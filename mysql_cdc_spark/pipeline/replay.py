@@ -347,22 +347,34 @@ class Replayer:
         stats_thread = threading.Thread(target=_run_stats, daemon=True)
         merge_thread = threading.Thread(target=_run_merge, daemon=True)
         stats_thread.start()
-        merge_thread.start()
+        # Snapshot targets can discard an uncommitted version, so their
+        # merge overlaps the stats pass and a cancelled/empty batch rolls
+        # back by deleting the unnamed snapshot. Targets that commit
+        # internally (Iceberg MERGE INTO has no version to unlink) start
+        # only after stats confirms a non-empty batch — correctness over
+        # overlap for sinks without a rollback handle.
+        can_rollback = hasattr(self.target, "snapshot_path")
+        merge_started = False
+        if can_rollback:
+            merge_thread.start()
+            merge_started = True
 
         stats_done.wait()
         if "err" in stats_out:
-            spark.sparkContext.cancelJobGroup(merge_group)
-            merge_thread.join()
+            if merge_started:
+                spark.sparkContext.cancelJobGroup(merge_group)
+                merge_thread.join()
             raise stats_out["err"]
         stats = stats_out["rows"]
         phase_t["stats_s"] = stats_out["seconds"]
         n_events = sum(r["events"] for r in stats)
         if n_events == 0:
-            spark.sparkContext.cancelJobGroup(merge_group)
-            merge_thread.join()
-            # drop the cancelled (or even completed) uncommitted snapshot;
-            # the ledger never names it, so state/version are unchanged
-            if hasattr(self.target, "snapshot_path"):
+            if merge_started:
+                spark.sparkContext.cancelJobGroup(merge_group)
+                merge_thread.join()
+                # drop the cancelled (or even completed) uncommitted
+                # snapshot; the ledger never names it, so state/version
+                # are unchanged
                 import shutil
 
                 shutil.rmtree(
@@ -374,6 +386,8 @@ class Replayer:
                 str(covered), [],
             )
 
+        if not merge_started:
+            merge_thread.start()
         merge_thread.join()
         if "err" in merge_out:
             raise merge_out["err"]

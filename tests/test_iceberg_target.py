@@ -81,3 +81,44 @@ def test_merge_partial_statement_shape():
         "THEN s.after_text ELSE t.text END" in merge
     )
     assert "WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT" in merge
+
+
+def test_internal_commit_target_merge_deferred_until_stats(tmp_path, spark):
+    """A target without a rollback handle (no snapshot_path — the Iceberg
+    shape) must not have merge() invoked for an empty batch: the replay
+    driver defers its merge until the stats pass confirms events. A
+    snapshot target would instead overlap and roll back."""
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+    from mysql_cdc_spark.pipeline.replay import Replayer
+    from mysql_cdc_spark.pipeline.target import ParquetMergeTarget
+
+    class InternalCommitTarget:
+        """Delegates to a parquet target but hides snapshot_path, like a
+        sink whose MERGE commits inside the engine."""
+
+        def __init__(self, store_dir):
+            self._inner = ParquetMergeTarget(store_dir, TRANSCRIPTS, buckets=2)
+            self.merge_calls = 0
+
+        def merge(self, spark, net, current_version):
+            self.merge_calls += 1
+            return self._inner.merge(spark, net, current_version)
+
+        def read(self, spark, version):
+            return self._inner.read(spark, version)
+
+    txns = generate_changelog(n_conversations=6, max_turns=3, n_extra_ops=10, seed=41)
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=len(txns))
+
+    tgt = InternalCommitTarget(str(tmp_path / "store"))
+    rep = Replayer(spark, outdir, str(tmp_path / "store"), target=tgt)
+    rep.replay()
+    assert tgt.merge_calls == 1
+
+    # fully replayed: the second pass sees an empty batch — merge() must
+    # not run at all (no Iceberg commit to roll back)
+    rep2 = Replayer(spark, outdir, str(tmp_path / "store"), target=tgt)
+    rep2.replay()
+    assert tgt.merge_calls == 1
