@@ -391,6 +391,64 @@ FROM deduped
 """
 
 
+# ---------------------------------------------------------------------------
+# W4 — gap-based sessionization (streaming session-window analog).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 3600  # a new session starts after an hour of silence
+
+
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows over the event stream — the batch twin
+    of Structured Streaming's ``session_window`` (and of the stateful
+    per-key timeout an ``applyInPandasWithState`` operator maintains):
+    a >1h silence per user starts a new session.
+
+    Gaps-and-islands: one ``lag`` + one running ``sum`` over the same
+    (user_id, ts) window — a single shuffle on user_id, then an ordinary
+    aggregate. No state store needed in batch; at 10^10 events the
+    partitioning matches every other per-user operator here."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            us - F.lag(us).over(w) > _SESSION_GAP_S * 1_000_000,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("new_session").over(w))
+    return (
+        gapped.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+W4_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {_SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_idx
+  FROM gapped
+)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "w1_lww_last_event": w1_lww_last_event,
     "a1_interval_collapse": a1_interval_collapse,
@@ -401,6 +459,7 @@ QUERIES = {
     "p3_event_filter": p3_event_filter,
     "j1_dim_lookup_join": j1_dim_lookup_join,
     "st5_duplicate_suppression": st5_duplicate_suppression,
+    "w4_sessionize": w4_sessionize,
 }
 
 ORACLES = {
@@ -413,4 +472,5 @@ ORACLES = {
     "p3_event_filter": P3_SQL,
     "j1_dim_lookup_join": J1_SQL,
     "st5_duplicate_suppression": ST5_SQL,
+    "w4_sessionize": W4_SQL,
 }

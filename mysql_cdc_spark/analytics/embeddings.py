@@ -443,6 +443,52 @@ WHERE {_cos_duck('a.v', 'b.v')} >= 0.95
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (the storage form ANN
+    serving uses at corpus scale: 4× smaller than float32, one scale per
+    vector): scale = max|v| / 127, q_i = round_half_up(v_i / scale).
+    Emits the per-vector scale, the quantized-code checksum, and the RMS
+    reconstruction error — all zip_with/aggregate HOFs, zero shuffle,
+    oracle-checked exactly. Rounding is floor(x + 0.5) in BOTH dialects
+    (the engines' round() builtins disagree on half-way ties)."""
+    emb = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_DOUBLE_VEC} as v"
+    )
+    scale = "aggregate(v, 0D, (m, x) -> greatest(m, abs(x))) / 127.0D"
+    q = "transform(v, x -> cast(floor(x / sc + 0.5D) as bigint))"
+    return (
+        emb.selectExpr("vec_id", "v", f"{scale} as sc")
+        .filter(F.col("sc") > 0)
+        .selectExpr("vec_id", "v", "sc", f"{q} as q")
+        .selectExpr(
+            "vec_id",
+            "round(sc, 6) as scale6",
+            "aggregate(q, 0L, (acc, x) -> acc + x) as q_sum",
+            "round(sqrt(aggregate(zip_with(v, q, (x, qq) -> pow(x - qq * sc, 2)), "
+            "0D, (acc, e) -> acc + e) / size(v)), 6) as rms_err",
+        )
+    )
+
+
+QUANTIZE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, {_DOUBLE_VEC_DUCK} AS v FROM embeddings
+), scaled AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+  FROM emb
+), quant AS (
+  SELECT vec_id, v, sc,
+         list_transform(v, x -> floor(x / sc + 0.5)::BIGINT) AS q
+  FROM scaled WHERE sc > 0
+)
+SELECT vec_id, round(sc, 6) AS scale6,
+       list_sum(q)::BIGINT AS q_sum,
+       round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+             i -> pow(v[i] - q[i] * sc, 2))) / len(v)), 6) AS rms_err
+FROM quant
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
@@ -450,6 +496,7 @@ QUERIES = {
     "knn_ivf_probe2": knn_ivf_probe2,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_ivf": embedding_neardup_ivf,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
@@ -459,4 +506,5 @@ ORACLES = {
     "knn_ivf_probe2": KNN_IVF_PROBE2_SQL,
     "embedding_neardup": NEARDUP_SQL,
     "embedding_neardup_ivf": NEARDUP_IVF_SQL,
+    "embedding_quantize_int8": QUANTIZE_SQL,
 }

@@ -635,6 +635,104 @@ SELECT lang, rank, word, tf, df, tfidf FROM ranked WHERE rank <= 5
 TFIDF_SQL = _tfidf_sql()
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# patterns chosen to mean the same thing in Java regex (Spark) and RE2-ish
+# (DuckDB): character classes + bounded quantifiers only, and NO
+# backslashes — Spark SQL string literals eat them, DuckDB's don't
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "[+]?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrubbing: count and redact email / phone-shaped spans.
+    Pure codegen regexp passes (regexp_count + regexp_replace) — the
+    cheapest possible full-corpus rewrite; emits the redacted-text hash
+    so the oracle checks the rewrite itself, not just the counts."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"cast(regexp_count(text, '{_EMAIL_RE}') as bigint) as n_emails",
+        f"cast(regexp_count(text, '{_PHONE_RE}') as bigint) as n_phones",
+        f"md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]'), "
+        f"'{_PHONE_RE}', '[PHONE]')) as redacted_md5",
+    )
+
+
+REDACT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (stratified by lang)
+# ---------------------------------------------------------------------------
+
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: bucket = shared-60-bit-md5(doc_id) % 100
+    → train (<90) / val (<95) / test. Hash-based splits are the only kind
+    that survive re-runs and late-arriving shards at corpus scale (random()
+    is neither reproducible nor stable under re-partitioning). Output is
+    the per-(lang, split) contingency so the oracle checks the exact
+    membership function, stratification included."""
+    docs = load(spark, sf_dir, "documents")
+    h = _h("cast(doc_id as string)")
+    return (
+        docs.selectExpr(
+            "lang",
+            f"CASE WHEN {h} % 100 < 90 THEN 'train' "
+            f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END as split",
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+TRAIN_SPLIT_SQL = f"""
+SELECT lang,
+       CASE WHEN {_h_duck('doc_id::VARCHAR')} % 100 < 90 THEN 'train'
+            WHEN {_h_duck('doc_id::VARCHAR')} % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus token histogram (heavy hitters)
+# ---------------------------------------------------------------------------
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 tokens by occurrence. The explode multiplies rows but
+    partial aggregation collapses them map-side, so the exchange carries
+    (distinct tokens × tasks) rows; the final top-k is a
+    TakeOrderedAndProject, never a full sort of the vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(f"explode({WORDS}) as word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "word")
+        .limit(25)
+    )
+
+
+TOKEN_HIST_SQL = f"""
+SELECT word, count(*) AS occurrences
+FROM (SELECT unnest({WORDS_DUCK}) AS word FROM documents)
+GROUP BY word
+ORDER BY occurrences DESC, word
+LIMIT 25
+"""
+
+
 QUERIES = {
     "ngram_jaccard": ngram_jaccard,
     "ngram_jaccard_lsh": ngram_jaccard_lsh,
@@ -647,6 +745,9 @@ QUERIES = {
     "dedup_prefix": dedup_prefix,
     "text_simhash": text_simhash,
     "minhash_lsh_neardup": minhash_lsh_neardup,
+    "text_redact_pii": text_redact_pii,
+    "doc_train_split": doc_train_split,
+    "token_histogram": token_histogram,
 }
 
 ORACLES = {
@@ -661,4 +762,7 @@ ORACLES = {
     "dedup_prefix": DEDUP_PREFIX_SQL,
     "text_simhash": SIMHASH_SQL,
     "minhash_lsh_neardup": MINHASH_SQL,
+    "text_redact_pii": REDACT_SQL,
+    "doc_train_split": TRAIN_SPLIT_SQL,
+    "token_histogram": TOKEN_HIST_SQL,
 }
