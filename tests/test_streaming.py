@@ -149,3 +149,69 @@ class TestStructuredStreamingApply:
         got = _final_pdf(read_stream_state(spark, store))
         want = apply_changelog_oracle(txns)
         assert got["text"].tolist() == want["text"].tolist()
+
+
+class TestStatefulApply:
+    """applyInPandasWithState tier: per-key winning order tuple lives in
+    the streaming state store; the output is an append-only transition
+    log whose per-key max-by-order reduction equals the oracle."""
+
+    def test_stateful_transitions_match_oracle(self, spark, txns, tmp_path):
+        from mysql_cdc_spark.streaming.stateful import (
+            read_transitions_state,
+            stream_apply_stateful,
+        )
+
+        binlog = str(tmp_path / "stbinlog")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "stchangelog")
+        write_changelog(changes, changelog)
+
+        out = str(tmp_path / "transitions")
+        q = stream_apply_stateful(spark, changelog, out, available_now=True)
+        q.awaitTermination(180)
+
+        got = _final_pdf(read_transitions_state(spark, out))
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
+        assert got["tool"].fillna("").tolist() == want["tool"].fillna("").tolist()
+
+    def test_stateful_out_of_order_triggers_suppress_stale(self, spark, txns, tmp_path):
+        """The NEWER half arrives in trigger 1, the OLDER half in trigger
+        2 (same query, same checkpoint → state store persists): stale rows
+        must not outrank the stored winner, and the reduction still equals
+        the oracle."""
+        from mysql_cdc_spark.streaming.stateful import (
+            read_transitions_state,
+            stream_apply_stateful,
+        )
+
+        binlog = str(tmp_path / "stbinlog2")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS).persist()
+        half_seq = max(t.seq for t in txns) // 2
+        newer = changes.filter(f"gtid_seq > {half_seq}")
+        older = changes.filter(f"gtid_seq <= {half_seq}")
+
+        changelog = str(tmp_path / "stchangelog2")
+        out = str(tmp_path / "transitions2")
+        write_changelog(newer, changelog)
+        q = stream_apply_stateful(spark, changelog, out, available_now=True)
+        q.awaitTermination(180)
+        n_after_newer = spark.read.parquet(out).count()
+
+        write_changelog(older, changelog, mode="append")
+        q2 = stream_apply_stateful(spark, changelog, out, available_now=True)
+        q2.awaitTermination(180)
+        changes.unpersist()
+
+        transitions = spark.read.parquet(out)
+        # stale rows for keys already won by newer events were suppressed:
+        # the second trigger emitted only keys whose winner lives in the
+        # older half
+        assert transitions.count() > n_after_newer
+
+        got = _final_pdf(read_transitions_state(spark, out))
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
