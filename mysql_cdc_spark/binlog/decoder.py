@@ -428,6 +428,7 @@ def decode_binlog_dir(
     spec: TableSpec = TRANSCRIPTS,
     path_filter: Optional[str] = None,
     vectorized: Optional[bool] = None,
+    before_values: str = "full",
 ) -> DataFrame:
     """binlog directory → change-event DataFrame (distributed decode).
 
@@ -435,6 +436,12 @@ def decode_binlog_dir(
     one Arrow batch stream per file, parallel across files. Filter pushdown:
     pass ``path_filter`` (glob) to prune segments at the listing, e.g. for
     resume-from-file checkpoints.
+
+    ``before_values="keys"`` (vectorized path) skips materializing
+    non-key before-image values — column-pruning pushed into the byte
+    decoder for consumers that only read keys + after images (the merge
+    pipeline). The scalar fallback always decodes full values (rare, and
+    correctness-identical for such consumers).
     """
     # One file = one sequential decode unit, so decode parallelism must be
     # one task per segment. ``binaryFile`` packs small segments into shared
@@ -467,7 +474,9 @@ def decode_binlog_dir(
                 if vectorized:
                     from .vector import decode_segment_fast
 
-                    frames = decode_segment_fast(content, name, spec)
+                    frames = decode_segment_fast(
+                        content, name, spec, before_values=before_values
+                    )
                 if frames is not None:
                     yield from frames
                 else:

@@ -960,12 +960,16 @@ def _group_row_events(prep, data, etype, ps):
     return groups
 
 
-def _walk_group(data, pe, ev, rows_start, specs_b, specs_a, op: str, values: bool):
+def _walk_group(
+    data, pe, ev, rows_start, specs_b, specs_a, op: str, values: bool,
+    b_values: bool = True,
+):
     """Event-wavefront over one (table-map, op, presence) subgroup —
     heads already parsed; specs_b/specs_a are the PRESENT-column subsets
     for each image (None when the image is absent for this op).
-    Returns (evt_local, row_in_event, before_steps, after_steps) or None
-    when the layout mis-parses."""
+    ``b_values=False`` walks the before image offset-only (no value
+    gathers). Returns (evt_local, row_in_event, before_steps,
+    after_steps) or None when the layout mis-parses."""
     # wavefront: advance one row (or pair) per step
     cur = rows_start.copy()
     end = pe[ev]
@@ -983,7 +987,9 @@ def _walk_group(data, pe, ev, rows_start, specs_b, specs_a, op: str, values: boo
         step_evt.append(active.copy())
         step_row.append(np.full(len(active), r, dtype=np.int32))
         if op == "update":
-            bcols, off2 = _decode_image(data, cur[active], specs_b, len(specs_b), values)
+            bcols, off2 = _decode_image(
+                data, cur[active], specs_b, len(specs_b), values and b_values
+            )
             acols, off3 = _decode_image(data, off2, specs_a, len(specs_a), values)
             before_steps.append(bcols)
             after_steps.append(acols)
@@ -1110,9 +1116,19 @@ def _prepare_segment(content: bytes, spec) -> _Prep:
 
 
 def decode_segment_fast(
-    content: bytes, src_file: str, spec, batch_rows: int = 262144
+    content: bytes, src_file: str, spec, batch_rows: int = 262144,
+    before_values: str = "full",
 ) -> Optional[list[pd.DataFrame]]:
-    """Decode one segment fully vectorized; None → caller falls back."""
+    """Decode one segment fully vectorized; None → caller falls back.
+
+    ``before_values="keys"`` skips materializing before-image values for
+    non-key columns (typed nulls instead): update before-images are
+    walked offset-only and delete before-images keep only the key
+    columns. The merge pipeline never reads non-key before values (the
+    key is ``coalesce(after, before)`` and before columns are dropped
+    immediately after — pipeline/order.py:with_change_key), and the
+    expensive step this skips is the Arrow value build, which for FULL
+    row images is roughly half of an update-heavy stream's decode."""
     for _name, _ddl, kind in spec.columns:
         if kind not in (
             "str", "int", "ts_millis", "double", "binary", "date",
@@ -1152,8 +1168,13 @@ def decode_segment_fast(
         specs_b = [specs[i] for i in g["bits_b"]] if g["bits_b"] is not None else None
         specs_a = [specs[i] for i in g["bits_a"]] if g["bits_a"] is not None else None
         ev = ridx_k[loc]
+        # updates never contribute the change key from their before image
+        # (the after image carries it), so under "keys" mode the update
+        # before-image is walked offset-only, not value-decoded
+        b_mat = before_values == "full" or op != "update"
         walked = _walk_group(
-            data, pe, ev, g["rows_start"], specs_b, specs_a, op, values=True
+            data, pe, ev, g["rows_start"], specs_b, specs_a, op,
+            values=True, b_values=b_mat,
         )
         if walked is None:
             return None
@@ -1162,7 +1183,9 @@ def decode_segment_fast(
             continue
         n_rows = len(evt_local)
         img_before = (
-            _concat_image_cols(before_steps, specs_b) if before_steps else None
+            _concat_image_cols(before_steps, specs_b)
+            if before_steps and before_steps[0] is not None
+            else None
         )
         img_after = (
             _concat_image_cols(after_steps, specs_a) if after_steps else None
@@ -1224,6 +1247,12 @@ def decode_segment_fast(
                 mi = index.get(name)
                 sub = rank.get(mi) if mi is not None else None
                 colref = None if (img is None or sub is None) else img[sub]
+                if (
+                    prefix == "before_"
+                    and before_values != "full"
+                    and name not in spec.primary_key
+                ):
+                    colref = None  # typed nulls — never read by the merge
                 col = _canonical_column(colref, kinds[name], data, n_rows)
                 if col is None:
                     return None  # kind/type mismatch → fallback

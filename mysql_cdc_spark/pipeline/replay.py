@@ -235,7 +235,14 @@ class Replayer:
         batch_id = self.ledger.next_batch_id()
 
         glob = "{" + ",".join(files) + "}" if len(files) > 1 else files[0]
-        changes = decode_binlog_dir(spark, self.binlog_dir, spec, path_filter=glob)
+        # before_values="keys": the merge pipeline reads only keys + after
+        # images (before_* are dropped right after with_change_key), so
+        # the decoder skips the non-key before-image value builds —
+        # column pruning pushed into the byte decoder
+        changes = decode_binlog_dir(
+            spark, self.binlog_dir, spec, path_filter=glob,
+            before_values="keys",
+        )
         changes = gate_complete_transactions(changes)
 
         covered = self.ledger.covered_gtid_set()

@@ -624,3 +624,44 @@ class TestEnumSetTimeFastPath:
         got = self._parity(content, self._spec("int")).sort_values("after_k")
         assert [None if pd.isna(v) else int(v) for v in got["after_sz"]] == [2, 0, None, 3]
         assert [None if pd.isna(v) else int(v) for v in got["after_flags"]] == [0b101, 0, None, 0b111]
+
+
+def test_before_values_keys_mode(standard_files):
+    """before_values="keys": identical to the full decode on every column
+    EXCEPT non-key before values, which become typed nulls (the merge
+    pipeline never reads them); update/delete keys still resolve."""
+    with open(standard_files[0], "rb") as f:
+        content = f.read()
+    full = pd.concat(
+        decode_segment_fast(content, "x", TRANSCRIPTS), ignore_index=True
+    )
+    keys_only = pd.concat(
+        decode_segment_fast(content, "x", TRANSCRIPTS, before_values="keys"),
+        ignore_index=True,
+    )
+    assert len(full) == len(keys_only)
+    ca, cb = _canon(full), _canon(keys_only)
+    key_before = {f"before_{k}" for k in TRANSCRIPTS.primary_key}
+    nonkey_before = {
+        f"before_{n}" for n, _, _ in TRANSCRIPTS.columns
+        if n not in TRANSCRIPTS.primary_key
+    }
+    ops = full["op"].tolist()
+    for col in ca:
+        if col in nonkey_before:
+            assert all(v is None for v in cb[col]), col
+        elif col in key_before:
+            # the change key needs before keys only for deletes (updates
+            # carry the key in the after image); update before-images are
+            # walked offset-only, so their keys are null too
+            for o, a, b in zip(ops, ca[col], cb[col]):
+                if o == "delete":
+                    assert a == b, col
+                else:
+                    assert b is None or a == b, col
+        else:
+            assert ca[col] == cb[col], col
+    # delete rows keep their before-image keys (the change key source)
+    dels = keys_only[keys_only["op"] == "delete"]
+    assert len(dels) > 0
+    assert dels["before_conv_id"].notna().all()
