@@ -665,3 +665,31 @@ def test_before_values_keys_mode(standard_files):
     dels = keys_only[keys_only["op"] == "delete"]
     assert len(dels) > 0
     assert dels["before_conv_id"].notna().all()
+
+
+class TestMulAdd128Property:
+    def test_matches_python_bigints(self):
+        """_muladd128 (vectorized two-limb base-2^32 schoolbook) must agree
+        with Python's arbitrary-precision ints over the decimal walk's
+        reachable domain (result magnitude < 10^38)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mysql_cdc_spark.binlog.vector import _muladd128
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=10**38 // 10**9 - 1),
+            st.integers(min_value=0, max_value=10**9 - 1),
+            st.sampled_from([10**9] + [10**c for c in range(1, 9)]),
+        )
+        def check(acc, add, mult):
+            if acc * mult + add >= 10**38:
+                return
+            hi = np.array([acc >> 64], dtype=np.uint64)
+            lo = np.array([acc & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+            nh, nl = _muladd128(hi, lo, mult, np.array([add], dtype=np.int64))
+            got = (int(nh[0]) << 64) | int(nl[0])
+            assert got == acc * mult + add
+
+        check()

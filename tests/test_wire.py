@@ -227,3 +227,26 @@ class TestPacketFraming:
         err_body = b"\xff" + struct.pack("<H", 1236) + b"#HY000Could not find first log"
         with pytest.raises(ValueError, match="1236"):
             binlog_stream_frames(write_packets(err_body, 0))
+
+
+class TestPacketFramingProperties:
+    def test_roundtrip_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from mysql_cdc_spark.binlog.wire import split_packets, write_packets
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(st.binary(min_size=0, max_size=2048), min_size=0, max_size=8),
+            st.integers(min_value=0, max_value=255),
+        )
+        def check(payloads, seq0):
+            stream = b"".join(
+                write_packets(p, (seq0 + i) % 256) for i, p in enumerate(payloads)
+            )
+            got = split_packets(stream)
+            assert [p for p, _ in got] == payloads
+            assert [s for _, s in got] == [(seq0 + i) % 256 for i in range(len(payloads))]
+
+        check()
