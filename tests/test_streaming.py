@@ -215,3 +215,132 @@ class TestStatefulApply:
         got = _final_pdf(read_transitions_state(spark, out))
         want = apply_changelog_oracle(txns)
         assert got["text"].tolist() == want["text"].tolist()
+
+
+class TestWindowedMetrics:
+    """Watermark + event-time windowed aggs over the decoded stream
+    (append mode: a window emits exactly once, when the watermark
+    finalizes it; events older than the allowance are dropped)."""
+
+    def _decoded(self, spark, txns, tmp_path, name):
+        binlog = str(tmp_path / f"{name}_binlog")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        return decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+
+    def _sentinel(self, changes, minutes):
+        import pyspark.sql.functions as F
+
+        return changes.limit(1).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTES")
+        )
+
+    def test_windowed_counts_match_batch(self, spark, txns, tmp_path):
+        import pyspark.sql.functions as F
+
+        from mysql_cdc_spark.streaming.windows import stream_change_metrics
+
+        changes = self._decoded(spark, txns, tmp_path, "wm").persist()
+        changelog = str(tmp_path / "wm_changelog")
+        out = str(tmp_path / "wm_out")
+        write_changelog(changes, changelog)
+        q = stream_change_metrics(spark, changelog, out, available_now=True)
+        q.awaitTermination(120)
+
+        # a far-future sentinel advances the watermark so every base
+        # window finalizes on the next run (same checkpoint)
+        write_changelog(self._sentinel(changes, 60), changelog, mode="append")
+        q2 = stream_change_metrics(spark, changelog, out, available_now=True)
+        q2.awaitTermination(120)
+
+        got = (
+            spark.read.parquet(out)
+            .groupBy("window_start", "db", "tbl", "op")
+            .agg(F.sum("n_changes").alias("n_changes"))
+        )
+        max_base_ts = changes.agg(F.max("ts")).collect()[0][0]
+        want = (
+            changes.filter(F.col("ts").isNotNull())
+            .groupBy(F.window("ts", "1 minute").alias("w"), "db", "tbl", "op")
+            .agg(F.count(F.lit(1)).alias("n_changes"))
+            .select(F.col("w.start").alias("window_start"), "db", "tbl", "op", "n_changes")
+        )
+        g = {tuple(r) for r in got.collect()}
+        w = {tuple(r) for r in want.collect()}
+        changes.unpersist()
+        assert w and w <= g  # all base windows finalized with exact counts
+        # only the sentinel's own window may be extra
+        extra = g - w
+        assert all(r[0] > max_base_ts for r in extra)
+
+    def test_late_event_beyond_watermark_dropped(self, spark, txns, tmp_path):
+        import pyspark.sql.functions as F
+
+        from mysql_cdc_spark.streaming.windows import stream_change_metrics
+
+        changes = self._decoded(spark, txns, tmp_path, "late").persist()
+        changelog = str(tmp_path / "late_changelog")
+        out = str(tmp_path / "late_out")
+        # two-phase: base data first, sentinel in a separate run — a
+        # sentinel processed in the same run could advance the watermark
+        # before later micro-batches of base data are applied
+        write_changelog(changes, changelog)
+        q = stream_change_metrics(spark, changelog, out, available_now=True)
+        q.awaitTermination(120)
+        write_changelog(self._sentinel(changes, 60), changelog, mode="append")
+        q1 = stream_change_metrics(spark, changelog, out, available_now=True)
+        q1.awaitTermination(120)
+        before = spark.read.parquet(out).agg(F.sum("n_changes")).collect()[0][0]
+
+        # redeliver an OLD event (far below the watermark) plus a further
+        # sentinel: the old event must be dropped, not re-counted
+        write_changelog(changes.limit(1), changelog, mode="append")
+        write_changelog(self._sentinel(changes, 120), changelog, mode="append")
+        q2 = stream_change_metrics(spark, changelog, out, available_now=True)
+        q2.awaitTermination(120)
+        after_df = spark.read.parquet(out)
+        after = after_df.agg(F.sum("n_changes")).collect()[0][0]
+        changes.unpersist()
+        # growth only from the first sentinel's window finalizing (1 row);
+        # the redelivered old event contributed nothing
+        assert after == before + 1
+
+    def test_session_windows_stream(self, spark, txns, tmp_path):
+        import pyspark.sql.functions as F
+
+        from mysql_cdc_spark.streaming.windows import stream_change_metrics
+
+        changes = self._decoded(spark, txns, tmp_path, "sess").persist()
+        changelog = str(tmp_path / "sess_changelog")
+        out = str(tmp_path / "sess_out")
+        write_changelog(changes, changelog)
+        q = stream_change_metrics(
+            spark, changelog, out, mode="session", gap="2 minutes"
+        )
+        q.awaitTermination(120)
+        write_changelog(self._sentinel(changes, 60), changelog, mode="append")
+        q2 = stream_change_metrics(
+            spark, changelog, out, mode="session", gap="2 minutes"
+        )
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        max_base_ts = changes.agg(F.max("ts")).collect()[0][0]
+        finalized = got.filter(F.col("session_start") <= max_base_ts).select(
+            "session_start", "conv_id", "n_changes"
+        )
+        want = (
+            changes.filter(F.col("ts").isNotNull())
+            .groupBy(
+                F.session_window("ts", "2 minutes").alias("w"),
+                F.col("after_conv_id").alias("conv_id"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_changes"))
+            .select(
+                F.col("w.start").alias("session_start"), "conv_id", "n_changes"
+            )
+            .filter(F.col("session_start") <= max_base_ts)
+        )
+        g = {tuple(r) for r in finalized.collect()}
+        w = {tuple(r) for r in want.collect()}
+        changes.unpersist()
+        assert w and w == g
