@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+documented in docs/PLANS.md must survive refactors — pushdown reaching
+the scan, broadcasts staying broadcast, combine-enabled aggregates, and
+the persisted IVF codebook being *read*, not retrained in-plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_cdc_spark.analytics import cdc_ops, embeddings, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_p3_filter_and_projection_pushed(spark):
+    plan = _plan(cdc_ops.p3_event_filter(spark, SF))
+    assert "PushedFilters" in plan
+    assert "In(event_type" in plan
+    assert "GreaterThan(value,5.0)" in plan
+    # projection pruned: props (the widest column) never read
+    assert "props" not in plan
+
+
+def test_j1_dims_broadcast(spark):
+    plan = _plan(cdc_ops.j1_dim_lookup_join(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_w1_lww_is_combine_enabled_aggregate(spark):
+    plan = _plan(cdc_ops.w1_lww_last_event(spark, SF))
+    assert "partial_max_by" in plan  # map-side combine before the shuffle
+    assert "Window" not in plan  # the window formulation would sort all events
+
+
+def test_knn_ivf_reads_persisted_codebook(spark):
+    embeddings.build_codebook(spark, SF)
+    plan = _plan(embeddings.knn_ivf(spark, SF))
+    # the probe plan scans the codebook artifact and broadcasts it —
+    # no centroid training (avg/posexplode over the corpus) subtree
+    assert "ivf_codebook_" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_redact_is_zero_exchange_scan(spark):
+    plan = _plan(text.text_redact_pii(spark, SF))
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the project
+
+
+def test_token_histogram_topk_without_global_sort(spark):
+    plan = _plan(text.token_histogram(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan or "Sort " not in plan
