@@ -1,0 +1,147 @@
+"""Multi-table replay: one binlog stream carrying TWO tables (including a
+mixed segment with both tables' transactions interleaved) routes each
+table to its own target/ledger, each matching its oracle — and each
+table's decode skips the other table's rows (tm_is_target gating)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from mysql_cdc_spark.binlog.constants import ColumnType, EventType
+from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS, TableSpec, decode_binlog_dir
+from mysql_cdc_spark.binlog.encoder import BinlogWriter
+from mysql_cdc_spark.fixtures import (
+    COLUMN_TYPES,
+    PRE_COLUMNS,
+    TABLE_ID_PRE,
+    apply_changelog_oracle,
+    generate_changelog,
+    write_binlog_files,
+)
+from mysql_cdc_spark.pipeline.multi import MultiReplayer
+
+METRICS = TableSpec(
+    database="metrics",
+    table="samples",
+    columns=(
+        ("sample_id", "string", "str"),
+        ("k", "int", "int"),
+        ("value", "double", "double"),
+    ),
+    primary_key=("sample_id", "k"),
+)
+M_TYPES = [ColumnType.VARCHAR, ColumnType.LONG, ColumnType.DOUBLE]
+M_META = [64, 0, 8]
+M_COLS = ["sample_id", "k", "value"]
+M_TABLE_ID = 500
+UUID = "24bc7850-2c16-11e6-a073-0242ac110001"
+
+
+def _write_mixed_segment(outdir: str, start_seq: int) -> tuple[list, dict]:
+    """One segment interleaving metrics txns with a transcripts txn.
+    Returns (extra transcript rows, expected metrics final state)."""
+    w = BinlogWriter("zmix.000001")
+    seq = start_seq
+
+    def m_txn(ops):
+        nonlocal seq
+        seq += 1
+        w.write_mysql_gtid(UUID, seq)
+        w.write_query("BEGIN", database="metrics")
+        w.write_table_map(
+            M_TABLE_ID, "metrics", "samples", M_TYPES, M_META,
+            [False, False, True], column_names=M_COLS,
+            simple_primary_keys=[0, 1],
+        )
+        for kind, rows in ops:
+            et = (
+                EventType.MYSQL_WRITE_ROWS_V2
+                if kind == "insert"
+                else EventType.MYSQL_DELETE_ROWS_V2
+            )
+            if kind == "update":
+                w.write_update_rows(M_TABLE_ID, M_TYPES, M_META, rows)
+            else:
+                w.write_rows(M_TABLE_ID, M_TYPES, M_META, rows, event_type=et)
+        w.write_xid(seq)
+
+    m_txn([("insert", [["s1", 0, 1.5], ["s1", 1, 2.5], ["s2", 0, 10.0]])])
+
+    # a transcripts txn INSIDE the same segment, between metrics txns
+    seq += 1
+    t_types = [COLUMN_TYPES[c][0] for c in PRE_COLUMNS]
+    t_meta = [COLUMN_TYPES[c][1] for c in PRE_COLUMNS]
+    t_row = ["zzz-mixed", 0, "user", "row from the mixed segment", 1700000000000]
+    w.write_mysql_gtid(UUID, seq)
+    w.write_query("BEGIN", database="chat")
+    w.write_table_map(
+        TABLE_ID_PRE, "chat", "transcripts", t_types, t_meta,
+        [False] * 5, column_names=PRE_COLUMNS, simple_primary_keys=[0, 1],
+    )
+    w.write_rows(TABLE_ID_PRE, t_types, t_meta, [t_row])
+    w.write_xid(seq)
+
+    m_txn([("update", [(["s1", 0, 1.5], ["s1", 0, 3.25])])])
+    m_txn([("delete", [["s2", 0, 10.0]])])
+
+    w.save(os.path.join(outdir, "zmix.000001"))
+    expected_metrics = {("s1", 0): 3.25, ("s1", 1): 2.5}
+    return [t_row], expected_metrics
+
+
+@pytest.mark.parametrize("files_per_batch", [None, 1])
+def test_multi_table_replay_matches_both_oracles(spark, tmp_path, files_per_batch):
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=20, seed=23,
+        duplicate_txns=2,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=20)
+    max_seq = max(t.seq for t in txns)
+    extra_rows, expected_metrics = _write_mixed_segment(outdir, max_seq + 1000)
+
+    multi = MultiReplayer(
+        spark, outdir, str(tmp_path / "stores"), [TRANSCRIPTS, METRICS]
+    )
+    results = multi.replay(files_per_batch=files_per_batch)
+    assert results["chat.transcripts"].events > 0
+    assert results["metrics.samples"].events == 5  # 3 ins + 1 upd + 1 del
+
+    # transcripts: fixture oracle + the mixed-segment row
+    got_t = (
+        multi.read_state("chat.transcripts")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want_t = apply_changelog_oracle(txns)
+    assert len(got_t) == len(want_t) + 1
+    assert got_t[got_t["conv_id"] == "zzz-mixed"]["text"].tolist() == [
+        "row from the mixed segment"
+    ]
+    non_mixed = got_t[got_t["conv_id"] != "zzz-mixed"].reset_index(drop=True)
+    assert non_mixed["text"].tolist() == want_t["text"].tolist()
+
+    # metrics: the hand-computed final state; the transcripts rows in the
+    # mixed segment never leak into it
+    got_m = multi.read_state("metrics.samples").toPandas()
+    got = {
+        (r.sample_id, r.k): r.value for r in got_m.itertuples(index=False)
+    }
+    assert got == expected_metrics
+
+
+def test_other_tables_rows_are_skipped_cheaply(spark, tmp_path):
+    """A decode pass for one spec drops the other table's row events
+    (TABLE_MAP targeting) — both directions."""
+    outdir = str(tmp_path / "binlog")
+    os.makedirs(outdir, exist_ok=True)
+    _write_mixed_segment(outdir, 1)
+
+    t = decode_binlog_dir(spark, outdir, TRANSCRIPTS).toPandas()
+    m = decode_binlog_dir(spark, outdir, METRICS).toPandas()
+    assert set(t["tbl"]) == {"transcripts"} and len(t) == 1
+    assert set(m["tbl"]) == {"samples"} and len(m) == 5
+    assert sorted(m["op"]) == ["delete", "insert", "insert", "insert", "update"]
