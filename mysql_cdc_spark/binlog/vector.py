@@ -1325,6 +1325,7 @@ def segment_row_stats(
             "max_pos": pd.Series([], dtype=np.int64),
             "starts": pd.Series([], dtype=object),
             "ends": pd.Series([], dtype=object),
+            "max_ts": pd.Series([], dtype=np.int64),
         }
     )
     if prep.empty:
@@ -1383,10 +1384,11 @@ def segment_row_stats(
 
     if not mask.any():
         return empty
-    src_m, seq_m, pos_m = src[mask], seq[mask], pos_row[mask]
+    ts_row = fr["ts"][ridx_k[l_all]]
+    src_m, seq_m, pos_m, ts_m = src[mask], seq[mask], pos_row[mask], ts_row[mask]
     out = {
         "src_file": [], "gtid_source": [], "events": [],
-        "min_pos": [], "max_pos": [], "starts": [], "ends": [],
+        "min_pos": [], "max_pos": [], "starts": [], "ends": [], "max_ts": [],
     }
     for si in np.unique(src_m):
         sel = src_m == si
@@ -1405,6 +1407,9 @@ def segment_row_stats(
             starts = ends = np.array([], dtype=np.int64)
         out["starts"].append(starts.tolist())
         out["ends"].append(ends.tolist())
+        # header timestamp (epoch seconds) of the newest committed row —
+        # the numerator of the replication-lag metric (ST4)
+        out["max_ts"].append(int(ts_m[sel].max()))
     frame = pd.DataFrame(out)
     frame["starts"] = frame["starts"].astype(object)
     frame["ends"] = frame["ends"].astype(object)

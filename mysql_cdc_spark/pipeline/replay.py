@@ -75,7 +75,7 @@ def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl):
 
     from ..binlog.decoder import _FileDecoder
 
-    cols = ["src_file", "gtid_source", "gtid_seq", "pos", "xid"]
+    cols = ["src_file", "gtid_source", "gtid_seq", "pos", "xid", "ts"]
     d = _FileDecoder(spec)
     frames = [f[cols] for f in d.decode_file(name, content)]
     pdf = (
@@ -106,7 +106,7 @@ def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl):
         pdf = pdf[~drop]
     out = {
         "src_file": [], "gtid_source": [], "events": [],
-        "min_pos": [], "max_pos": [], "starts": [], "ends": [],
+        "min_pos": [], "max_pos": [], "starts": [], "ends": [], "max_ts": [],
     }
     for (f, s), g in pdf.groupby(["src_file", "gtid_source"], dropna=False, sort=False):
         out["src_file"].append(f)
@@ -114,6 +114,10 @@ def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl):
         out["events"].append(len(g))
         out["min_pos"].append(int(g["pos"].min()))
         out["max_pos"].append(int(g["pos"].max()))
+        ts_max = g["ts"].max()
+        out["max_ts"].append(
+            0 if pd.isna(ts_max) else int(pd.Timestamp(ts_max).value // 10**9)
+        )
         if pd.isna(s):
             starts = ends = np.array([], dtype="int64")
         else:
@@ -423,12 +427,19 @@ class Replayer:
             }
             for r in stats
         ]
+        # replication lag (ST4): wall clock minus the newest committed
+        # event's header timestamp — at tail this is real source lag; on
+        # a historical backfill it is the backlog age being worked off
+        max_event_ts = max((r.get("max_ts", 0) for r in stats), default=0)
         metrics = {
             "events": n_events,
             "seconds": round(seconds, 3),
             "events_per_sec": round(n_events / seconds, 1) if seconds else 0.0,
             **phase_t,
         }
+        if max_event_ts > 0:
+            metrics["max_event_ts"] = int(max_event_ts)
+            metrics["lag_s"] = round(time.time() - max_event_ts, 1)
         self.ledger.append(
             LedgerEntry(
                 batch_id=batch_id,
@@ -502,7 +513,7 @@ class Replayer:
             schema=(
                 "src_file string, gtid_source string, events long, "
                 "min_pos long, max_pos long, "
-                "starts array<long>, ends array<long>"
+                "starts array<long>, ends array<long>, max_ts long"
             ),
         ).collect()
         return [r.asDict() for r in rows]

@@ -264,3 +264,28 @@ def test_dual_written_changelog_sql_replay_matches_pandas_oracle():
     assert got["ts_ms"].tolist() == [
         int(t.value // 10**6) for t in oracle["ts"]
     ]
+
+
+def test_lag_metric_in_ledger(spark, tmp_path):
+    """ST4: every committed batch records max_event_ts (newest committed
+    header timestamp) and lag_s (wall clock minus it) in the ledger."""
+    import time as _time
+
+    from mysql_cdc_spark.fixtures import BASE_TS
+
+    txns = generate_changelog(n_conversations=8, max_turns=3, n_extra_ops=12, seed=29)
+    binlog = str(tmp_path / "binlog")
+    write_binlog_files(txns, binlog, txns_per_file=(len(txns) + 1) // 2)
+    rep = Replayer(spark, binlog, str(tmp_path / "store"))
+    rep.replay(files_per_batch=1)
+
+    entries = rep.ledger.entries()
+    assert len(entries) == 2
+    expected_max = max(t.timestamp for t in txns)
+    for e in entries:
+        assert e.metrics["max_event_ts"] >= BASE_TS
+        assert e.metrics["lag_s"] == pytest.approx(
+            _time.time() - e.metrics["max_event_ts"], abs=120
+        )
+    # the final batch's high-water mark is the stream's newest event
+    assert entries[-1].metrics["max_event_ts"] == expected_max
