@@ -1,0 +1,73 @@
+"""CLI smoke tests: the spark-submit entry (`python -m mysql_cdc_spark`)
+drives replay / state / ledger end-to-end and prints machine-readable
+JSON lines."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mysql_cdc_spark.__main__ import main
+from mysql_cdc_spark.fixtures import (
+    apply_changelog_oracle,
+    count_change_events,
+    generate_changelog,
+    write_binlog_files,
+)
+
+
+@pytest.fixture()
+def fixture_dirs(tmp_path):
+    txns = generate_changelog(
+        n_conversations=8, max_turns=3, n_extra_ops=12, seed=37
+    )
+    binlog = str(tmp_path / "binlog")
+    write_binlog_files(txns, binlog, txns_per_file=10)
+    return txns, binlog, str(tmp_path / "store")
+
+
+def _first_json(out: str) -> dict:
+    for line in out.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON line in: {out!r}")
+
+
+def test_cli_replay_state_ledger(spark, fixture_dirs, capsys):
+    txns, binlog, store = fixture_dirs
+
+    rc = main(["replay", "--binlog-dir", binlog, "--store-dir", store])
+    assert rc == 0
+    rep = _first_json(capsys.readouterr().out)
+    assert rep["events"] == count_change_events(txns)
+    assert rep["batches"] == 1 and rep["events_per_sec"] > 0
+
+    rc = main([
+        "state", "--binlog-dir", binlog, "--store-dir", store, "--limit", "3",
+    ])
+    assert rc == 0
+    state = _first_json(capsys.readouterr().out)
+    assert state["rows"] == len(apply_changelog_oracle(txns))
+
+    rc = main(["ledger", "--store-dir", store])
+    assert rc == 0
+    entries = [
+        json.loads(line)
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{")
+    ]
+    assert len(entries) == 1
+    assert entries[0]["metrics"]["events"] == count_change_events(txns)
+    assert "lag_s" in entries[0]["metrics"]
+
+
+def test_cli_tail_bounded(spark, fixture_dirs, capsys):
+    _, binlog, store = fixture_dirs
+    rc = main([
+        "tail", "--binlog-dir", binlog, "--store-dir", store,
+        "--poll-interval", "0.05", "--idle-polls", "2",
+    ])
+    assert rc == 0
+    out = _first_json(capsys.readouterr().out)
+    assert out["events"] > 0 and out["polls"] >= 2
