@@ -245,3 +245,69 @@ def binlog_stream_frames(data: bytes) -> list[bytes]:
         else:
             raise ValueError(f"unexpected response type 0x{rtype:02x}")
     return frames
+
+
+# ---------------------------------------------------------------------------
+# Client command encoders (commands/*.rs) — the write side of E2's connect
+# sequence. Pure bytes: compose with write_packets for the framed form.
+# ---------------------------------------------------------------------------
+
+COM_QUERY = 3  # command_type.rs:7
+COM_BINLOG_DUMP = 18  # command_type.rs:22
+COM_REGISTER_SLAVE = 21  # command_type.rs:24
+COM_BINLOG_DUMP_GTID = 30  # command_type.rs:25
+
+
+def encode_query_command(sql: str) -> bytes:
+    """COM_QUERY; query_command.rs:14-22 (the 'show master status' /
+    heartbeat-period / checksum-negotiation statements ride this)."""
+    return bytes([COM_QUERY]) + sql.encode("utf-8")
+
+
+def encode_dump_binlog_command(
+    server_id: int, filename: str, position: int, flags: int = 0
+) -> bytes:
+    """COM_BINLOG_DUMP; dump_binlog_command.rs:22-33. server_id=0 means
+    a non-blocking dump that EOFs at end-of-stream (ST6)."""
+    return struct.pack(
+        "<BIHI", COM_BINLOG_DUMP, position, flags, server_id
+    ) + filename.encode("utf-8")
+
+
+def encode_register_slave_command(server_id: int) -> bytes:
+    """COM_REGISTER_SLAVE with empty host/user/password/port/rank/master
+    fields; register_slave_command.rs:15-29 (MariaDB GTID replication
+    requires registering before the dump)."""
+    return struct.pack(
+        "<BIBBBHII", COM_REGISTER_SLAVE, server_id, 0, 0, 0, 0, 0, 0
+    )
+
+
+def encode_dump_binlog_gtid_command(
+    server_id: int,
+    filename: str,
+    position: int,
+    gtid_set,
+    flags: int = 0,
+) -> bytes:
+    """COM_BINLOG_DUMP_GTID; dump_binlog_gtid_command.rs:25-61.
+
+    The GTID-set payload stores each interval end EXCLUSIVE
+    (``interval.end + 1``, dump_binlog_gtid_command.rs:58) — the same
+    wire layout PREVIOUS_GTIDS events use, so
+    ``kernels.parse_prev_gtids`` round-trips it exactly.
+    """
+    out = bytearray(struct.pack("<BHI", COM_BINLOG_DUMP_GTID, flags, server_id))
+    fn = filename.encode("utf-8")
+    out += struct.pack("<I", len(fn))
+    out += fn
+    out += struct.pack("<Q", position)
+    uuid_sets = list(gtid_set.uuid_sets.values())
+    data_length = 8 + sum(16 + 8 + len(us.intervals) * 16 for us in uuid_sets)
+    out += struct.pack("<IQ", data_length, len(uuid_sets))
+    for us in uuid_sets:
+        out += us.source_id.data
+        out += struct.pack("<Q", len(us.intervals))
+        for iv in us.intervals:
+            out += struct.pack("<QQ", iv.start, iv.end + 1)
+    return bytes(out)

@@ -250,3 +250,52 @@ class TestPacketFramingProperties:
             assert [s for _, s in got] == [(seq0 + i) % 256 for i in range(len(payloads))]
 
         check()
+
+
+class TestCommandEncoders:
+    """commands/*.rs layouts, byte-for-byte."""
+
+    def test_query_and_dump(self):
+        from mysql_cdc_spark.binlog.wire import (
+            encode_dump_binlog_command,
+            encode_query_command,
+            encode_register_slave_command,
+        )
+
+        assert encode_query_command("show master status") == (
+            b"\x03show master status"
+        )
+        cmd = encode_dump_binlog_command(65535, "mysql-bin.000004", 4)
+        assert cmd[0] == 18
+        assert struct.unpack_from("<I", cmd, 1)[0] == 4  # position
+        assert struct.unpack_from("<H", cmd, 5)[0] == 0  # flags
+        assert struct.unpack_from("<I", cmd, 7)[0] == 65535  # server_id
+        assert cmd[11:] == b"mysql-bin.000004"
+        reg = encode_register_slave_command(7)
+        assert reg[0] == 21 and len(reg) == 1 + 4 + 3 + 2 + 4 + 4
+        assert struct.unpack_from("<I", reg, 1)[0] == 7
+
+    def test_dump_gtid_roundtrips_via_prev_gtids_parser(self):
+        """The command's GTID-set payload uses the PREVIOUS_GTIDS wire
+        layout with EXCLUSIVE interval ends (interval.end + 1,
+        dump_binlog_gtid_command.rs:58) — parse it back with the event
+        parser and require text equality."""
+        from mysql_cdc_spark.binlog.kernels import parse_prev_gtids
+        from mysql_cdc_spark.binlog.wire import encode_dump_binlog_gtid_command
+        from mysql_cdc_spark.gtid import GtidSet
+
+        text = (
+            "24bc7850-2c16-11e6-a073-0242ac110001:1-100:200-250,"
+            "7c2de1c4-0e21-11e6-a8d6-0242ac110002:1-19"
+        )
+        gset = GtidSet.parse(text)
+        cmd = encode_dump_binlog_gtid_command(99, "binlog.000007", 4, gset)
+        assert cmd[0] == 30
+        fn_len = struct.unpack_from("<I", cmd, 7)[0]
+        assert cmd[11 : 11 + fn_len] == b"binlog.000007"
+        pos = struct.unpack_from("<Q", cmd, 11 + fn_len)[0]
+        assert pos == 4
+        data_len = struct.unpack_from("<I", cmd, 19 + fn_len)[0]
+        payload = cmd[23 + fn_len :]
+        assert len(payload) == data_len
+        assert str(parse_prev_gtids(payload)) == str(gset)
