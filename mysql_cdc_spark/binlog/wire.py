@@ -311,3 +311,62 @@ def encode_dump_binlog_gtid_command(
         for iv in us.intervals:
             out += struct.pack("<QQ", iv.start, iv.end + 1)
     return bytes(out)
+
+
+# capability_flags.rs
+LONG_FLAG = 1 << 2
+CONNECT_WITH_DB = 1 << 3
+SSL = 1 << 11
+PROTOCOL_41 = 1 << 9
+
+
+def _null_term(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def encode_authenticate_command(
+    username: str,
+    password: str,
+    scramble: str,
+    auth_plugin_name: str,
+    database: Optional[str] = None,
+    client_collation: int = 33,
+    max_packet_size: int = 0,
+) -> bytes:
+    """Client handshake response; authenticate_command.rs:49-70.
+    Capabilities mirror the reference's fixed set (LONG_FLAG |
+    PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH, plus CONNECT_WITH_DB
+    when a database is given)."""
+    caps = LONG_FLAG | PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH
+    if database is not None:
+        caps |= CONNECT_WITH_DB
+    out = bytearray(struct.pack("<IIB", caps, max_packet_size, client_collation))
+    out += bytes(23)  # reserved
+    out += _null_term(username)
+    enc = encrypt_password(password, scramble, auth_plugin_name)
+    out.append(len(enc))
+    out += enc
+    if database is not None:
+        out += _null_term(database)
+    out += _null_term(auth_plugin_name)
+    return bytes(out)
+
+
+def encode_auth_plugin_switch_command(
+    password: str, scramble: str, auth_plugin_name: str
+) -> bytes:
+    """Response to an auth-plugin-switch request: just the re-encrypted
+    password; auth_plugin_switch_command.rs:24-31."""
+    return encrypt_password(password, scramble, auth_plugin_name)
+
+
+def encode_ssl_request_command(
+    client_collation: int = 33, max_packet_size: int = 0
+) -> bytes:
+    """SSLRequest; ssl_request_command.rs:27-38 (same head as the
+    handshake response, SSL capability set, no credentials)."""
+    caps = LONG_FLAG | PROTOCOL_41 | SECURE_CONNECTION | SSL | PLUGIN_AUTH
+    return (
+        struct.pack("<IIB", caps, max_packet_size, client_collation)
+        + bytes(23)
+    )

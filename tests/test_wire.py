@@ -299,3 +299,56 @@ class TestCommandEncoders:
         payload = cmd[23 + fn_len :]
         assert len(payload) == data_len
         assert str(parse_prev_gtids(payload)) == str(gset)
+
+
+class TestAuthCommands:
+    def test_authenticate_command_layout(self):
+        import hashlib
+
+        from mysql_cdc_spark.binlog.wire import (
+            CONNECT_WITH_DB,
+            LONG_FLAG,
+            PROTOCOL_41,
+            encode_authenticate_command,
+        )
+
+        scramble = "abcdefghijklmnopqrst"  # 20 chars like a real handshake
+        cmd = encode_authenticate_command(
+            "repl", "secret", scramble, MYSQL_NATIVE_PASSWORD, database="chat"
+        )
+        caps = struct.unpack_from("<I", cmd, 0)[0]
+        assert caps & PROTOCOL_41 and caps & SECURE_CONNECTION
+        assert caps & PLUGIN_AUTH and caps & LONG_FLAG and caps & CONNECT_WITH_DB
+        assert cmd[8] == 33  # collation
+        assert cmd[9:32] == bytes(23)  # reserved
+        rest = cmd[32:]
+        assert rest.startswith(b"repl\x00")
+        rest = rest[5:]
+        n = rest[0]
+        assert n == 20  # sha1 digest length
+        expected = encrypt_password("secret", scramble, MYSQL_NATIVE_PASSWORD)
+        assert rest[1 : 1 + n] == expected
+        assert rest[1 + n :] == b"chat\x00" + MYSQL_NATIVE_PASSWORD.encode() + b"\x00"
+        # without a database: no CONNECT_WITH_DB, no db field
+        cmd2 = encode_authenticate_command(
+            "repl", "secret", scramble, MYSQL_NATIVE_PASSWORD
+        )
+        assert not struct.unpack_from("<I", cmd2, 0)[0] & CONNECT_WITH_DB
+        assert b"chat" not in cmd2
+
+    def test_ssl_request_and_plugin_switch(self):
+        from mysql_cdc_spark.binlog.wire import (
+            SSL,
+            encode_auth_plugin_switch_command,
+            encode_ssl_request_command,
+        )
+
+        req = encode_ssl_request_command()
+        assert len(req) == 32
+        assert struct.unpack_from("<I", req, 0)[0] & SSL
+        sw = encode_auth_plugin_switch_command(
+            "secret", "abcdefghijklmnopqrst", CACHING_SHA2_PASSWORD
+        )
+        assert sw == encrypt_password(
+            "secret", "abcdefghijklmnopqrst", CACHING_SHA2_PASSWORD
+        )
