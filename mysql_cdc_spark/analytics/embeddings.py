@@ -6,11 +6,14 @@ products in whole-stage codegen — no Python in the hot path):
 
 - knn_bruteforce   exact cosine top-k for a query subset (the baseline)
 - label_centroids  distributed element-wise mean vector per label
-- knn_ivf          IVF-style ANN: coarse-quantize every vector to its
-                   nearest label centroid, search only within the probe
-                   cell (the scale path; same output schema as brute force)
-- embedding_neardup  cosine near-duplicate pairs (≥ threshold) over
-                     length-bucketed candidate space
+- knn_ivf / knn_ivf_probe2  IVF-style ANN against a PERSISTED coarse
+                   codebook (build_codebook trains once per corpus;
+                   every probe broadcasts the artifact)
+- embedding_neardup       exact cosine near-dup pairs (label-blocked
+                          verification baseline)
+- embedding_neardup_ivf   scale-safe near-dup via IVF cell candidates
+- embedding_quantize_int8 symmetric per-vector int8 quantization with
+                          exact scale/checksum/RMS-error oracle
 
 Float parity with the DuckDB oracle: embeddings are float32 in parquet;
 both engines cast to double before any arithmetic, and cosine values are

@@ -17,8 +17,15 @@ Operators:
 - dedup_exact        exact dedup by normalized-text hash
 - dedup_prefix       near-dup groups by prefix fingerprint
 - text_simhash       32-bit SimHash over unigram hashes
-- minhash_lsh_neardup  MinHash (k=8) → 4-band LSH → candidate pairs with
-                       exact shingle-Jaccard verification
+- minhash_lsh_neardup  MinHash (k=8, integer affine family over one
+                       56-bit digest per shingle) → 4-band LSH →
+                       candidate pairs with exact Jaccard verification
+- text_redact_pii    email/phone span counting + redaction (codegen
+                     regexp passes; redacted-text hash oracle-checked)
+- doc_train_split    deterministic hash train/val/test split by lang
+- token_histogram    corpus-wide top-25 token heavy hitters
+- ngram_jaccard(_lsh)  exact blocked / LSH-candidate 3-gram Jaccard
+- tfidf_top_terms    per-language TF-IDF top terms
 """
 
 from __future__ import annotations
