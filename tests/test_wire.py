@@ -352,3 +352,81 @@ class TestAuthCommands:
         assert sw == encrypt_password(
             "secret", "abcdefghijklmnopqrst", CACHING_SHA2_PASSWORD
         )
+
+
+class TestNegotiation:
+    """configure.rs / provider dispatch as pure command scripts."""
+
+    def test_heartbeat_and_checksum_statements(self):
+        from mysql_cdc_spark.binlog.connect import (
+            checksum_negotiation_commands,
+            heartbeat_command,
+        )
+
+        assert heartbeat_command(30.0) == (
+            b"\x03set @master_heartbeat_period=30000000000"
+        )
+        a, b = checksum_negotiation_commands()
+        assert a == b"\x03SET @master_binlog_checksum= @@global.binlog_checksum"
+        assert b == b"\x03SELECT @master_binlog_checksum"
+
+    def test_provider_dispatch(self):
+        from mysql_cdc_spark.binlog.connect import (
+            ReplicaOptions,
+            mariadb_dump_commands,
+            mysql_dump_commands,
+        )
+        from mysql_cdc_spark.gtid import GtidSet
+
+        opts = ReplicaOptions(server_id=42, blocking=True)
+        (plain,) = mysql_dump_commands(opts, "mysql-bin.000001", 4)
+        assert plain[0] == 18
+        # non-blocking dump sends server_id = 0 (ST6)
+        nb = ReplicaOptions(server_id=42, blocking=False)
+        (plain_nb,) = mysql_dump_commands(nb, "mysql-bin.000001", 4)
+        assert struct.unpack_from("<I", plain_nb, 7)[0] == 0
+
+        gset = GtidSet.parse("24bc7850-2c16-11e6-a073-0242ac110001:1-5")
+        (gtid_cmd,) = mysql_dump_commands(opts, "", 4, gtid_set=gset)
+        assert gtid_cmd[0] == 30
+
+        seq = mariadb_dump_commands(opts, "binlog.000001", 4, gtid_list_text="0-1-44")
+        texts = [c[1:].decode() for c in seq if c[0] == 3]
+        assert texts == [
+            "SET @mariadb_slave_capability=4",
+            "SET @slave_connect_state='0-1-44'",
+            "SET @slave_gtid_strict_mode=0",
+            "SET @slave_gtid_ignore_duplicates=0",
+        ]
+        assert seq[-2][0] == 21  # COM_REGISTER_SLAVE precedes the dump
+        assert seq[-1][0] == 18
+
+    def test_read_result_set_and_from_end_resolution(self):
+        from mysql_cdc_spark.binlog import kernels as K
+        from mysql_cdc_spark.binlog.connect import (
+            read_result_set,
+            resolve_master_status,
+        )
+
+        def row(cells):
+            out = b""
+            for c in cells:
+                b_ = c.encode()
+                out += K.write_len_enc_num(len(b_)) + b_
+            return out
+
+        eof = b"\xfe\x00\x00\x00\x00"
+        payloads = [
+            b"\x02",                    # column count
+            row(["File"]), row(["Position"]),  # metadata (skipped)
+            eof,
+            row(["mysql-bin.000042", "1077"]),
+            eof,
+        ]
+        rows = read_result_set(payloads)
+        assert rows == [["mysql-bin.000042", "1077"]]
+        assert resolve_master_status(rows) == ("mysql-bin.000042", 1077)
+
+        err = [b"\xff" + struct.pack("<H", 1045) + b"#28000Access denied"]
+        with pytest.raises(ValueError, match="1045"):
+            read_result_set(err)
