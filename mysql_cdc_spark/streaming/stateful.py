@@ -66,11 +66,16 @@ def _transition_schema(spec: TableSpec) -> T.StructType:
     return T.StructType(fields)
 
 
-def _rank_tuple(row) -> Tuple[int, int, int]:
-    def _i(v):
-        return -1 if v is None or pd.isna(v) else int(v)
+def _chunk_winner(pdf: pd.DataFrame) -> Tuple[int, Tuple[int, int, int]]:
+    """Index and order tuple of the max-by-(gtid_seq, pos, row_in_event)
+    row — one numpy lexsort per Arrow chunk, no per-row Python."""
+    import numpy as np
 
-    return (_i(row["gtid_seq"]), _i(row["pos"]), _i(row["row_in_event"]))
+    gs = pdf["gtid_seq"].to_numpy(dtype="float64", na_value=-1.0).astype("int64")
+    po = pdf["pos"].to_numpy(dtype="float64", na_value=-1.0).astype("int64")
+    ri = pdf["row_in_event"].to_numpy(dtype="float64", na_value=-1.0).astype("int64")
+    i = int(np.lexsort((ri, po, gs))[-1])
+    return i, (int(gs[i]), int(po[i]), int(ri[i]))
 
 
 def transitions_stream(
@@ -96,16 +101,16 @@ def transitions_stream(
         winner = None
         w_rank = None
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                r = _rank_tuple(row)
-                if w_rank is None or r > w_rank:
-                    winner, w_rank = row, r
+            if not len(pdf):
+                continue
+            i, r = _chunk_winner(pdf)
+            if w_rank is None or r > w_rank:
+                winner, w_rank = pdf.iloc[[i]], r
         if winner is None:
             return
         if best is None or w_rank >= best:
             state.update(w_rank)
-            out = pd.DataFrame([{c: winner[c] for c in emit_cols}])
-            yield out
+            yield winner[emit_cols].reset_index(drop=True)
 
     gated = stream.filter(F.col("xid").isNotNull())
     gated = with_change_key(gated, keys)
