@@ -119,7 +119,9 @@ def read_result_set(payloads) -> list[list[str]]:
     output of ``wire.split_packets``): column-count packet, metadata
     packets until EOF, then rows until EOF — configure.rs:68-93."""
     it = iter(payloads)
-    first = next(it)
+    first = next(it, None)
+    if first is None:
+        raise ValueError("Reading result set error: empty packet stream")
     check_error_packet(first, "Reading result set error.")
     for pkt in it:  # skip column metadata
         if pkt and pkt[0] == RESPONSE_END_OF_FILE:
