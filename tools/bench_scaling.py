@@ -134,7 +134,7 @@ def run_one(cpus: int) -> None:
     phases: dict = {}
     for e in rep.ledger.entries():
         for k, v in e.metrics.items():
-            if k.endswith("_s"):
+            if k.endswith("_s") and k != "lag_s":  # durations only (lag is a gauge)
                 phases[k] = round(phases.get(k, 0.0) + v, 2)
     print(
         json.dumps(
