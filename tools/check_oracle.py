@@ -84,10 +84,16 @@ def main() -> int:
         if not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
             bad_cols = [c for c in a.columns if neq[c].any()]
-            print(f"FAIL {name}: value mismatch in {bad_cols}")
-            for c in bad_cols[:3]:
-                idx = neq[c].idxmax()
-                print(f"  {c}[{idx}]: spark={a[c][idx]!r} duck={b[c][idx]!r}")
+            if not bad_cols:
+                # values equal element-wise but .equals() is dtype-strict
+                dt = [c for c in a.columns if str(a[c].dtype) != str(b[c].dtype)]
+                pairs = [(c, str(a[c].dtype), str(b[c].dtype)) for c in dt]
+                print(f"FAIL {name}: dtype mismatch (spark vs duck): {pairs}")
+            else:
+                print(f"FAIL {name}: value mismatch in {bad_cols}")
+                for c in bad_cols[:3]:
+                    idx = neq[c].idxmax()
+                    print(f"  {c}[{idx}]: spark={a[c][idx]!r} duck={b[c][idx]!r}")
             failures += 1
             continue
         print(f"ok {name}: {len(a)} rows  [{spark_s:.1f}s]")
