@@ -67,26 +67,26 @@ def _ensure_e2e_oracle_parquet() -> str:
     return write_changelog_parquet(txns, _E2E_ORACLE_PARQUET)
 
 
-def cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end binlog replay: deterministic transcript changelog →
-    binlog-format bytes → distributed decode (mapInPandas) → transaction
-    gate → LWW → MERGE → final transcript state. Input is generated
-    binlog bytes (seeded, independent of sf_dir). The oracle replays the
-    dual-written *logical* change rows sequentially in SQL (per-key
-    last-writer over (seq, op_ord) with at-most-once per GTID seq —
-    the SQL twin of pipeline/order.py last_writer_wins + the ledger's
-    covered-set check); full binlog-native state equality is additionally
-    pinned in tests/test_replay_e2e.py."""
+def _replay_e2e(
+    spark: SparkSession, provider: str = "mysql", row_image: str = "full"
+) -> DataFrame:
+    """Shared e2e body: deterministic transcript changelog →
+    binlog-format bytes (per provider / row-image mode) → distributed
+    decode (mapInPandas) → transaction gate → LWW → MERGE → final
+    transcript state, projected for cross-engine hashing."""
     from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
     from mysql_cdc_spark.pipeline.replay import Replayer
 
     _ensure_e2e_oracle_parquet()
-    tmp = tempfile.mkdtemp(prefix="cdc_entry_")
+    tmp = tempfile.mkdtemp(prefix=f"cdc_entry_{provider}_{row_image}_")
     txns = generate_changelog(**_E2E_KNOBS)
-    write_binlog_files(txns, os.path.join(tmp, "binlog"), txns_per_file=40)
+    write_binlog_files(
+        txns, os.path.join(tmp, "binlog"), txns_per_file=40,
+        provider=provider, row_image=row_image,
+    )
     rep = Replayer(
         spark, os.path.join(tmp, "binlog"), os.path.join(tmp, "store"),
-        salt_buckets=4,
+        salt_buckets=4, row_image=row_image,
     )
     rep.replay(files_per_batch=1)
     # coalesce the evolution column: NULL-vs-empty must not depend on the
@@ -96,6 +96,35 @@ def cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
         F.unix_millis(F.col("ts")).alias("ts_ms"),
     )
+
+
+def cdc_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end binlog replay (MySQL GTIDs, FULL row images). Input is
+    generated binlog bytes (seeded, independent of sf_dir). The oracle
+    replays the dual-written *logical* change rows sequentially in SQL
+    (per-key last-writer over (seq, op_ord) with at-most-once per GTID
+    seq — the SQL twin of pipeline/order.py last_writer_wins + the
+    ledger's covered-set check); full binlog-native state equality is
+    additionally pinned in tests/test_replay_e2e.py."""
+    return _replay_e2e(spark, provider="mysql", row_image="full")
+
+
+def cdc_replay_minimal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlog_row_image=MINIMAL end-to-end: updates carry only PK +
+    changed columns, deletes only the PK — the engine must reconstruct
+    the same full final state via per-COLUMN last-writer-wins with a
+    delete fence + carried-mask merge (pipeline/order.py
+    last_writer_wins_partial / target.merge_partial). The logical
+    changelog (and therefore the oracle) is image-independent, so any
+    column the partial pipeline nulls or drops hash-mismatches."""
+    return _replay_e2e(spark, provider="mysql", row_image="minimal")
+
+
+def cdc_replay_mariadb_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MariaDB-provider end-to-end: MARIADB_GTID events (domain-server-
+    sequence), GtidList ledger semantics, same final state — the oracle
+    is identical because the logical stream is."""
+    return _replay_e2e(spark, provider="mariadb", row_image="full")
 
 
 # Sequential replay of the dual-written logical changelog: at-most-once per
@@ -133,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for mod in _MODULES:
         out.update(mod.QUERIES)
     out["cdc_replay_e2e"] = cdc_replay_e2e
+    out["cdc_replay_minimal_e2e"] = cdc_replay_minimal_e2e
+    out["cdc_replay_mariadb_e2e"] = cdc_replay_mariadb_e2e
     return out
 
 
@@ -144,4 +175,8 @@ def oracle_sql() -> dict[str, str]:
     # oracle SQL before (or without) the Spark-side query
     _ensure_e2e_oracle_parquet()
     out["cdc_replay_e2e"] = CDC_REPLAY_E2E_SQL
+    # MINIMAL images and the MariaDB provider change the WIRE form, not
+    # the logical stream — the same sequential-replay oracle must hold
+    out["cdc_replay_minimal_e2e"] = CDC_REPLAY_E2E_SQL
+    out["cdc_replay_mariadb_e2e"] = CDC_REPLAY_E2E_SQL
     return out
