@@ -147,17 +147,6 @@ def test_other_tables_rows_are_skipped_cheaply(spark, tmp_path):
     assert sorted(m["op"]) == ["delete", "insert", "insert", "insert", "update"]
 
 
-def test_empty_binlog_dir_is_a_noop(spark, tmp_path):
-    from mysql_cdc_spark.pipeline.replay import Replayer
-
-    outdir = str(tmp_path / "empty")
-    os.makedirs(outdir, exist_ok=True)
-    rep = Replayer(spark, outdir, str(tmp_path / "store"))
-    res = rep.replay()
-    assert res.events == 0 and res.batches == []
-    assert rep.read_state().count() == 0
-
-
 def test_duplicate_specs_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         MultiReplayer(

@@ -18,7 +18,7 @@ from mysql_cdc_spark.pipeline.replay import Replayer
 
 
 @settings(
-    max_examples=6,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -31,10 +31,13 @@ from mysql_cdc_spark.pipeline.replay import Replayer
     duplicate_txns=st.integers(min_value=0, max_value=5),
     txns_per_file=st.integers(min_value=5, max_value=60),
     evolve=st.sampled_from([None, 0.0, 0.5, 1.0]),
+    provider=st.sampled_from(["mysql", "mariadb"]),
+    row_image=st.sampled_from(["full", "minimal"]),
 )
 def test_replay_equals_oracle(
     spark, tmp_path_factory, seed, n_conversations, n_extra_ops,
     update_ratio, delete_ratio, duplicate_txns, txns_per_file, evolve,
+    provider, row_image,
 ):
     txns = generate_changelog(
         n_conversations=n_conversations,
@@ -47,8 +50,14 @@ def test_replay_equals_oracle(
         evolve_after_frac=evolve,
     )
     work = tmp_path_factory.mktemp("prop")
-    write_binlog_files(txns, str(work / "binlog"), txns_per_file=txns_per_file)
-    rep = Replayer(spark, str(work / "binlog"), str(work / "store"))
+    write_binlog_files(
+        txns, str(work / "binlog"), txns_per_file=txns_per_file,
+        provider=provider, row_image=row_image,
+    )
+    rep = Replayer(
+        spark, str(work / "binlog"), str(work / "store"),
+        row_image=row_image,
+    )
     rep.replay(files_per_batch=2)
     got = (
         rep.read_state().orderBy("conv_id", "turn_idx").toPandas()
