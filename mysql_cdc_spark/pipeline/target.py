@@ -195,7 +195,30 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
 
     Same interface and semantics as ``ParquetMergeTarget`` (state equality
     is pinned by tests); drop-in via ``Replayer(target=...)``.
+
+    ``bucket_cols`` picks the hash input (default: the full primary key).
+    Bucketing on a prefix — e.g. ``("conv_id",)``, mirroring
+    ``IcebergMergeTarget.ensure_table``'s ``bucket(64, conv_id)`` — keeps a
+    conversation's turns in one bucket, so a batch touching K conversations
+    rewrites at most K buckets however many turns it edits; the trade is
+    intra-bucket skew if one conversation dwarfs the rest. Correctness only
+    needs determinism: every net key hashes to the bucket holding its
+    stored row, which any PK-subset satisfies.
     """
+
+    def __init__(
+        self,
+        store_dir: str,
+        spec: TableSpec = TRANSCRIPTS,
+        buckets: int = 64,
+        bucket_cols: tuple | None = None,
+    ):
+        super().__init__(store_dir, spec, buckets)
+        cols = tuple(bucket_cols) if bucket_cols else tuple(spec.primary_key)
+        unknown = set(cols) - set(spec.primary_key)
+        if unknown:
+            raise ValueError(f"bucket_cols must be primary-key columns: {unknown}")
+        self.bucket_cols = cols
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.snapshot_path(version), "manifest.json")
@@ -210,8 +233,8 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
             return {int(k): v for k, v in json.load(f).items()}
 
     def _bucket_expr(self):
-        keys = {n: d for n, d, _ in self.spec.columns if n in self.spec.primary_key}
-        cols = [F.col(k).cast(keys[k]) for k in self.spec.primary_key]
+        ddl = {n: d for n, d, _ in self.spec.columns}
+        cols = [F.col(k).cast(ddl[k]) for k in self.bucket_cols]
         return F.pmod(F.xxhash64(*cols), F.lit(self.buckets)).cast("int")
 
     def read(self, spark: SparkSession, version: int, bucket_ids=None) -> DataFrame:

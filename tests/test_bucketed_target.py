@@ -90,6 +90,23 @@ class TestEquality:
         bkt.replay(files_per_batch=1)
         pd.testing.assert_frame_equal(_state_pdf(plain), _state_pdf(bkt))
 
+    def test_conv_level_bucketing_matches_plain(self, spark, changelog, tmp_path):
+        """bucket_cols=("conv_id",) (the Iceberg DDL convention) must give
+        the same state; a conversation's turns co-locate in one bucket."""
+        _, outdir, oracle = changelog
+        store = str(tmp_path / "convbkt")
+        tgt = BucketedParquetMergeTarget(
+            store, TRANSCRIPTS, buckets=8, bucket_cols=("conv_id",)
+        )
+        rep = Replayer(spark, outdir, store, target=tgt)
+        rep.replay(files_per_batch=1)
+        state = _state_pdf(rep)
+        assert state["text"].tolist() == oracle["text"].tolist()
+
+    def test_bucket_cols_must_be_primary_key(self):
+        with pytest.raises(ValueError, match="primary-key"):
+            BucketedParquetMergeTarget("/tmp/x", TRANSCRIPTS, bucket_cols=("text",))
+
     def test_resume_mid_stream(self, spark, changelog, tmp_path):
         _, outdir, oracle = changelog
         store = str(tmp_path / "resume")
