@@ -25,7 +25,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_cdc_spark.analytics import cdc_ops, embeddings, multimodal, relational, text
+from mysql_cdc_spark.analytics import (
+    cdc_ops,
+    corpus,
+    embeddings,
+    multimodal,
+    relational,
+    text,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -154,7 +161,7 @@ CDC_REPLAY_E2E_SQL = E2E_REPLAY_SQL_TEMPLATE.format(
 )
 
 
-_MODULES = (cdc_ops, relational, text, embeddings, multimodal)
+_MODULES = (cdc_ops, relational, text, embeddings, multimodal, corpus)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
