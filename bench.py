@@ -199,7 +199,12 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
         store = tempfile.mkdtemp(prefix="cdc_bench_store_")
         rep = Replayer(spark, cache, store)  # plain max_by LWW (see Replayer docstring)
         t0 = time.time()
-        result = rep.replay(files_per_batch=16)
+        # one catch-up batch over ALL rotation files (the writer emits a
+        # 17th remainder file holding the trailing redelivered duplicates;
+        # a files_per_batch below the file count would bill a no-op
+        # second batch — covered-set anti-join suppresses every event —
+        # at full per-batch fixed cost)
+        result = rep.replay()
         final_rows = rep.read_state().count()
         attempt_s = time.time() - t0
         replay_s = attempt_s if replay_s is None else min(replay_s, attempt_s)
