@@ -449,6 +449,150 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join, the temporal-join operator Spark lacks as a
+    built-in: for every ``click`` event, the most recent ``view`` event by
+    the same user at or before the click (left: clicks with no prior view
+    keep NULLs).
+
+    Composition instead of an inequality join: tag views side=0 and
+    clicks side=1, union, then one window per user ordered by
+    (ts, side) forward-fills the last-seen view columns onto each click —
+    ONE shuffle on user_id and one sort, versus the
+    BroadcastNestedLoop/cartesian plan a naive ``ts_a <= ts_b`` join
+    compiles to. At 10^10 events this is the same exchange every other
+    per-user operator here uses; for heavy single-user skew, pre-bucket
+    ts coarsely and carry the bucket into the key (same trick as
+    ``j4_range_join``). Ties need no tiebreak: (user_id, ts) is unique in
+    the stream, and an equal-ts view sorts before its click (side 0 < 1)
+    to make the join inclusive. All gap arithmetic in integer micros.
+
+    Oracle: DuckDB's native ``ASOF LEFT JOIN``.
+    """
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = views.unionByName(clicks).select(
+        "user_id",
+        "t",
+        "side",
+        "event_id",
+        F.last("view_event_id", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return filled.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("t").alias("click_us"),
+        "view_event_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        (F.unix_micros("t") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
+J3_SQL = """
+SELECT c.event_id,
+       c.user_id,
+       epoch_us(c.ts) AS click_us,
+       v.event_id AS view_event_id,
+       epoch_us(v.ts) AS view_us,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+_RANGE_W_S = 3600  # attribution window
+
+
+def j4_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (interval self-join): view→purchase attribution
+    pairs — a purchase by the same user within (0, 1h] after a view.
+
+    Spark has no range-join optimizer rule (a naive ``b.ts > a.ts AND
+    b.ts <= a.ts + 1h`` equi-less join compiles to a nested-loop plan),
+    so bucket time by the window width: a view lives in ONE bucket
+    (floor(us / W)); each purchase probes TWO consecutive buckets
+    (its own and the previous — any qualifying view must be in one of
+    them, and exactly one, so no dedup pass). The join is then a plain
+    equi-join on (user_id, bucket) with the exact predicate as a
+    post-filter — shuffle carries each purchase twice, never a cross
+    product. The bucketed-pair count bounds the work regardless of how
+    long the stream is; skewed users split across time buckets for free.
+    """
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_us = _RANGE_W_S * 1_000_000
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        us.alias("view_us"),
+        F.floor(us / w_us).alias("bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            us.alias("purchase_us"),
+            F.explode(
+                F.array(F.floor(us / w_us), F.floor(us / w_us) - 1)
+            ).alias("bucket"),
+        )
+    )
+    return (
+        views.join(purchases, ["user_id", "bucket"])
+        .filter(
+            (F.col("purchase_us") > F.col("view_us"))
+            & (F.col("purchase_us") <= F.col("view_us") + w_us)
+        )
+        .select(
+            "user_id",
+            "view_event_id",
+            "purchase_event_id",
+            "view_us",
+            "purchase_us",
+            (F.col("purchase_us") - F.col("view_us")).alias("gap_us"),
+        )
+    )
+
+
+J4_SQL = f"""
+SELECT a.user_id,
+       a.event_id AS view_event_id,
+       b.event_id AS purchase_event_id,
+       epoch_us(a.ts) AS view_us,
+       epoch_us(b.ts) AS purchase_us,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {_RANGE_W_S}::BIGINT * 1000000
+"""
+
+
 QUERIES = {
     "w1_lww_last_event": w1_lww_last_event,
     "a1_interval_collapse": a1_interval_collapse,
@@ -460,6 +604,8 @@ QUERIES = {
     "j1_dim_lookup_join": j1_dim_lookup_join,
     "st5_duplicate_suppression": st5_duplicate_suppression,
     "w4_sessionize": w4_sessionize,
+    "j3_asof_join": j3_asof_join,
+    "j4_range_join": j4_range_join,
 }
 
 ORACLES = {
@@ -473,4 +619,6 @@ ORACLES = {
     "j1_dim_lookup_join": J1_SQL,
     "st5_duplicate_suppression": ST5_SQL,
     "w4_sessionize": W4_SQL,
+    "j3_asof_join": J3_SQL,
+    "j4_range_join": J4_SQL,
 }

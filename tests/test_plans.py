@@ -56,6 +56,23 @@ def test_redact_is_zero_exchange_scan(spark):
     assert "codegen id" in plan  # whole-stage codegen spans the project
 
 
+def test_j3_asof_join_is_union_window_not_nested_loop(spark):
+    plan = _plan(cdc_ops.j3_asof_join(spark, SF))
+    # the composition keeps the as-of an exchange+sort, never a loop join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2  # one per union branch pre-AQE merge
+
+
+def test_j4_range_join_is_bucketed_equijoin(spark):
+    plan = _plan(cdc_ops.j4_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # equi-join on (user_id, bucket) with the range predicate post-filtered
+    assert "bucket" in plan
+
+
 def test_token_histogram_topk_without_global_sort(spark):
     plan = _plan(text.token_histogram(spark, SF))
     assert "TakeOrderedAndProject" in plan
