@@ -26,8 +26,10 @@ from .text import (
     MINHASH_SQL,
     WORDS,
     WORDS_DUCK,
+    _h,
     _h14,
     _h14_duck,
+    _h_duck,
     _shingles,
     minhash_lsh_neardup,
 )
@@ -262,14 +264,159 @@ JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
 
 
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling (data-mixing rates per language)
+# ---------------------------------------------------------------------------
+
+# per-language keep rates — the "data mixture" a pretraining run assigns
+_MIX_RATES = {"en": 0.9, "de": 0.5}
+_MIX_DEFAULT = 0.25
+_H60_MAX = (1 << 60) - 1
+# integer thresholds precomputed once so both engines compare the same
+# bigint literal — no float-boundary drift at the keep/drop edge
+_MIX_THRESHOLDS = {k: int(v * _H60_MAX) for k, v in _MIX_RATES.items()}
+_MIX_DEFAULT_T = int(_MIX_DEFAULT * _H60_MAX)
+
+
+def _mix_threshold_case() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {t}" for k, t in sorted(_MIX_THRESHOLDS.items())
+    )
+    return f"CASE lang {arms} ELSE {_MIX_DEFAULT_T} END"
+
+
+def _mix_weight_case() -> str:
+    # weight = 1/rate as a fixed 4-decimal literal, identical in both
+    # dialects — computed here, not via in-engine division, so the
+    # keep/drop hash threshold AND the weight are bit-identical
+    arms = " ".join(
+        f"WHEN '{k}' THEN {round(1.0 / v, 4)}"
+        for k, v in sorted(_MIX_RATES.items())
+    )
+    return f"CASE lang {arms} ELSE {round(1.0 / _MIX_DEFAULT, 4)} END"
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: keep each doc iff a 60-bit salted
+    hash of its id falls under the language's rate threshold — the
+    data-mixing stage that reweights languages/sources before training.
+    Reproducible (pure function of doc_id), exactly restartable, and a
+    zero-shuffle codegen scan at any corpus size; the kept doc carries
+    ``weight`` = 1/rate for loss reweighting downstream.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = _h("concat('mix1:', cast(doc_id as string))")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "lang",
+            f"{h} as sample_key",
+            f"{_mix_threshold_case()} as threshold",
+        )
+        .filter(F.col("sample_key") < F.col("threshold"))
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"cast({_mix_weight_case()} as double) as weight",
+        )
+    )
+
+
+MIXTURE_SQL = f"""
+SELECT doc_id, lang,
+       ({_mix_weight_case()})::DOUBLE AS weight
+FROM documents
+WHERE {_h_duck("'mix1:' || doc_id::VARCHAR")}
+      < ({_mix_threshold_case()})
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (greedy cumulative bin assignment per shard)
+# ---------------------------------------------------------------------------
+
+_PACK_TOKENS = 512  # context-window budget per packed sequence
+_PACK_SHARDS = 16
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents to ~512-token training
+    sequences ("bins") by running token count, reporting per-bin doc
+    count, token total, and fill ratio. A doc belongs to the bin its
+    cumulative range STARTS in, so bins can overflow by at most one
+    doc — the standard streaming-packing trade.
+
+    Global greedy packing is inherently sequential, so the scale shape
+    shards the corpus first: packing runs independently per
+    (lang, shard=H(doc_id)%{_PACK_SHARDS}) — {_PACK_SHARDS}× the
+    parallelism of a per-lang window and bounded waste (≤1 underfull
+    bin per shard). One exchange on the composite key, one sort, one
+    aggregate; at 100 TB raise the shard count, nothing else changes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shard_h = _h("concat('shard:', cast(doc_id as string))")
+    t = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{shard_h} % {_PACK_SHARDS} as shard",
+        f"size({WORDS}) as n_tokens",
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(_PACK_TOKENS)),
+    )
+    return (
+        binned.groupBy("lang", "shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(_PACK_TOKENS), 4).alias(
+                "fill_ratio"
+            ),
+        )
+        .select("lang", "shard", "bin_id", "n_docs", "bin_tokens", "fill_ratio")
+    )
+
+
+PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_h_duck("'shard:' || doc_id::VARCHAR")} % {_PACK_SHARDS} AS shard,
+         len({WORDS_DUCK}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+                                ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT lang, shard,
+       ((cum - n_tokens) // {_PACK_TOKENS})::BIGINT AS bin_id,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS bin_tokens,
+       round(sum(n_tokens) / {_PACK_TOKENS}, 4) AS fill_ratio
+FROM c GROUP BY lang, shard, bin_id
+"""
+
+
 QUERIES = {
     "text_repetition": text_repetition,
     "contamination_check": contamination_check,
     "dedup_clusters": dedup_clusters,
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_pack_sequences": doc_pack_sequences,
 }
 
 ORACLES = {
     "text_repetition": REPETITION_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "doc_mixture_sample": MIXTURE_SQL,
+    "doc_pack_sequences": PACKING_SQL,
 }

@@ -33,8 +33,10 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(6)
-        else:
+        elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        else:
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -51,6 +53,30 @@ class TestPlans:
         assert "SortMergeJoin" not in plan
         # only the text column feeds the shingle pipeline
         assert "ReadSchema" in plan and "source" not in plan
+
+
+class TestMixtureAndPacking:
+    def test_mixture_is_zero_exchange_scan(self, spark):
+        plan = _plan(corpus.doc_mixture_sample(spark, SF))
+        assert "Exchange" not in plan
+
+    def test_mixture_rates_approximate_targets(self, spark):
+        out = corpus.doc_mixture_sample(spark, SF).toPandas()
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        kept = out.groupby("lang").size()
+        total = docs.groupby("lang").size()
+        en_rate = kept.get("en", 0) / total["en"]
+        assert 0.75 <= en_rate <= 1.0  # target 0.9, small-sample slack
+        # weight is exactly 1/rate for every kept row
+        assert set(out[out.lang == "en"]["weight"]) == {round(1 / 0.9, 4)}
+
+    def test_packing_bins_are_sequential_and_bounded(self, spark):
+        out = corpus.doc_pack_sequences(spark, SF).toPandas()
+        assert (out["bin_tokens"] > 0).all()
+        # per (lang, shard): bin ids start at 0 with no gaps
+        for (_, _), g in out.groupby(["lang", "shard"]):
+            ids = sorted(g["bin_id"])
+            assert ids == list(range(len(ids)))
 
 
 class TestConnectedComponents:
@@ -77,7 +103,14 @@ class TestConnectedComponents:
 
 class TestOracleParity:
     @pytest.mark.parametrize(
-        "name", ["text_repetition", "contamination_check", "dedup_clusters"]
+        "name",
+        [
+            "text_repetition",
+            "contamination_check",
+            "dedup_clusters",
+            "doc_mixture_sample",
+            "doc_pack_sequences",
+        ],
     )
     def test_matches_duckdb(self, spark, name):
         got = _norm(corpus.QUERIES[name](spark, SF).toPandas())
