@@ -230,6 +230,77 @@ class Replayer:
         max_key = _segment_sort_key(max_file)
         return [n for n in names if _segment_sort_key(n) >= max_key]
 
+    # -- snapshot bootstrap --------------------------------------------------
+
+    def bootstrap(self, base_df: DataFrame, at: object) -> int:
+        """Snapshot-then-stream bootstrap (beyond-reference: the reference
+        starts mid-stream and leaves the initial load to the user; real CDC
+        deployments almost always seed from a consistent snapshot first).
+
+        Seeds the target with ``base_df`` — a spec-shaped base-table
+        snapshot transactionally consistent with the source position ``at``
+        (``FromPosition`` / ``FromGtid`` / ``FromEnd``, the same contract as
+        a snapshot-at-GTID replica dump) — and writes the batch-0 ledger
+        entry carrying that position. Returns the snapshot version.
+
+        A subsequent ``replay()`` applies only changes after ``at``: the
+        position predicate and GTID anti-join skip covered events, and any
+        overlap delivered anyway re-applies idempotently (by value for
+        snapshot targets; for ``OrderedParquetMergeTarget`` the bootstrap
+        rows carry order tuple 0 so any real event outranks them).
+
+        Scale: the snapshot write is one key-partitioned shuffle of the
+        base table — the same plan as a MERGE whose net side is the whole
+        table; at cluster scale run it once per deployment.
+        """
+        if self.ledger.last() is not None:
+            raise ValueError(
+                "bootstrap requires a fresh store: the ledger already has "
+                "entries (a bootstrapped or running job keeps its state)"
+            )
+        from .start import covered_gtids_until, start_state
+
+        gtid_text, max_file, max_pos = start_state(at, self.binlog_dir)
+        if not gtid_text and max_file:
+            # FromPosition carries no GTID state, but the position predicate
+            # alone cannot drop a redelivered old transaction that reappears
+            # at a LATER position — full replay drops it via the GTID
+            # anti-join, so the bootstrap seed must cover the committed
+            # GTIDs the snapshot embodies (header-only bounded scan).
+            gtid_text = covered_gtids_until(self.binlog_dir, max_file, max_pos)
+        spec = self.spec
+        keys = list(spec.primary_key)
+        net = base_df.select(
+            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+            F.lit("insert").alias("op"),
+            *[
+                F.col(n).cast(d).alias(f"after_{n}")
+                for n, d, _ in spec.columns
+                if n not in keys
+            ],
+            *[F.lit(0).cast("long").alias(c) for c in ORDER_COLS],
+        )
+        rows = base_df.count()
+        version = self.target.merge(
+            self.spark, net, self.ledger.current_snapshot_version()
+        )
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=0,
+                gtid_set_text=gtid_text,
+                max_file=max_file,
+                max_pos=int(max_pos),
+                snapshot_version=version,
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics={
+                    "bootstrap_rows": rows,
+                    "start_strategy": type(at).__name__,
+                },
+            )
+        )
+        return version
+
     # -- one micro-batch ----------------------------------------------------
 
     def run_batch(self, files: list[str]) -> BatchMetrics:

@@ -54,6 +54,24 @@ class FromGtid:
 StartStrategy = FromStart | FromEnd | FromPosition | FromGtid
 
 
+def start_state(strategy: StartStrategy, binlog_dir: str) -> tuple[str, str, int]:
+    """Resolve a start strategy to the covered replication state
+    ``(gtid_set_text, max_file, max_pos)`` it expresses — the same tuple a
+    committed batch records. Shared by ``seed_ledger`` and
+    ``Replayer.bootstrap``."""
+    if isinstance(strategy, FromPosition):
+        return "", strategy.filename, strategy.position
+    if isinstance(strategy, FromGtid):
+        return str(_parse_start_gtids(strategy.gtid_set_text)), "", 0
+    if isinstance(strategy, FromEnd):
+        # current end = every complete transaction in every present segment;
+        # scan GTIDs cheaply (headers + GTID payloads only, no row decode)
+        return _scan_current_end(binlog_dir)
+    if isinstance(strategy, FromStart):
+        return "", "", 0
+    raise TypeError(f"unknown start strategy: {strategy!r}")
+
+
 def seed_ledger(strategy: StartStrategy, binlog_dir: str, store_dir: str) -> None:
     """Write the batch-0 ledger entry expressing the start position. No-op
     when the ledger already has entries (a resumed job keeps its state —
@@ -62,16 +80,7 @@ def seed_ledger(strategy: StartStrategy, binlog_dir: str, store_dir: str) -> Non
     if ledger.last() is not None or isinstance(strategy, FromStart):
         return
 
-    gtid_text = ""
-    max_file, max_pos = "", 0
-    if isinstance(strategy, FromPosition):
-        max_file, max_pos = strategy.filename, strategy.position
-    elif isinstance(strategy, FromGtid):
-        gtid_text = str(_parse_start_gtids(strategy.gtid_set_text))
-    elif isinstance(strategy, FromEnd):
-        # current end = every complete transaction in every present segment;
-        # scan GTIDs cheaply (headers + GTID payloads only, no row decode)
-        gtid_text, max_file, max_pos = _scan_current_end(binlog_dir)
+    gtid_text, max_file, max_pos = start_state(strategy, binlog_dir)
     ledger.append(
         LedgerEntry(
             batch_id=0,
@@ -111,7 +120,20 @@ def _parse_start_gtids(text: str) -> GtidSet:
         return gset
 
 
-def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
+def covered_gtids_until(binlog_dir: str, max_file: str, max_pos: int) -> str:
+    """GTID-set text of every transaction committed at or before
+    ``(max_file, max_pos)`` — a header+GTID-payload-only scan, no row
+    decode. ``Replayer.bootstrap`` uses this to harden ``FromPosition``:
+    the position predicate alone cannot drop a *redelivered* old
+    transaction that reappears at a later position, so the snapshot seed
+    must also cover the committed GTIDs it embodies."""
+    text, _f, _p = _scan_current_end(binlog_dir, max_file, max_pos)
+    return text
+
+
+def _scan_current_end(
+    binlog_dir: str, until_file: str | None = None, until_pos: int | None = None
+) -> tuple[str, str, int]:
     from ..binlog.constants import (
         EVENT_HEADER_SIZE,
         FIRST_EVENT_POSITION,
@@ -129,6 +151,9 @@ def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
     gset = GtidSet()
     max_file, max_pos = "", 0
     names = sorted(list_dir_entries(binlog_dir), key=_segment_sort_key)
+    if until_file:
+        until_key = _segment_sort_key(until_file)
+        names = [n for n in names if _segment_sort_key(n) <= until_key]
     for name in names:
         with open(os.path.join(binlog_dir, name), "rb") as f:
             content = f.read()
@@ -142,6 +167,10 @@ def _scan_current_end(binlog_dir: str) -> tuple[str, str, int]:
             (_ts, etype, sid, event_length, next_pos, _flags) = header
             end = pos + event_length
             if end > n:
+                break
+            if until_file and name == until_file and pos > (until_pos or 0):
+                # events past the bound replay normally (pos > max_pos
+                # passes the resume predicate) — their gtids must not seed
                 break
             if etype == EventType.MYSQL_GTID:
                 payload = content[pos + EVENT_HEADER_SIZE : end]
