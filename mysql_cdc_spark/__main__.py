@@ -4,10 +4,12 @@
     python -m mysql_cdc_spark replay --binlog-dir D --store-dir S        # local
 
 Subcommands:
-    replay   bounded catch-up replay (exactly-once, resumable)
-    tail     continuous tail (poll loop; --idle-polls bounds the sandbox run)
-    state    print the current merged table state row count + sample
-    ledger   print the checkpoint ledger (GTID set, positions, metrics)
+    replay     bounded catch-up replay (exactly-once, resumable)
+    tail       continuous tail (poll loop; --idle-polls bounds the sandbox run)
+    bootstrap  seed a fresh store from a consistent base-table snapshot
+               (parquet path) at a source position, then `replay` catches up
+    state      print the current merged table state row count + sample
+    ledger     print the checkpoint ledger (GTID set, positions, metrics)
 """
 
 from __future__ import annotations
@@ -32,6 +34,17 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--poll-interval", type=float, default=5.0)
             sp.add_argument("--idle-polls", type=int, default=0,
                             help="stop after N idle polls (0 = run until killed)")
+
+    sp = sub.add_parser("bootstrap")
+    sp.add_argument("--binlog-dir", required=True)
+    sp.add_argument("--store-dir", required=True)
+    sp.add_argument("--base", required=True, help="parquet path of the consistent base-table snapshot")
+    group = sp.add_mutually_exclusive_group(required=True)
+    group.add_argument("--at-position", nargs=2, metavar=("FILE", "POS"),
+                       help="snapshot position: binlog file + byte position")
+    group.add_argument("--at-gtid", help="snapshot GTID set text")
+    group.add_argument("--at-end", action="store_true",
+                       help="snapshot is current: cover everything present now")
 
     for name in ("state", "ledger"):
         sp = sub.add_parser(name)
@@ -63,6 +76,30 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from .pipeline.replay import Replayer
+
+    if args.cmd == "bootstrap":
+        from .pipeline.start import FromEnd, FromGtid, FromPosition
+
+        if args.at_position:
+            at = FromPosition(args.at_position[0], int(args.at_position[1]))
+        elif args.at_gtid:
+            at = FromGtid(args.at_gtid)
+        else:
+            at = FromEnd()
+        rep = Replayer(spark, args.binlog_dir, args.store_dir)
+        version = rep.bootstrap(spark.read.parquet(args.base), at=at)
+        entry = rep.ledger.last()
+        print(
+            json.dumps(
+                {
+                    "snapshot_version": version,
+                    "rows": entry.metrics.get("bootstrap_rows"),
+                    "max_file": entry.max_file,
+                    "max_pos": entry.max_pos,
+                }
+            )
+        )
+        return 0
 
     rep = Replayer(
         spark, args.binlog_dir, args.store_dir, salt_buckets=args.salt_buckets

@@ -71,3 +71,37 @@ def test_cli_tail_bounded(spark, fixture_dirs, capsys):
     assert rc == 0
     out = _first_json(capsys.readouterr().out)
     assert out["events"] > 0 and out["polls"] >= 2
+
+
+def test_cli_bootstrap_then_replay(spark, fixture_dirs, tmp_path, capsys):
+    """bootstrap --base <parquet> --at-position, then replay catches up to
+    the same final state a from-scratch replay produces."""
+    txns, binlog, store = fixture_dirs
+
+    # build the "consistent snapshot": replay half the stream elsewhere
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    half = Replayer(spark, binlog, str(tmp_path / "half"))
+    files = half.pending_files()
+    half.run_batch(files[: max(1, len(files) // 2)])
+    entry = half.ledger.last()
+    base_path = str(tmp_path / "base.parquet")
+    half.read_state().write.parquet(base_path)
+
+    rc = main([
+        "bootstrap", "--binlog-dir", binlog, "--store-dir", store,
+        "--base", base_path,
+        "--at-position", entry.max_file, str(entry.max_pos),
+    ])
+    assert rc == 0
+    boot = _first_json(capsys.readouterr().out)
+    assert boot["snapshot_version"] == 1 and boot["rows"] > 0
+    assert boot["max_file"] == entry.max_file
+
+    rc = main(["replay", "--binlog-dir", binlog, "--store-dir", store])
+    assert rc == 0
+    _ = capsys.readouterr()
+
+    final = Replayer(spark, binlog, store).read_state()
+    got = final.orderBy("conv_id", "turn_idx").toPandas()
+    assert got["text"].tolist() == apply_changelog_oracle(txns)["text"].tolist()
