@@ -593,6 +593,48 @@ JOIN events b
 """
 
 
+# ---------------------------------------------------------------------------
+# W5 — SCD Type-2 history materialization (the audit-table sink mode;
+# pipeline twin: pipeline/order.py:scd2_history over decoded change rows).
+# ---------------------------------------------------------------------------
+
+def w5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's purchase stream as Type-2 history: every event opens a
+    version valid until the next event (NULL = still current).
+
+    One hash exchange (user_id) + one sort; ``row_number`` and both
+    ``lead``s share the window spec, so Catalyst plans a single Window
+    over a single Sort. At 10^10 events this is the same shuffle class as
+    the LWW aggregate, but it keeps every version instead of one — the
+    right tool when the sink is an audit/history table.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+W5_SQL = """
+SELECT user_id,
+       row_number() OVER w AS version,
+       event_id,
+       round(value, 4) AS value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "w1_lww_last_event": w1_lww_last_event,
     "a1_interval_collapse": a1_interval_collapse,
@@ -606,6 +648,7 @@ QUERIES = {
     "w4_sessionize": w4_sessionize,
     "j3_asof_join": j3_asof_join,
     "j4_range_join": j4_range_join,
+    "w5_scd2_history": w5_scd2_history,
 }
 
 ORACLES = {
@@ -621,4 +664,5 @@ ORACLES = {
     "w4_sessionize": W4_SQL,
     "j3_asof_join": J3_SQL,
     "j4_range_join": J4_SQL,
+    "w5_scd2_history": W5_SQL,
 }

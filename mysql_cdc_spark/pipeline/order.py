@@ -173,6 +173,77 @@ def lww_window(df: DataFrame, key_cols: list[str], order_cols: list[str] | None 
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    dedup_cols: list[str] | None = None,
+) -> DataFrame:
+    """Materialize the change stream as SCD **Type-2 history**: one row per
+    surviving version of each key, with validity bounds in the stream's
+    total order — the audit-table sink mode, complementing the
+    last-writer-wins upsert (the reference hands events to user code,
+    README.md:61; history materialization is the other thing users build).
+
+    Input: change rows with ``key_cols`` (post ``with_change_key``),
+    ``op`` ('insert'/'update'/'delete'), ``after_<col>`` for every
+    ``value_cols`` entry, and the order columns. Output per version:
+
+    - key cols, ``version`` (1-based per key, deletes don't take a slot)
+    - value cols (bare names, from the opening event's after-image)
+    - ``valid_from_<o>`` / ``valid_to_<o>`` for each order col —
+      ``valid_to_*`` NULL means the version is still current
+    - ``is_current``, ``closed_by_delete``
+
+    Redeliveries (ST5) are dropped first via ``dedup_cols`` (default:
+    key + order tuple). A redelivered transaction keeps its gtid_seq but
+    lands at a later ``pos``, so for GTID streams pass
+    ``dedup_cols=[*keys, "gtid_seq", "row_in_event"]`` — the transaction
+    identity — or the duplicate would mint a spurious version (LWW is
+    naturally immune; history is not). Scale: one hash exchange + one
+    sort per key partition;
+    ``lead`` and the running version counter share the same window spec,
+    so Catalyst plans a single Sort. Incremental use: MERGE each batch's
+    history on (key, is_current) to close the previous current row.
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or ORDER_COLS
+    value_cols = value_cols or [
+        c[len("after_"):]
+        for c in df.columns
+        if c.startswith("after_") and c[len("after_"):] not in key_cols
+    ]
+    d = df.dropDuplicates(dedup_cols or [*key_cols, *order_cols])
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    nxt = F.lead(
+        F.struct(*[F.col(c) for c in order_cols], F.col("op"))
+    ).over(w)
+    running = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    h = d.select(
+        *key_cols,
+        "op",
+        *[F.col(f"after_{c}").alias(f"_v_{c}") for c in value_cols],
+        *order_cols,
+        nxt.alias("_next"),
+        F.sum((F.col("op") != "delete").cast("int")).over(running).alias("_ver"),
+    )
+    return h.filter(F.col("op") != "delete").select(
+        *key_cols,
+        F.col("_ver").alias("version"),
+        *[F.col(f"_v_{c}").alias(c) for c in value_cols],
+        *[F.col(c).alias(f"valid_from_{c}") for c in order_cols],
+        *[F.col(f"_next.{c}").alias(f"valid_to_{c}") for c in order_cols],
+        F.col("_next").isNull().alias("is_current"),
+        F.coalesce(F.col("_next.op") == "delete", F.lit(False)).alias(
+            "closed_by_delete"
+        ),
+    )
+
+
 def gate_complete_transactions(changes: DataFrame) -> DataFrame:
     """ST2: only events whose transaction committed inside the replayed
     range may advance state (binlog_client.rs:69-99 — gtid cached at

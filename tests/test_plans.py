@@ -77,3 +77,13 @@ def test_token_histogram_topk_without_global_sort(spark):
     plan = _plan(text.token_histogram(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "GlobalLimit" not in plan or "Sort " not in plan
+
+
+def test_w5_scd2_single_sort_single_exchange(spark):
+    plan = _plan(cdc_ops.w5_scd2_history(spark, SF))
+    # row_number + both leads share one window spec: one Window over one
+    # Sort over one Exchange; filter pushed to the scan
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("+- Sort") == 1
+    assert plan.count("+- Window") == 1
+    assert "EqualTo(event_type,purchase)" in plan
