@@ -617,6 +617,19 @@ class Replayer:
             result.batches.append(self.run_batch(batch_files))
         return result
 
-    def read_state(self) -> DataFrame:
-        version = self.ledger.current_snapshot_version()
+    def read_state(self, version: int | None = None) -> DataFrame:
+        """Current merged state; pass ``version`` to time-travel to any
+        retained snapshot (``target.gc`` bounds retention)."""
+        if version is None:
+            version = self.ledger.current_snapshot_version()
         return self.target.read(self.spark, version)
+
+    def state_at_batch(self, batch_id: int) -> DataFrame:
+        """State as of a committed batch — the snapshot version its ledger
+        entry names. Every commit point is a readable state, which is what
+        the per-batch lineage is for (debugging a bad upstream batch,
+        diffing consecutive states)."""
+        for e in self.ledger.entries():
+            if e.batch_id == batch_id:
+                return self.target.read(self.spark, e.snapshot_version)
+        raise KeyError(f"no ledger entry for batch {batch_id}")
