@@ -82,6 +82,24 @@ class MultiReplayer:
             raise RuntimeError(f"replay failed for {name}") from err
         return results
 
+    def bootstrap(
+        self, base_dfs: dict[str, DataFrame], at: object
+    ) -> dict[str, int]:
+        """Snapshot-then-stream per table: seed each named table's store
+        from its consistent snapshot, all taken at the SAME source
+        position ``at`` (one transactionally-consistent dump covers every
+        table, the standard multi-table snapshot contract). Tables absent
+        from ``base_dfs`` are untouched — they replay from their own start
+        strategy. Returns {db.table: snapshot_version}."""
+        out: dict[str, int] = {}
+        for name, df in base_dfs.items():
+            if name not in self.replayers:
+                raise KeyError(
+                    f"unknown table {name!r}; known: {sorted(self.replayers)}"
+                )
+            out[name] = self.replayers[name].bootstrap(df, at)
+        return out
+
     def read_state(self, name: str) -> DataFrame:
         return self.replayers[name].read_state()
 

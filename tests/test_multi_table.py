@@ -152,3 +152,47 @@ def test_duplicate_specs_rejected(spark, tmp_path):
         MultiReplayer(
             spark, str(tmp_path), str(tmp_path / "s"), [METRICS, METRICS]
         )
+
+
+def test_multi_table_bootstrap(spark, tmp_path):
+    """Per-table snapshot-then-stream: seed both tables from snapshots at
+    one shared position, catch up, land on the full-replay states."""
+    from mysql_cdc_spark.pipeline.start import FromPosition
+
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=20, seed=29,
+        duplicate_txns=2,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=10)
+    max_seq = max(t.seq for t in txns)
+    _write_mixed_segment(outdir, max_seq + 1000)
+    specs = [TRANSCRIPTS, METRICS]
+
+    full = MultiReplayer(spark, outdir, str(tmp_path / "full"), specs)
+    full.replay()
+
+    half = MultiReplayer(spark, outdir, str(tmp_path / "half"), specs)
+    for rep in half.replayers.values():
+        files = rep.pending_files()
+        rep.run_batch(files[: max(1, len(files) // 2)])
+    entry = half.replayers["chat.transcripts"].ledger.last()
+
+    boot = MultiReplayer(spark, outdir, str(tmp_path / "boot"), specs)
+    versions = boot.bootstrap(
+        {n: r.read_state() for n, r in half.replayers.items()},
+        at=FromPosition(entry.max_file, entry.max_pos),
+    )
+    assert versions == {"chat.transcripts": 1, "metrics.samples": 1}
+    boot.replay()
+
+    for name in boot.replayers:
+        cols = full.read_state(name).columns
+        want = full.read_state(name).toPandas().sort_values(cols).reset_index(drop=True)
+        got = boot.read_state(name).toPandas().sort_values(cols).reset_index(drop=True)
+        assert got.equals(want), name
+
+    with pytest.raises(KeyError, match="unknown table"):
+        boot2 = MultiReplayer(spark, outdir, str(tmp_path / "b2"), specs)
+        boot2.bootstrap({"nope.table": full.read_state("chat.transcripts")},
+                        at=FromPosition(entry.max_file, entry.max_pos))
