@@ -633,3 +633,29 @@ class Replayer:
             if e.batch_id == batch_id:
                 return self.target.read(self.spark, e.snapshot_version)
         raise KeyError(f"no ledger entry for batch {batch_id}")
+
+    def read_changes(
+        self, from_batch: int | None = None, to_batch: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two committed batches: every row the
+        batches in ``(from_batch, to_batch]`` net-inserted, net-updated or
+        net-deleted, as ``key cols + change_type + row image`` (new image
+        for insert/update, old image for delete — see
+        ``target.snapshot_diff``). ``from_batch=None`` starts from the
+        empty table (full state as inserts); ``to_batch=None`` ends at the
+        latest commit. This is the downstream-consumer read path: a
+        derived table subscribes by remembering the last batch id it saw
+        and pulling ``read_changes(last_seen)`` — exactly-once because
+        batch ids are the ledger's commit points."""
+
+        def _version_of(batch_id: int | None, default: int) -> int:
+            if batch_id is None:
+                return default
+            for e in self.ledger.entries():
+                if e.batch_id == batch_id:
+                    return e.snapshot_version
+            raise KeyError(f"no ledger entry for batch {batch_id}")
+
+        v_from = _version_of(from_batch, 0)
+        v_to = _version_of(to_batch, self.ledger.current_snapshot_version())
+        return self.target.read_changes(self.spark, v_from, v_to)
