@@ -42,15 +42,22 @@ def empty_state_df(spark: SparkSession, spec: TableSpec = TRANSCRIPTS) -> DataFr
     return spark.createDataFrame([], schema)
 
 
-def snapshot_diff(old: DataFrame, new: DataFrame, spec: TableSpec) -> DataFrame:
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, spec: TableSpec, images: str = "applied"
+) -> DataFrame:
     """Row-level change feed between two state snapshots — the read-side
     twin of MERGE (Delta/Iceberg's changed-data-feed, derived here from
     versioned snapshots rather than logged at write time).
 
     One output row per key whose image differs: ``change_type`` in
-    (``insert``, ``update``, ``delete``) followed by the spec columns —
-    the new image for insert/update, the old image for delete (what a
-    downstream consumer needs to re-apply or invert the change).
+    (``insert``, ``update``, ``delete``), then per ``images``:
+
+    - ``"applied"`` (default): the spec columns once — the new image for
+      insert/update, the old image for delete (what a downstream consumer
+      needs to re-apply or invert the change);
+    - ``"both"``: ``old_<c>`` and ``new_<c>`` for every non-key column —
+      what delta-folding consumers (incremental view maintenance) need to
+      subtract the outgoing contribution and add the incoming one.
 
     Plan shape: one key-partitioned full-outer join; both sides arrive
     hash-repartitioned by key from the snapshot write, and unchanged
@@ -77,12 +84,17 @@ def snapshot_diff(old: DataFrame, new: DataFrame, spec: TableSpec) -> DataFrame:
         .when(F.col("_n_present").isNull(), F.lit("delete"))
         .when(differs, F.lit("update"))
     )
-    out_vals = [
-        F.when(change_type == "delete", F.col(f"_o_{c}"))
-        .otherwise(F.col(f"_n_{c}"))
-        .alias(c)
-        for c in vals
-    ]
+    if images == "both":
+        out_vals = [F.col(f"_o_{c}").alias(f"old_{c}") for c in vals] + [
+            F.col(f"_n_{c}").alias(f"new_{c}") for c in vals
+        ]
+    else:
+        out_vals = [
+            F.when(change_type == "delete", F.col(f"_o_{c}"))
+            .otherwise(F.col(f"_n_{c}"))
+            .alias(c)
+            for c in vals
+        ]
     return (
         j.withColumn("change_type", change_type)
         .filter(F.col("change_type").isNotNull())
@@ -211,13 +223,20 @@ class ParquetMergeTarget:
         return new_version
 
     def read_changes(
-        self, spark: SparkSession, from_version: int, to_version: int
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int,
+        images: str = "applied",
     ) -> DataFrame:
         """Change-data-feed between two retained snapshot versions (see
         ``snapshot_diff``). ``from_version=0`` diffs against the empty
         table, i.e. every live row comes back as an ``insert``."""
         return snapshot_diff(
-            self.read(spark, from_version), self.read(spark, to_version), self.spec
+            self.read(spark, from_version),
+            self.read(spark, to_version),
+            self.spec,
+            images=images,
         )
 
     def gc(self, keep_latest: int) -> None:
@@ -408,7 +427,11 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         return self._commit_buckets(merged, touched, current_version)
 
     def read_changes(
-        self, spark: SparkSession, from_version: int, to_version: int
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int,
+        images: str = "applied",
     ) -> DataFrame:
         """Manifest-pruned change feed: a bucket whose manifest entry is
         identical at both versions points at the *same* data files, so it
@@ -428,6 +451,7 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
             self.read(spark, from_version, bucket_ids=changed),
             self.read(spark, to_version, bucket_ids=changed),
             self.spec,
+            images=images,
         )
 
     def gc(self, keep_latest: int) -> None:
