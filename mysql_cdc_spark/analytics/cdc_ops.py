@@ -635,6 +635,225 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# W6 — change-data-feed between two state versions (pipeline twin:
+# pipeline/target.py:snapshot_diff / Replayer.read_changes).
+# ---------------------------------------------------------------------------
+
+def _lww_state(ev: DataFrame) -> DataFrame:
+    """Per-user LWW image (the replicated-state analog used by W6/W7)."""
+    payload = F.struct("event_id", "event_type", "value")
+    ordv = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, ordv).alias("w"))
+        .select(
+            "user_id",
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.event_type").alias("event_type"),
+            F.col("w.value").alias("value"),
+        )
+    )
+
+
+def w6_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between the LWW state at a stream cutoff
+    (event_id ≤ max/2) and the final state — the events-table analog of
+    ``target.read_changes``: one row per user whose image changed, typed
+    ``insert`` (user appeared after the cutoff) or ``update`` (their last
+    event changed). Append-only stream → no deletes, same classification
+    CASE as the snapshot diff.
+
+    Plan shape: the cutoff is a 1-row broadcast (no driver collect), the
+    two LWW aggregates partial-combine map-side, and the diff is one
+    key-partitioned full-outer join — identical shuffle class to the
+    pipeline's ``snapshot_diff``. Unchanged users (same last event id)
+    are filtered before projection."""
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg((F.max("event_id") / 2).cast("long").alias("_cut"))
+    ev = ev.crossJoin(F.broadcast(cut))
+    s_old = _lww_state(ev.filter(F.col("event_id") <= F.col("_cut"))).select(
+        F.col("user_id"),
+        F.col("event_id").alias("_o_id"),
+    )
+    s_new = _lww_state(ev).select(
+        "user_id",
+        F.col("event_id").alias("_n_id"),
+        F.col("event_type").alias("_n_type"),
+        F.col("value").alias("_n_val"),
+    )
+    j = s_old.join(s_new, on="user_id", how="full_outer")
+    change_type = (
+        F.when(F.col("_o_id").isNull(), F.lit("insert"))
+        .when(F.col("_n_id").isNull(), F.lit("delete"))
+        .when(F.col("_o_id") != F.col("_n_id"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            "user_id",
+            "change_type",
+            F.col("_n_id").alias("last_event_id"),
+            F.col("_n_type").alias("last_event_type"),
+            F.round("_n_val", 4).alias("last_value"),
+        )
+    )
+
+
+W6_SQL = """
+WITH cut AS (SELECT (max(event_id) // 2)::BIGINT AS c FROM events),
+ranked_old AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events, cut WHERE event_id <= cut.c
+), s_old AS (SELECT user_id, event_id FROM ranked_old WHERE rn = 1),
+ranked_new AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), s_new AS (
+  SELECT user_id, event_id, event_type, value FROM ranked_new WHERE rn = 1
+), classified AS (
+  SELECT coalesce(n.user_id, o.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'insert'
+              WHEN n.user_id IS NULL THEN 'delete'
+              WHEN o.event_id <> n.event_id THEN 'update' END AS change_type,
+         n.event_id AS last_event_id,
+         n.event_type AS last_event_type,
+         round(n.value, 4) AS last_value
+  FROM s_old o FULL OUTER JOIN s_new n ON o.user_id = n.user_id
+)
+SELECT * FROM classified WHERE change_type IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# W7 — incremental aggregate maintenance (pipeline twin:
+# pipeline/ivm.py:MaterializedAggView). The Spark side maintains the
+# GROUP BY through two delta folds; the oracle recomputes it directly
+# from the final state — equality proves the delta algebra.
+# ---------------------------------------------------------------------------
+
+def w7_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY last_event_type over the per-user LWW state, maintained
+    *incrementally* across three stream prefixes (event_id ≤ max/3,
+    ≤ 2·max/3, all): view₁ = agg(state₁), then each step folds the signed
+    contributions of the state diff — an updated user subtracts their old
+    image from its group and adds the new image to its (possibly
+    different) group. The measures are a count and a DECIMAL(18,2) sum,
+    so the fold is exact and must equal the oracle's direct recompute
+    over the final state bit-for-bit.
+
+    Scale note: this is the plan ``MaterializedAggView.refresh`` runs per
+    batch — delta-sized aggregates joined against a |groups|-sized view,
+    never a rescan of replicated state (here the "states" are derived
+    in-plan because the harness input is the raw stream)."""
+    ev = load(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("event_id") / 3).cast("long").alias("_c1"),
+        (F.max("event_id") * 2 / 3).cast("long").alias("_c2"),
+    )
+    ev = ev.crossJoin(F.broadcast(cut))
+    dval = F.round(F.col("value"), 2).cast("decimal(18,2)")
+
+    def state(pred) -> DataFrame:
+        return _lww_state(ev.filter(pred)).select(
+            "user_id", "event_id", "event_type", dval.alias("dval")
+        )
+
+    s1 = state(F.col("event_id") <= F.col("_c1"))
+    s2 = state(F.col("event_id") <= F.col("_c2"))
+    s3 = state(F.lit(True))
+
+    def agg_of(state_df: DataFrame) -> DataFrame:
+        return state_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("dval").alias("tv"),
+        )
+
+    def delta(sa: DataFrame, sb: DataFrame) -> DataFrame:
+        o = sa.select(
+            "user_id",
+            F.col("event_id").alias("_o_id"),
+            F.col("event_type").alias("_o_type"),
+            F.col("dval").alias("_o_val"),
+        )
+        n = sb.select(
+            "user_id",
+            F.col("event_id").alias("_n_id"),
+            F.col("event_type").alias("_n_type"),
+            F.col("dval").alias("_n_val"),
+        )
+        j = o.join(n, on="user_id", how="full_outer")
+        changed = F.col("_o_id").isNull() | F.col("_n_id").isNull() | (
+            F.col("_o_id") != F.col("_n_id")
+        )
+        out_entry = F.when(
+            F.col("_o_id").isNotNull() & changed,
+            F.struct(
+                F.lit(-1).alias("_sign"),
+                F.col("_o_type").alias("event_type"),
+                F.col("_o_val").alias("dval"),
+            ),
+        )
+        in_entry = F.when(
+            F.col("_n_id").isNotNull() & changed,
+            F.struct(
+                F.lit(1).alias("_sign"),
+                F.col("_n_type").alias("event_type"),
+                F.col("_n_val").alias("dval"),
+            ),
+        )
+        signed = j.select(
+            F.explode(F.array(out_entry, in_entry)).alias("e")
+        ).filter(F.col("e").isNotNull())
+        return signed.groupBy(F.col("e.event_type").alias("event_type")).agg(
+            F.sum("e._sign").cast("long").alias("d_n"),
+            F.sum(F.col("e._sign") * F.col("e.dval")).alias("d_tv"),
+        )
+
+    def fold(view: DataFrame, d: DataFrame) -> DataFrame:
+        m = view.join(d, on="event_type", how="full_outer")
+        return m.select(
+            "event_type",
+            (
+                F.coalesce(F.col("n_users"), F.lit(0))
+                + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_users"),
+            (
+                F.coalesce(F.col("tv"), F.lit(0))
+                + F.coalesce(F.col("d_tv"), F.lit(0))
+            ).alias("tv"),
+        ).filter(F.col("n_users") > 0)
+
+    view = fold(fold(agg_of(s1), delta(s1, s2)), delta(s2, s3))
+    return view.select(
+        F.col("event_type").alias("last_event_type"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("tv"), 2).cast("double").alias("total_value"),
+    )
+
+
+W7_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), state AS (
+  SELECT user_id, event_type, round(value, 2)::DECIMAL(18,2) AS dval
+  FROM ranked WHERE rn = 1
+)
+SELECT event_type AS last_event_type,
+       count(*) AS n_users,
+       (round(sum(dval), 2))::DOUBLE AS total_value
+FROM state GROUP BY event_type
+"""
+
+
 QUERIES = {
     "w1_lww_last_event": w1_lww_last_event,
     "a1_interval_collapse": a1_interval_collapse,
@@ -649,6 +868,8 @@ QUERIES = {
     "j3_asof_join": j3_asof_join,
     "j4_range_join": j4_range_join,
     "w5_scd2_history": w5_scd2_history,
+    "w6_change_feed": w6_change_feed,
+    "w7_incremental_agg": w7_incremental_agg,
 }
 
 ORACLES = {
@@ -665,4 +886,6 @@ ORACLES = {
     "j3_asof_join": J3_SQL,
     "j4_range_join": J4_SQL,
     "w5_scd2_history": W5_SQL,
+    "w6_change_feed": W6_SQL,
+    "w7_incremental_agg": W7_SQL,
 }
