@@ -173,6 +173,7 @@ class Replayer:
         target: object | None = None,
         start: object | None = None,
         row_image: str = "full",
+        views: list | None = None,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -192,7 +193,14 @@ class Replayer:
         two-phase reduce on the skewed bench corpus (BENCH.md). Set
         ``salt_buckets>1`` for aggregations without combine support or for
         pathological single-key streams; the MERGE join side is covered by
-        AQE skew-join splitting (session.py)."""
+        AQE skew-join splitting (session.py).
+
+        ``views``: optional ``ivm.MaterializedAggView`` list, refreshed
+        after every committed batch (delta-fold from the change feed —
+        O(changed rows), see pipeline/ivm.py). View refresh happens AFTER
+        the ledger append: a crash between the two leaves the view one
+        batch stale, and the next refresh folds both batches — same
+        result, because the fold is associative over the diff range."""
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
@@ -207,6 +215,7 @@ class Replayer:
             store_dir, spec,
             buckets=max(8, spark.sparkContext.defaultParallelism),
         )
+        self.views = list(views) if views else []
         if start is not None:
             from .start import seed_ledger
 
@@ -523,6 +532,8 @@ class Replayer:
                 metrics=metrics,
             )
         )
+        for view in self.views:
+            view.refresh(self.spark, self.target, new_version)
         return BatchMetrics(
             batch_id, files, n_events, net_rows, seconds,
             metrics["events_per_sec"], str(merged_set), lineage,

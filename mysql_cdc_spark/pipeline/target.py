@@ -426,6 +426,32 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         )
         return self._commit_buckets(merged, touched, current_version)
 
+    def lookup(
+        self, spark: SparkSession, version: int, key_values: list[dict]
+    ) -> DataFrame:
+        """Point-lookup read path: each requested key hashes to exactly one
+        bucket, so the scan touches only those buckets' files — at 10^10
+        rows / 2^12 buckets a single-key lookup reads ~0.02% of the table
+        (and the parquet row-group filter prunes within the bucket).
+        ``key_values``: one dict per requested key, covering
+        ``bucket_cols`` (full-PK dicts narrow further via the post-filter).
+        """
+        import pandas as pd
+
+        if not key_values:
+            return empty_state_df(spark, self.spec)
+        ddl = {n: d for n, d, _ in self.spec.columns}
+        probe = spark.createDataFrame(pd.DataFrame(key_values))
+        probe = probe.select(
+            *[F.col(c).cast(ddl[c]).alias(c) for c in probe.columns]
+        )
+        buckets = {
+            r["_b"]
+            for r in probe.select(self._bucket_expr().alias("_b")).collect()
+        }
+        state = self.read(spark, version, bucket_ids=buckets)
+        return state.join(F.broadcast(probe), on=list(probe.columns), how="left_semi")
+
     def read_changes(
         self,
         spark: SparkSession,

@@ -120,6 +120,42 @@ def test_group_migration_is_exercised_and_correct(spark, binlog_dir, tmp_path):
     assert migrations > 0, "fixture produced no cross-group updates"
 
 
+def test_replayer_auto_refreshes_views(spark, binlog_dir, tmp_path):
+    view = MaterializedAggView(str(tmp_path / "view"), ["role"], MEASURES)
+    rep = Replayer(spark, binlog_dir, str(tmp_path / "store"), views=[view])
+    rep.replay(files_per_batch=1)
+    # the view was folded batch-by-batch as part of the pipeline
+    assert view._meta()["target_version"] == rep.ledger.current_snapshot_version()
+    got = _pdf(view.read(spark))
+    want = _pdf(
+        view.recompute(spark, rep.target, rep.ledger.current_snapshot_version())
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bucketed_lookup_reads_one_bucket(spark, binlog_dir, tmp_path):
+    rep = Replayer(
+        spark,
+        binlog_dir,
+        str(tmp_path / "store"),
+        target=BucketedParquetMergeTarget(str(tmp_path / "store"), buckets=64),
+    )
+    rep.replay()
+    v = rep.ledger.current_snapshot_version()
+    some = rep.read_state().select("conv_id", "turn_idx").limit(3).collect()
+    keys = [{"conv_id": r["conv_id"], "turn_idx": r["turn_idx"]} for r in some]
+    got = rep.target.lookup(spark, v, keys).toPandas()
+    assert len(got) == len(keys)
+    assert {(r["conv_id"], r["turn_idx"]) for r in some} == set(
+        zip(got["conv_id"], got["turn_idx"])
+    )
+    # a missing key returns nothing (and still scans only its bucket)
+    none = rep.target.lookup(
+        spark, v, [{"conv_id": "no-such-conv", "turn_idx": 999}]
+    )
+    assert none.count() == 0
+
+
 def test_bucketed_target_view(spark, binlog_dir, tmp_path):
     rep = Replayer(
         spark,
