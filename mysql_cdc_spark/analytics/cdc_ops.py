@@ -26,6 +26,8 @@ Scale notes are on each function.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -854,6 +856,103 @@ FROM state GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# F11 — JSON column codec end-to-end (beyond-reference; binlog/jsonb.py).
+# ---------------------------------------------------------------------------
+
+def jsonb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL JSON binary ("jsonb") codec, end-to-end through the engine's
+    own kernels: build the wire blob a JSON column carries in WRITE_ROWS
+    (``encode_jsonb``), then decode it back to canonical JSON text with
+    the same ``jsonb_to_text`` the row decoder applies to kind ``"json"``
+    columns (the reference stops at the raw blob, row_parser.rs:174-175).
+
+    Exercises every scalar family (int16 inline, bool/null literals,
+    string, opaque NEWDECIMAL) plus nested array + object key ordering
+    (MySQL stores keys sorted by (length, bytes)). mapInPandas at
+    Arrow-batch granularity: a single codegen'd 4-column scan into one
+    Python stage, zero shuffles, blob bytes never leave the task. The
+    oracle constructs the identical canonical text (MySQL ', '/': '
+    spacing, storage key order) by SQL string concatenation — any
+    encode-or-decode defect breaks text equality on every row."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    def batch(it):
+        import pandas as pd
+
+        from ..binlog.jsonb import encode_jsonb, jsonb_to_text
+
+        for pdf in it:
+            texts = []
+            for did, lang, src, n in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["n_chars"]
+            ):
+                n = int(n)
+                v = {
+                    "n": n,
+                    "t": [True, None, n % 7],
+                    "id": int(did),
+                    "amt": Decimal(f"{n}.25"),
+                    "src": str(src),
+                    "lang": str(lang),
+                }
+                texts.append(jsonb_to_text(encode_jsonb(v)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "json_text": texts})
+
+    return docs.mapInPandas(batch, "doc_id long, json_text string")
+
+
+# storage key order: sorted by (byte length, bytes) → n, t, id, amt, src, lang
+JSONB_SQL = """
+SELECT doc_id,
+       '{"n": ' || n_chars
+       || ', "t": [true, null, ' || (n_chars % 7)
+       || '], "id": ' || doc_id
+       || ', "amt": ' || n_chars || '.25'
+       || ', "src": "' || source
+       || '", "lang": "' || lang || '"}' AS json_text
+FROM documents
+"""
+
+
+def jsonb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path query over decoded jsonb text: the blob → text decode
+    hands off to Spark's native, codegen'd ``get_json_object`` — the
+    composition a CDC consumer actually runs (decode once, query fields
+    JVM-side forever after). Aggregates by an extracted field so the
+    oracle discriminates on path semantics, not just text equality."""
+    rt = jsonb_roundtrip(spark, sf_dir)
+    return (
+        rt.select(
+            F.get_json_object("json_text", "$.lang").alias("lang"),
+            F.get_json_object("json_text", "$.n").cast("long").alias("n"),
+            F.get_json_object("json_text", "$.t[2]").cast("long").alias("t2"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_chars"),
+            F.sum("t2").alias("total_mod7"),
+        )
+    )
+
+
+JSONB_EXTRACT_SQL = f"""
+WITH rt AS ({JSONB_SQL}),
+ex AS (
+  SELECT json_extract_string(json_text, '$.lang') AS lang,
+         json_extract(json_text, '$.n')::BIGINT AS n,
+         json_extract(json_text, '$.t[2]')::BIGINT AS t2
+  FROM rt
+)
+SELECT lang, count(*) AS n_docs, sum(n)::BIGINT AS total_chars,
+       sum(t2)::BIGINT AS total_mod7
+FROM ex GROUP BY lang
+"""
+
+
 QUERIES = {
     "w1_lww_last_event": w1_lww_last_event,
     "a1_interval_collapse": a1_interval_collapse,
@@ -870,6 +969,8 @@ QUERIES = {
     "w5_scd2_history": w5_scd2_history,
     "w6_change_feed": w6_change_feed,
     "w7_incremental_agg": w7_incremental_agg,
+    "jsonb_roundtrip": jsonb_roundtrip,
+    "jsonb_extract": jsonb_extract,
 }
 
 ORACLES = {
@@ -888,4 +989,6 @@ ORACLES = {
     "w5_scd2_history": W5_SQL,
     "w6_change_feed": W6_SQL,
     "w7_incremental_agg": W7_SQL,
+    "jsonb_roundtrip": JSONB_SQL,
+    "jsonb_extract": JSONB_EXTRACT_SQL,
 }

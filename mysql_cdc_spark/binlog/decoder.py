@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .constants import ChecksumType, ColumnType, EventType
+from .jsonb import jsonb_to_text as _jsonb_to_text
 from .reader import (
     BinlogFileReader,
     parse_event_header,
@@ -62,6 +63,11 @@ class TableSpec:
     - ``'date'``       DATE (y,m,d) → DateType
     - ``'binary'``     BLOB family / GEOMETRY / JSON raw → BinaryType
     - ``'ts_millis'``  TIMESTAMP/TIMESTAMP2 epoch millis → TimestampType
+    - ``'json'``       JSON jsonb blob → decoded JSON text (StringType);
+                       beyond-reference (the reference returns the raw
+                       blob, row_parser.rs:174-175) — see binlog/jsonb.py
+    - ``'datetime'``   DATETIME/DATETIME2 wall time → TimestampNTZType
+    - ``'time'``       TIME/TIME2 → StringType
     """
 
     database: str
@@ -188,6 +194,9 @@ _CONVERT = {
     "int": int,
     "double": float,
     "decimal": _to_decimal,
+    # JSON columns arrive as the raw jsonb blob (like the reference,
+    # row_parser.rs:174-175); kind "json" decodes it to JSON text.
+    "json": _jsonb_to_text,
     "date": _to_date,
     "binary": bytes,
     "datetime": _to_datetime,
