@@ -1,0 +1,370 @@
+"""DDL-driven schema evolution (beyond-reference).
+
+MySQL writes ``ALTER TABLE`` statements into the binlog as QUERY events
+(autocommit DDL). The reference surfaces them as ``QueryEvent``
+(`src/events/query_event.rs:1-40`) and treats them only as transaction
+boundaries (`src/binlog_client.rs:88-95`) — schema tracking is left to
+user code. With ``binlog_row_metadata=FULL`` the following TABLE_MAP
+carries column names, so additive evolution is discoverable from
+metadata alone (``decoder.discover_columns``). But the server DEFAULT is
+``binlog_row_metadata=MINIMAL``: TABLE_MAP then carries column *types*
+but no *names*, and the only in-stream record of an added column's name
+is the DDL text itself. Debezium and Maxwell solve this with a DDL
+parser feeding a schema registry; this module is that step for the
+additive evolution the north star requires ("new columns like tool").
+
+Scope: **additive** ``ALTER TABLE ... ADD COLUMN`` only. A non-additive
+clause (DROP/MODIFY/CHANGE/RENAME COLUMN) on the *tracked* table raises
+``UnsupportedDdl`` — silently mis-decoding rows against a stale spec
+would corrupt state; failing loudly is the only safe behavior. DDL on
+other tables is ignored.
+
+Scale shape: the DDL scan is the same metadata-only pass as
+``decoder.scan_table_maps`` — one task per segment reads event headers
+and QUERY payloads only (row payloads are skipped wholesale), so at
+10^10 events it is I/O-bound and ~free next to decode. The fold of
+ALTER statements into a spec happens on the driver over the handful of
+DDL rows (a table's lifetime carries tens of ALTERs, not millions).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .constants import ChecksumType, EventType
+from .reader import (
+    EVENT_HEADER_SIZE,
+    FIRST_EVENT_POSITION,
+    MAGIC_NUMBER,
+    parse_event_header,
+    parse_format_description,
+    parse_query,
+)
+
+
+class UnsupportedDdl(ValueError):
+    """A DDL statement on the tracked table that additive evolution
+    cannot represent (DROP/MODIFY/CHANGE/RENAME COLUMN, etc.)."""
+
+
+@dataclass(frozen=True)
+class AddColumn:
+    name: str
+    type_text: str  # the MySQL type as written, e.g. "VARCHAR(64)"
+    spark_ddl: str  # TableSpec column DDL, e.g. "string"
+    kind: str  # TableSpec decode kind, e.g. "str"
+
+
+@dataclass(frozen=True)
+class AlterTable:
+    database: str | None  # None = statement used the session default db
+    table: str
+    adds: tuple[AddColumn, ...]
+    unsupported: tuple[str, ...]  # non-additive clause heads, e.g. ("DROP",)
+
+
+_IDENT = r"(?:`(?:[^`]|``)+`|[A-Za-z0-9_$]+)"
+
+
+def _unquote(ident: str) -> str:
+    if ident.startswith("`"):
+        return ident[1:-1].replace("``", "`")
+    return ident
+
+
+# MySQL type (as written in DDL) → (spark_ddl, TableSpec kind). Matched
+# case-insensitively on the type head; (p,s)/(n) captured where needed.
+_TYPE_RULES: tuple[tuple[str, tuple[str, str] | None], ...] = (
+    (r"(?:TINY|SMALL|MEDIUM|BIG)?INT(?:EGER)?\b(?:\s*\(\d+\))?", ("bigint", "int")),
+    (r"(?:VAR)?CHAR\s*\(\d+\)", ("string", "str")),
+    (r"(?:TINY|MEDIUM|LONG)?TEXT\b", ("string", "str")),
+    (r"JSON\b", ("string", "json")),
+    (r"(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", None),  # special
+    (r"(?:DECIMAL|NUMERIC)\b", ("decimal(10,0)", "decimal")),
+    (r"(?:FLOAT|DOUBLE(?:\s+PRECISION)?|REAL)\b(?:\s*\(\d+\s*,\s*\d+\))?", ("double", "double")),
+    (r"DATETIME\b(?:\s*\(\d\))?", ("timestamp_ntz", "datetime")),
+    (r"TIMESTAMP\b(?:\s*\(\d\))?", ("timestamp", "ts_millis")),
+    (r"DATE\b", ("date", "date")),
+    (r"TIME\b(?:\s*\(\d\))?", ("string", "time")),
+    (r"(?:TINY|MEDIUM|LONG)?BLOB\b|(?:VAR)?BINARY\s*\(\d+\)|GEOMETRY\b", ("binary", "binary")),
+)
+
+
+def map_mysql_type(type_text: str) -> tuple[str, str]:
+    """MySQL DDL type → (spark_ddl, TableSpec kind). Raises
+    ``UnsupportedDdl`` for types the decode tier has no kind for
+    (ENUM/SET need their value lists from TABLE_MAP metadata, which
+    MINIMAL mode omits — an honest error beats a silent mis-decode)."""
+    t = type_text.strip()
+    for pattern, mapped in _TYPE_RULES:
+        m = re.match(pattern, t, re.IGNORECASE)
+        if m:
+            if mapped is None:  # DECIMAL(p[,s])
+                p = int(m.group(1))
+                s = int(m.group(2) or 0)
+                return (f"decimal({p},{s})", "decimal")
+            return mapped
+    raise UnsupportedDdl(f"unsupported column type in DDL: {type_text!r}")
+
+
+# column attributes that may trail the type in an ADD COLUMN clause;
+# consumed (not interpreted) so the clause boundary is found correctly
+_ATTR = re.compile(
+    r"\s+(?:NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^']|'')*'|[^,\s(]+(?:\([^)]*\))?)"
+    r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|COMMENT\s+'(?:[^']|'')*'"
+    r"|COLLATE\s+\S+|CHARACTER\s+SET\s+\S+|AFTER\s+" + _IDENT + r"|FIRST"
+    r"|ON\s+UPDATE\s+\S+(?:\([^)]*\))?)",
+    re.IGNORECASE,
+)
+
+_ALTER_HEAD = re.compile(
+    r"^\s*ALTER\s+(?:ONLINE\s+|OFFLINE\s+)?(?:IGNORE\s+)?TABLE\s+"
+    r"(?:(" + _IDENT + r")\s*\.\s*)?(" + _IDENT + r")\s+",
+    re.IGNORECASE,
+)
+
+_ADD_CLAUSE = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?", re.IGNORECASE
+)
+
+_COLUMN_DEF = re.compile(
+    r"^(" + _IDENT + r")\s+([A-Za-z]+(?:\s+PRECISION)?(?:\s*\([^)]*\))?)",
+    re.IGNORECASE,
+)
+
+# clause heads additive evolution cannot apply to the tracked table
+_UNSUPPORTED_HEAD = re.compile(
+    r"^(DROP|MODIFY|CHANGE|RENAME|ALTER)\b", re.IGNORECASE
+)
+
+# clause heads that are schema-neutral for decode (indexes, constraints,
+# table options) — skipped
+_NEUTRAL_HEAD = re.compile(
+    r"^(ADD\s+(?:INDEX|KEY|CONSTRAINT|UNIQUE|PRIMARY|FULLTEXT|SPATIAL|FOREIGN)"
+    r"|ENGINE|AUTO_INCREMENT|COMMENT|CONVERT|CHARACTER|COLLATE|DEFAULT"
+    r"|ROW_FORMAT|ALGORITHM|LOCK|ORDER|DISABLE|ENABLE|FORCE|PARTITION)\b",
+    re.IGNORECASE,
+)
+
+
+def _split_clauses(body: str) -> list[str]:
+    """Split the ALTER body on top-level commas (commas inside parens or
+    quoted strings don't split)."""
+    out, depth, start, i, n = [], 0, 0, 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if body[i] == "'":
+                    if i + 1 < n and body[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "`":
+            i += 1
+            while i < n and body[i] != "`":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(body[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = body[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_column_defs(text: str) -> list[AddColumn]:
+    """One or more ``name type [attrs]`` defs (the grouped
+    ``ADD COLUMN (a int, b text)`` form passes several)."""
+    cols = []
+    for piece in _split_clauses(text):
+        m = _COLUMN_DEF.match(piece.strip())
+        if not m:
+            raise UnsupportedDdl(f"cannot parse column definition: {piece!r}")
+        name = _unquote(m.group(1))
+        type_text = m.group(2).strip()
+        spark_ddl, kind = map_mysql_type(type_text)
+        cols.append(AddColumn(name, type_text, spark_ddl, kind))
+    return cols
+
+
+def parse_alter(sql: str) -> AlterTable | None:
+    """Parse an ``ALTER TABLE`` statement. Returns None for any other
+    statement (BEGIN, CREATE, inserts, ...). ADD COLUMN clauses are
+    extracted; non-additive clause heads are *recorded* (not raised —
+    the caller decides whether the statement targets the tracked
+    table); schema-neutral clauses (indexes, table options) are skipped."""
+    head = _ALTER_HEAD.match(sql)
+    if not head:
+        return None
+    db = _unquote(head.group(1)) if head.group(1) else None
+    table = _unquote(head.group(2))
+    body = sql[head.end() :].strip().rstrip(";").strip()
+
+    adds: list[AddColumn] = []
+    unsupported: list[str] = []
+    for clause in _split_clauses(body):
+        if not clause:
+            continue
+        madd = _ADD_CLAUSE.match(clause)
+        if madd and not _NEUTRAL_HEAD.match(clause):
+            rest = clause[madd.end() :].strip()
+            if rest.startswith("("):  # grouped form: ADD COLUMN (a int, b text)
+                adds.extend(_parse_column_defs(rest[1 : rest.rindex(")")]))
+            else:
+                # a single def; attrs after the type are consumed implicitly
+                adds.extend(_parse_column_defs(_strip_attrs(rest)))
+            continue
+        if _NEUTRAL_HEAD.match(clause):
+            continue
+        mu = _UNSUPPORTED_HEAD.match(clause)
+        if mu:
+            unsupported.append(mu.group(1).upper())
+            continue
+        unsupported.append(clause.split(None, 1)[0].upper())
+    return AlterTable(db, table, tuple(adds), tuple(unsupported))
+
+
+def _strip_attrs(coldef: str) -> str:
+    """Trim trailing column attributes so only ``name type`` remains."""
+    m = _COLUMN_DEF.match(coldef)
+    if not m:
+        return coldef
+    rest = coldef[m.end() :]
+    pos = 0
+    while True:
+        ma = _ATTR.match(rest, pos)
+        if not ma:
+            break
+        pos = ma.end()
+    return coldef[: m.end()]
+
+
+def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
+    """Fold parsed ``AlterTable`` statements (stream order) into an
+    evolved TableSpec. Adds are appended in statement order (MySQL
+    appends to the end absent FIRST/AFTER — and the decode tier maps by
+    name when TABLE_MAP carries names, positionally otherwise, so end-
+    append matches the evolved TABLE_MAP layout). Raises
+    ``UnsupportedDdl`` on a non-additive clause for the tracked table."""
+    from .decoder import TableSpec
+
+    cols = list(spec.columns)
+    have = {c[0] for c in cols}
+    for alter in alters:
+        if alter is None:
+            continue
+        if alter.table != spec.table:
+            continue
+        if alter.database is not None and alter.database != spec.database:
+            continue
+        if alter.unsupported:
+            raise UnsupportedDdl(
+                f"non-additive DDL on tracked table {spec.table!r}: "
+                f"{', '.join(alter.unsupported)} (additive evolution only)"
+            )
+        for add in alter.adds:
+            if add.name in have:  # IF NOT EXISTS / redelivered DDL
+                continue
+            cols.append((add.name, add.spark_ddl, add.kind))
+            have.add(add.name)
+    if len(cols) == len(spec.columns):
+        return spec
+    return TableSpec(
+        database=spec.database,
+        table=spec.table,
+        columns=tuple(cols),
+        primary_key=spec.primary_key,
+    )
+
+
+def scan_ddl(content: bytes) -> list[dict]:
+    """Metadata-only scan of one segment for QUERY events that parse as
+    ALTER TABLE: returns [{"pos", "sql", "database"}] in file order. Row
+    payloads are never touched (same cost shape as scan_table_maps)."""
+    if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+        raise ValueError("Invalid binary log file header")
+    out = []
+    checksum = ChecksumType.NONE
+    n = len(content)
+    pos = FIRST_EVENT_POSITION
+    while pos + EVENT_HEADER_SIZE <= n:
+        (_ts, etype, _sid, event_length, _next, _flags) = parse_event_header(
+            content, pos
+        )
+        end = pos + event_length
+        if end > n:
+            break
+        if etype == EventType.FORMAT_DESCRIPTION:
+            payload = content[pos + EVENT_HEADER_SIZE : end]
+            _, _, checksum = parse_format_description(payload, event_length)
+        elif etype == EventType.QUERY:
+            payload = content[pos + EVENT_HEADER_SIZE : end]
+            if checksum == ChecksumType.CRC32:
+                payload = payload[:-4]
+            q = parse_query(payload)
+            sql = q["sql_statement"]
+            if _ALTER_HEAD.match(sql):
+                out.append(
+                    {"pos": pos, "sql": sql, "database": q.get("database_name")}
+                )
+        pos = end
+    return out
+
+
+def discover_spec(spark, binlog_dir: str, spec) -> "TableSpec":  # noqa: F821
+    """Distributed DDL discovery: scan every segment's QUERY events for
+    ALTER TABLE statements on the tracked table and fold them (in
+    (segment, pos) order) into an evolved TableSpec. The complement of
+    ``decoder.discover_columns`` for ``binlog_row_metadata=MINIMAL``
+    streams, where TABLE_MAP carries no column names."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .decoder import _list_segments, _read_bytes, _segment_sort_key
+
+    paths = _list_segments(binlog_dir)
+    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        max(1, len(paths))
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                name = path.rsplit("/", 1)[-1]
+                for d in scan_ddl(_read_bytes(path)):
+                    rows.append((name, d["pos"], d["sql"], d["database"]))
+            yield pd.DataFrame(
+                rows, columns=["src_file", "pos", "sql", "database"]
+            )
+
+    found = files.mapInPandas(
+        scan, schema="src_file string, pos long, sql string, database string"
+    ).toPandas()
+    found = found.sort_values(
+        ["src_file", "pos"],
+        key=lambda s: s.map(_segment_sort_key) if s.name == "src_file" else s,
+        kind="mergesort",
+    )
+    alters = []
+    for _, r in found.iterrows():
+        alter = parse_alter(r["sql"])
+        if alter is None:
+            continue
+        if alter.database is None and r["database"]:
+            # statement relied on the session default database (USE db)
+            alter = AlterTable(
+                str(r["database"]), alter.table, alter.adds, alter.unsupported
+            )
+        alters.append(alter)
+    return evolve_spec(spec, alters)

@@ -47,6 +47,37 @@ COLUMN_TYPES = {
     "tool": (ColumnType.VARCHAR, 64),
 }
 ROLES = ["user", "assistant", "system", "tool"]
+
+def transcripts_pre_spec():
+    """Physical-order base TableSpec for the PRE-evolution transcript
+    table: column order matches the binlog's TABLE_MAP order (ts 5th),
+    which is what positional mapping needs when TABLE_MAP carries no
+    column names (binlog_row_metadata=MINIMAL). Evolution then appends
+    ``tool`` at the end, exactly as MySQL does physically — contrast
+    with the canonical TRANSCRIPTS spec, whose name-keyed order has
+    ``tool`` before ``ts`` and therefore requires named metadata."""
+    from .binlog.decoder import TableSpec
+
+    return TableSpec(
+        database="chat",
+        table="transcripts",
+        columns=(
+            ("conv_id", "string", "str"),
+            ("turn_idx", "int", "int"),
+            ("role", "string", "str"),
+            ("text", "string", "str"),
+            ("ts", "timestamp", "ts_millis"),
+        ),
+        primary_key=("conv_id", "turn_idx"),
+    )
+
+
+# the DDL statement a server writes for the fixture's evolution step
+# (row_metadata="minimal" streams carry no TABLE_MAP names, so this
+# QUERY event is the only in-stream record of the new column's name)
+EVOLUTION_DDL = "ALTER TABLE `chat`.`transcripts` ADD COLUMN `tool` VARCHAR(64) NULL"
+
+
 TOOLS = [None, "search", "python", "browser", "calculator"]
 
 TABLE_ID_PRE = 100
@@ -241,6 +272,7 @@ def write_binlog_files(
     workers: int = 0,
     provider: str = "mysql",
     row_image: str = "full",
+    row_metadata: str = "full",
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -252,10 +284,21 @@ def write_binlog_files(
     ``workers > 1`` encodes files in parallel processes (files are
     independent given their transaction slice) — fixture-generation speed
     only, identical bytes.
+
+    ``row_metadata`` mirrors the server's ``binlog_row_metadata`` setting:
+    ``"full"`` puts column names + simple-PK sections in every TABLE_MAP
+    (table_metadata.rs:23); ``"minimal"`` (the server DEFAULT) omits both,
+    and the evolution step is instead recorded the way a real server
+    records it — an autocommit ``ALTER TABLE`` QUERY event written once,
+    immediately before the first post-evolution transaction
+    (``EVOLUTION_DDL``; consumed by binlog/ddl.py schema discovery).
     """
     import os
 
     os.makedirs(outdir, exist_ok=True)
+    alter_before_seq = None
+    if row_metadata == "minimal":
+        alter_before_seq = next((t.seq for t in txns if t.evolved), None)
     n_files = max(1, (len(txns) + txns_per_file - 1) // txns_per_file)
     if workers and workers > 1 and n_files > 1:
         from concurrent.futures import ProcessPoolExecutor
@@ -265,6 +308,7 @@ def write_binlog_files(
                 txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
+                row_metadata, alter_before_seq,
             )
             for fidx in range(n_files)
         ]
@@ -277,7 +321,8 @@ def write_binlog_files(
         paths.append(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
-                 source_uuid, server_id, write_begin_query, provider, row_image)
+                 source_uuid, server_id, write_begin_query, provider, row_image,
+                 row_metadata, alter_before_seq)
             )
         )
     return paths
@@ -285,7 +330,9 @@ def write_binlog_files(
 
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
-     source_uuid, server_id, write_begin_query, provider, row_image) = job
+     source_uuid, server_id, write_begin_query, provider, row_image,
+     row_metadata, alter_before_seq) = job
+    minimal_meta = row_metadata == "minimal"
     import os
 
     fname = f"{file_prefix}.{fidx + 1:06d}"
@@ -295,6 +342,11 @@ def _write_one_file(job) -> str:
         table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
         ctypes = [COLUMN_TYPES[c][0] for c in cols]
         cmeta = [COLUMN_TYPES[c][1] for c in cols]
+        if alter_before_seq is not None and txn.seq == alter_before_seq:
+            # autocommit DDL, written once stream-wide (this txn is the
+            # global first evolved one and lives in exactly one chunk)
+            writer.write_query(EVOLUTION_DDL, database="chat",
+                               timestamp=txn.timestamp)
         if provider == "mariadb":
             writer.write_mariadb_gtid(0, txn.seq, timestamp=txn.timestamp)
         else:
@@ -309,8 +361,10 @@ def _write_one_file(job) -> str:
             cmeta,
             nullability=[False, False, False, False, False]
             + ([True] if txn.evolved else []),
-            column_names=cols,
-            simple_primary_keys=[0, 1],
+            # FULL row metadata carries names + simple PK; MINIMAL (the
+            # server default) omits both — schema comes from DDL instead
+            column_names=None if minimal_meta else cols,
+            simple_primary_keys=None if minimal_meta else [0, 1],
             # explicit SIGNEDNESS (all numeric columns signed): without the
             # section the decoder keeps raw unsigned like the reference
             signedness=[False for c in cols if c == "turn_idx"],

@@ -174,6 +174,7 @@ class Replayer:
         start: object | None = None,
         row_image: str = "full",
         views: list | None = None,
+        discover_ddl: bool = False,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -204,6 +205,14 @@ class Replayer:
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
+        if discover_ddl:
+            # binlog_row_metadata=MINIMAL streams: TABLE_MAP has no column
+            # names, so additive evolution is discovered from ALTER TABLE
+            # QUERY events instead (binlog/ddl.py). ``spec`` is the base
+            # (pre-evolution) schema in the table's physical column order.
+            from ..binlog.ddl import discover_spec
+
+            spec = discover_spec(spark, binlog_dir, spec)
         self.spec = spec
         self.salt_buckets = salt_buckets
         self.row_image = row_image

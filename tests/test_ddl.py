@@ -1,0 +1,263 @@
+"""DDL-driven schema evolution (binlog/ddl.py).
+
+The server default ``binlog_row_metadata=MINIMAL`` omits column names
+from TABLE_MAP, so the only in-stream record of an added column's name
+is the ALTER TABLE QUERY event — the reference surfaces these as
+QueryEvent (query_event.rs) and leaves schema tracking to user code.
+These tests pin the parser, the segment DDL scan, and the end-to-end
+replay of a MINIMAL-metadata stream whose evolution is discovered from
+DDL alone (final state equals the sequential oracle).
+"""
+
+import pandas as pd
+import pytest
+
+from mysql_cdc_spark.binlog.ddl import (
+    AlterTable,
+    UnsupportedDdl,
+    discover_spec,
+    evolve_spec,
+    map_mysql_type,
+    parse_alter,
+    scan_ddl,
+)
+from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+from mysql_cdc_spark.fixtures import (
+    EVOLUTION_DDL,
+    apply_changelog_oracle,
+    generate_changelog,
+    transcripts_pre_spec,
+    write_binlog_files,
+)
+from mysql_cdc_spark.pipeline.replay import Replayer
+
+
+# ------------------------------------------------------------- parser
+
+def test_parse_simple_add():
+    a = parse_alter("ALTER TABLE chat.transcripts ADD COLUMN tool VARCHAR(64) NULL")
+    assert a.database == "chat" and a.table == "transcripts"
+    assert [(c.name, c.spark_ddl, c.kind) for c in a.adds] == [
+        ("tool", "string", "str")
+    ]
+    assert a.unsupported == ()
+
+
+def test_parse_backquoted_with_attrs():
+    a = parse_alter(
+        "ALTER TABLE `chat`.`transcripts` ADD `tool` varchar(64) "
+        "DEFAULT NULL COMMENT 'added' AFTER `text`;"
+    )
+    assert a.adds[0].name == "tool"
+    assert a.adds[0].kind == "str"
+
+
+def test_parse_multiple_adds_and_if_not_exists():
+    a = parse_alter(
+        "alter table transcripts add column if not exists tool TEXT, "
+        "add column score DOUBLE NOT NULL DEFAULT 0.5"
+    )
+    assert [(c.name, c.kind) for c in a.adds] == [("tool", "str"), ("score", "double")]
+
+
+def test_parse_grouped_form():
+    a = parse_alter("ALTER TABLE t ADD COLUMN (a INT, b DECIMAL(12,4), c JSON)")
+    assert [(c.name, c.spark_ddl, c.kind) for c in a.adds] == [
+        ("a", "bigint", "int"),
+        ("b", "decimal(12,4)", "decimal"),
+        ("c", "string", "json"),
+    ]
+
+
+def test_parse_neutral_clauses_skipped():
+    a = parse_alter(
+        "ALTER TABLE t ADD INDEX idx_x (conv_id), ADD COLUMN d DATETIME(6), "
+        "ENGINE=InnoDB, ADD CONSTRAINT fk FOREIGN KEY (x) REFERENCES o(y)"
+    )
+    assert [(c.name, c.kind) for c in a.adds] == [("d", "datetime")]
+    assert a.unsupported == ()
+
+
+def test_parse_records_unsupported():
+    a = parse_alter("ALTER TABLE t DROP COLUMN role, ADD COLUMN x INT")
+    assert a.unsupported == ("DROP",)
+    assert [c.name for c in a.adds] == ["x"]
+
+
+def test_parse_non_alter_returns_none():
+    for sql in ["BEGIN", "CREATE TABLE t (x INT)", "INSERT INTO t VALUES (1)"]:
+        assert parse_alter(sql) is None
+
+
+@pytest.mark.parametrize(
+    "type_text,expected",
+    [
+        ("INT", ("bigint", "int")),
+        ("bigint unsigned", ("bigint", "int")),
+        ("VARCHAR(255)", ("string", "str")),
+        ("LONGTEXT", ("string", "str")),
+        ("JSON", ("string", "json")),
+        ("DECIMAL(18,6)", ("decimal(18,6)", "decimal")),
+        ("NUMERIC(9)", ("decimal(9,0)", "decimal")),
+        ("DOUBLE", ("double", "double")),
+        ("FLOAT(10,2)", ("double", "double")),
+        ("DATETIME(6)", ("timestamp_ntz", "datetime")),
+        ("TIMESTAMP", ("timestamp", "ts_millis")),
+        ("DATE", ("date", "date")),
+        ("TIME(3)", ("string", "time")),
+        ("MEDIUMBLOB", ("binary", "binary")),
+        ("VARBINARY(128)", ("binary", "binary")),
+    ],
+)
+def test_type_map(type_text, expected):
+    assert map_mysql_type(type_text) == expected
+
+
+def test_type_map_enum_raises():
+    with pytest.raises(UnsupportedDdl):
+        map_mysql_type("ENUM('a','b')")
+
+
+# --------------------------------------------------------- evolve_spec
+
+def test_evolve_appends_in_statement_order():
+    pre = transcripts_pre_spec()
+    ev = evolve_spec(pre, [parse_alter(EVOLUTION_DDL)])
+    assert [c[0] for c in ev.columns] == [
+        "conv_id", "turn_idx", "role", "text", "ts", "tool",
+    ]
+    assert ev.primary_key == pre.primary_key
+
+
+def test_evolve_idempotent_and_ignores_other_tables():
+    pre = transcripts_pre_spec()
+    ev = evolve_spec(pre, [parse_alter(EVOLUTION_DDL), parse_alter(EVOLUTION_DDL)])
+    assert len(ev.columns) == 6  # redelivered DDL adds once
+    same = evolve_spec(pre, [parse_alter("ALTER TABLE other ADD COLUMN x INT")])
+    assert same is pre
+    # existing column on the canonical spec: no-op, not a duplicate
+    assert evolve_spec(TRANSCRIPTS, [parse_alter(EVOLUTION_DDL)]) is TRANSCRIPTS
+
+
+def test_evolve_raises_on_non_additive_for_tracked_table():
+    pre = transcripts_pre_spec()
+    with pytest.raises(UnsupportedDdl, match="non-additive"):
+        evolve_spec(pre, [parse_alter("ALTER TABLE transcripts DROP COLUMN role")])
+    # same clause on another table is ignored
+    assert (
+        evolve_spec(pre, [parse_alter("ALTER TABLE other DROP COLUMN role")]) is pre
+    )
+
+
+def test_evolve_wrong_database_ignored():
+    pre = transcripts_pre_spec()
+    a = parse_alter("ALTER TABLE otherdb.transcripts ADD COLUMN x INT")
+    assert evolve_spec(pre, [a]) is pre
+
+
+# ------------------------------------------------------------ scan_ddl
+
+@pytest.fixture(scope="module")
+def minimal_stream(tmp_path_factory):
+    txns = generate_changelog(
+        n_conversations=40,
+        max_turns=8,
+        n_extra_ops=150,
+        seed=7,
+        hot_conversations=3,
+        hot_share=0.5,
+        evolve_after_frac=0.5,
+        duplicate_txns=6,
+    )
+    outdir = str(tmp_path_factory.mktemp("binlog_min"))
+    paths = write_binlog_files(
+        txns, outdir, txns_per_file=40, row_metadata="minimal"
+    )
+    oracle = apply_changelog_oracle(txns)
+    return txns, outdir, paths, oracle
+
+
+def test_scan_ddl_finds_the_alter_once(minimal_stream):
+    import os
+
+    _, outdir, paths, _ = minimal_stream
+    found = []
+    for p in paths:
+        with open(os.path.join(outdir, os.path.basename(p)), "rb") as f:
+            found.extend(scan_ddl(f.read()))
+    assert len(found) == 1
+    assert found[0]["sql"] == EVOLUTION_DDL
+    assert found[0]["database"] == "chat"
+
+
+def test_minimal_metadata_table_maps_carry_no_names(minimal_stream):
+    import os
+
+    from mysql_cdc_spark.binlog.decoder import scan_table_maps
+
+    _, outdir, paths, _ = minimal_stream
+    with open(os.path.join(outdir, os.path.basename(paths[0])), "rb") as f:
+        tms = scan_table_maps(f.read())
+    assert tms and all(not tm["column_names"] for tm in tms)
+
+
+def test_discover_spec_from_ddl(spark, minimal_stream):
+    _, outdir, _, _ = minimal_stream
+    spec = discover_spec(spark, outdir, transcripts_pre_spec())
+    assert [c[0] for c in spec.columns] == [
+        "conv_id", "turn_idx", "role", "text", "ts", "tool",
+    ]
+
+
+# ----------------------------------------------------------------- e2e
+
+def test_minimal_metadata_replay_equals_oracle(spark, minimal_stream, tmp_path):
+    """Full replay of a binlog_row_metadata=MINIMAL stream: no TABLE_MAP
+    names anywhere; schema evolution discovered purely from the ALTER
+    TABLE QUERY event; positional column mapping against the physical-
+    order spec on both decode paths. Final state must equal the
+    sequential oracle per-turn."""
+    _, outdir, _, oracle = minimal_stream
+    rep = Replayer(
+        spark, outdir, str(tmp_path / "store"),
+        spec=transcripts_pre_spec(), discover_ddl=True,
+    )
+    res = rep.replay(files_per_batch=3)
+    assert res.events > 0
+    state = (
+        rep.read_state()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(state) == len(oracle)
+    for col in ["conv_id", "turn_idx", "role", "text", "tool"]:
+        assert state[col].tolist() == oracle[col].tolist(), f"column {col}"
+    assert (
+        pd.to_datetime(state["ts"]).tolist() == pd.to_datetime(oracle["ts"]).tolist()
+    )
+
+
+def test_minimal_metadata_resume(spark, minimal_stream, tmp_path):
+    """Kill/resume on the MINIMAL stream: first batch with one Replayer,
+    fresh Replayer (re-discovering the spec from DDL) finishes; same
+    final state."""
+    _, outdir, _, oracle = minimal_stream
+    store = str(tmp_path / "store")
+    first = Replayer(
+        spark, outdir, store, spec=transcripts_pre_spec(), discover_ddl=True
+    )
+    pend = first.pending_files()
+    first.run_batch(pend[:2])
+    second = Replayer(
+        spark, outdir, store, spec=transcripts_pre_spec(), discover_ddl=True
+    )
+    second.replay(files_per_batch=4)
+    state = (
+        second.read_state()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert state["text"].tolist() == oracle["text"].tolist()
+    assert state["tool"].tolist() == oracle["tool"].tolist()
