@@ -75,25 +75,38 @@ def _ensure_e2e_oracle_parquet() -> str:
 
 
 def _replay_e2e(
-    spark: SparkSession, provider: str = "mysql", row_image: str = "full"
+    spark: SparkSession, provider: str = "mysql", row_image: str = "full",
+    row_metadata: str = "full",
 ) -> DataFrame:
     """Shared e2e body: deterministic transcript changelog →
-    binlog-format bytes (per provider / row-image mode) → distributed
-    decode (mapInPandas) → transaction gate → LWW → MERGE → final
-    transcript state, projected for cross-engine hashing."""
-    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+    binlog-format bytes (per provider / row-image / row-metadata mode) →
+    distributed decode (mapInPandas) → transaction gate → LWW → MERGE →
+    final transcript state, projected for cross-engine hashing."""
+    from mysql_cdc_spark.fixtures import (
+        generate_changelog,
+        transcripts_pre_spec,
+        write_binlog_files,
+    )
     from mysql_cdc_spark.pipeline.replay import Replayer
 
     _ensure_e2e_oracle_parquet()
-    tmp = tempfile.mkdtemp(prefix=f"cdc_entry_{provider}_{row_image}_")
+    tmp = tempfile.mkdtemp(prefix=f"cdc_entry_{provider}_{row_image}_{row_metadata}_")
     txns = generate_changelog(**_E2E_KNOBS)
     write_binlog_files(
         txns, os.path.join(tmp, "binlog"), txns_per_file=40,
-        provider=provider, row_image=row_image,
+        provider=provider, row_image=row_image, row_metadata=row_metadata,
+    )
+    # MINIMAL row metadata: TABLE_MAP carries no column names, so the
+    # schema starts from the physical-order base spec and evolution is
+    # discovered from the in-stream ALTER TABLE DDL (binlog/ddl.py)
+    ddl_kwargs = (
+        {"spec": transcripts_pre_spec(), "discover_ddl": True}
+        if row_metadata == "minimal"
+        else {}
     )
     rep = Replayer(
         spark, os.path.join(tmp, "binlog"), os.path.join(tmp, "store"),
-        salt_buckets=4, row_image=row_image,
+        salt_buckets=4, row_image=row_image, **ddl_kwargs,
     )
     rep.replay(files_per_batch=1)
     # coalesce the evolution column: NULL-vs-empty must not depend on the
@@ -134,6 +147,18 @@ def cdc_replay_mariadb_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_e2e(spark, provider="mariadb", row_image="full")
 
 
+def cdc_replay_ddl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlog_row_metadata=MINIMAL end-to-end (the server DEFAULT):
+    TABLE_MAP events carry column types but NO names or PK metadata, so
+    the engine must discover the mid-stream additive evolution from the
+    ALTER TABLE QUERY event via the DDL schema registry (binlog/ddl.py)
+    and map columns positionally against the physical-order base spec.
+    The logical changelog is metadata-independent, so the same oracle
+    holds — any column the DDL path misnames or misplaces
+    hash-mismatches."""
+    return _replay_e2e(spark, provider="mysql", row_metadata="minimal")
+
+
 # Sequential replay of the dual-written logical changelog: at-most-once per
 # transaction seq (uuid_set.rs:46-48 idempotence — first delivery wins),
 # then per-key last-writer over the (seq, op_ord) total order, deletes
@@ -171,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_e2e"] = cdc_replay_e2e
     out["cdc_replay_minimal_e2e"] = cdc_replay_minimal_e2e
     out["cdc_replay_mariadb_e2e"] = cdc_replay_mariadb_e2e
+    out["cdc_replay_ddl_e2e"] = cdc_replay_ddl_e2e
     return out
 
 
@@ -186,4 +212,7 @@ def oracle_sql() -> dict[str, str]:
     # the logical stream — the same sequential-replay oracle must hold
     out["cdc_replay_minimal_e2e"] = CDC_REPLAY_E2E_SQL
     out["cdc_replay_mariadb_e2e"] = CDC_REPLAY_E2E_SQL
+    # MINIMAL row *metadata* (nameless TABLE_MAPs + DDL-discovered schema)
+    # also leaves the logical stream unchanged — same oracle again
+    out["cdc_replay_ddl_e2e"] = CDC_REPLAY_E2E_SQL
     return out

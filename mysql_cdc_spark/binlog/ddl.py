@@ -286,6 +286,96 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
     )
 
 
+_CREATE_HEAD = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:(" + _IDENT + r")\s*\.\s*)?(" + _IDENT + r")\s*\(",
+    re.IGNORECASE,
+)
+
+_PK_CLAUSE = re.compile(
+    r"^(?:CONSTRAINT\s+" + _IDENT + r"\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)",
+    re.IGNORECASE,
+)
+
+# body clauses that define no column: indexes, constraints, checks
+_NON_COLUMN_CLAUSE = re.compile(
+    r"^(?:(?:UNIQUE|FULLTEXT|SPATIAL)\s+)?(?:INDEX|KEY)\b"
+    r"|^CONSTRAINT\b|^FOREIGN\s+KEY\b|^CHECK\b",
+    re.IGNORECASE,
+)
+
+
+def spec_from_create_table(sql: str, database: str | None = None):
+    """Bootstrap a TableSpec from a ``CREATE TABLE`` statement — the
+    snapshot-DDL half of the schema registry (Debezium reads the source's
+    ``SHOW CREATE TABLE`` at snapshot time for exactly this). Column
+    order is the statement's order, which IS the table's physical order —
+    what positional mapping needs for nameless (MINIMAL-metadata)
+    TABLE_MAPs. The primary key comes from an inline ``PRIMARY KEY``
+    attribute or a table-level ``PRIMARY KEY (...)`` clause.
+
+    ``database`` supplies the session default db for statements that
+    don't qualify the table name. Raises ``UnsupportedDdl`` on types the
+    decode tier has no kind for."""
+    from .decoder import TableSpec
+
+    head = _CREATE_HEAD.match(sql)
+    if not head:
+        raise UnsupportedDdl(f"not a CREATE TABLE statement: {sql[:60]!r}")
+    db = _unquote(head.group(1)) if head.group(1) else database
+    table = _unquote(head.group(2))
+    # body = text inside the outermost parens (options after are ignored)
+    depth, start, end = 1, head.end(), None
+    for i in range(head.end(), len(sql)):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end is None:
+        raise UnsupportedDdl("unterminated CREATE TABLE column list")
+    body = sql[start:end]
+
+    cols: list[tuple] = []
+    pk: list[str] = []
+    for clause in _split_clauses(body):
+        mpk = _PK_CLAUSE.match(clause)
+        if mpk:
+            pk = [
+                _unquote(c.strip())
+                for c in mpk.group(1).split(",")
+                if c.strip()
+            ]
+            continue
+        if _NON_COLUMN_CLAUSE.match(clause):
+            continue
+        m = _COLUMN_DEF.match(clause)
+        if not m:
+            raise UnsupportedDdl(f"cannot parse column definition: {clause!r}")
+        name = _unquote(m.group(1))
+        spark_ddl, kind = map_mysql_type(m.group(2).strip())
+        cols.append((name, spark_ddl, kind))
+        if re.search(r"\bPRIMARY\s+KEY\b", clause[m.end() :], re.IGNORECASE):
+            pk = [name]
+    if not cols:
+        raise UnsupportedDdl("CREATE TABLE with no columns")
+    if not pk:
+        raise UnsupportedDdl(
+            f"CREATE TABLE {table!r} declares no PRIMARY KEY — the merge "
+            "tier is keyed; supply a spec with an explicit primary_key"
+        )
+    if db is None:
+        raise UnsupportedDdl(
+            "table name is unqualified and no default database was given"
+        )
+    return TableSpec(
+        database=db, table=table, columns=tuple(cols), primary_key=tuple(pk)
+    )
+
+
 def scan_ddl(content: bytes) -> list[dict]:
     """Metadata-only scan of one segment for QUERY events that parse as
     ALTER TABLE: returns [{"pos", "sql", "database"}] in file order. Row

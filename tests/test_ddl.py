@@ -20,6 +20,7 @@ from mysql_cdc_spark.binlog.ddl import (
     map_mysql_type,
     parse_alter,
     scan_ddl,
+    spec_from_create_table,
 )
 from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
 from mysql_cdc_spark.fixtures import (
@@ -153,6 +154,58 @@ def test_evolve_wrong_database_ignored():
     pre = transcripts_pre_spec()
     a = parse_alter("ALTER TABLE otherdb.transcripts ADD COLUMN x INT")
     assert evolve_spec(pre, [a]) is pre
+
+
+# ------------------------------------------------- spec_from_create_table
+
+TRANSCRIPTS_CREATE = """
+CREATE TABLE `chat`.`transcripts` (
+  `conv_id` varchar(64) NOT NULL,
+  `turn_idx` bigint NOT NULL,
+  `role` varchar(16) NOT NULL,
+  `text` varchar(2048) NOT NULL,
+  `ts` timestamp(3) NOT NULL DEFAULT CURRENT_TIMESTAMP(3),
+  PRIMARY KEY (`conv_id`, `turn_idx`),
+  KEY `idx_ts` (`ts`)
+) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4
+"""
+
+
+def test_spec_from_create_table():
+    spec = spec_from_create_table(TRANSCRIPTS_CREATE)
+    pre = transcripts_pre_spec()
+    assert spec.database == "chat" and spec.table == "transcripts"
+    assert spec.primary_key == ("conv_id", "turn_idx")
+    assert [c[0] for c in spec.columns] == [c[0] for c in pre.columns]
+    assert [c[2] for c in spec.columns] == [c[2] for c in pre.columns]
+
+
+def test_spec_from_create_then_alter_matches_discovered():
+    spec = spec_from_create_table(TRANSCRIPTS_CREATE)
+    ev = evolve_spec(spec, [parse_alter(EVOLUTION_DDL)])
+    assert [c[0] for c in ev.columns] == [
+        "conv_id", "turn_idx", "role", "text", "ts", "tool",
+    ]
+
+
+def test_spec_from_create_inline_pk_and_default_db():
+    spec = spec_from_create_table(
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, v JSON, d DECIMAL(20,4))",
+        database="appdb",
+    )
+    assert spec.database == "appdb"
+    assert spec.primary_key == ("id",)
+    assert [c[2] for c in spec.columns] == ["int", "json", "decimal"]
+    assert spec.columns[2][1] == "decimal(20,4)"
+
+
+def test_spec_from_create_errors():
+    with pytest.raises(UnsupportedDdl, match="PRIMARY KEY"):
+        spec_from_create_table("CREATE TABLE a.t (x INT)")
+    with pytest.raises(UnsupportedDdl, match="default database"):
+        spec_from_create_table("CREATE TABLE t (x INT PRIMARY KEY)")
+    with pytest.raises(UnsupportedDdl, match="not a CREATE TABLE"):
+        spec_from_create_table("DROP TABLE t")
 
 
 # ------------------------------------------------------------ scan_ddl
