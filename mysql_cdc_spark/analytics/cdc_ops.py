@@ -917,6 +917,44 @@ FROM documents
 """
 
 
+def geometry_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL GEOMETRY codec end-to-end: build the column blob (4-byte
+    SRID + WKB) with ``encode_geometry`` and decode it back to WKT with
+    the same ``geometry_to_wkt`` the row decoder applies to kind
+    ``"geometry"`` columns (the reference returns the raw blob,
+    row_parser.rs:174-175). Same plan shape as jsonb_roundtrip: one
+    codegen'd scan into one Arrow-batched Python stage, zero shuffles.
+    Coordinates are integer-derived so the oracle can build the exact
+    text with integer concatenation (no float-formatting ambiguity)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def batch(it):
+        import pandas as pd
+
+        from ..binlog.geometry import encode_geometry, geometry_to_wkt
+
+        for pdf in it:
+            texts = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = encode_geometry(
+                    ("point", (did % 180 + 0.5, did % 90)),
+                    srid=4326 if did % 2 else 0,
+                )
+                texts.append(geometry_to_wkt(blob))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wkt": texts})
+
+    return docs.mapInPandas(batch, "doc_id long, wkt string")
+
+
+GEOMETRY_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'SRID=4326;' ELSE '' END
+       || 'POINT(' || (doc_id % 180) || '.5 ' || (doc_id % 90) || ')' AS wkt
+FROM documents
+"""
+
+
 def jsonb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path query over decoded jsonb text: the blob → text decode
     hands off to Spark's native, codegen'd ``get_json_object`` — the
@@ -971,6 +1009,7 @@ QUERIES = {
     "w7_incremental_agg": w7_incremental_agg,
     "jsonb_roundtrip": jsonb_roundtrip,
     "jsonb_extract": jsonb_extract,
+    "geometry_roundtrip": geometry_roundtrip,
 }
 
 ORACLES = {
@@ -991,4 +1030,5 @@ ORACLES = {
     "w7_incremental_agg": W7_SQL,
     "jsonb_roundtrip": JSONB_SQL,
     "jsonb_extract": JSONB_EXTRACT_SQL,
+    "geometry_roundtrip": GEOMETRY_SQL,
 }

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .constants import ChecksumType, ColumnType, EventType
+from .geometry import geometry_to_wkt as _geometry_to_wkt
 from .jsonb import jsonb_to_text as _jsonb_to_text
 from .reader import (
     BinlogFileReader,
@@ -66,6 +67,9 @@ class TableSpec:
     - ``'json'``       JSON jsonb blob → decoded JSON text (StringType);
                        beyond-reference (the reference returns the raw
                        blob, row_parser.rs:174-175) — see binlog/jsonb.py
+    - ``'geometry'``   GEOMETRY blob (SRID+WKB) → WKT text (StringType);
+                       beyond-reference (same raw-blob branch) — see
+                       binlog/geometry.py
     - ``'datetime'``   DATETIME/DATETIME2 wall time → TimestampNTZType
     - ``'time'``       TIME/TIME2 → StringType
     """
@@ -194,9 +198,10 @@ _CONVERT = {
     "int": int,
     "double": float,
     "decimal": _to_decimal,
-    # JSON columns arrive as the raw jsonb blob (like the reference,
-    # row_parser.rs:174-175); kind "json" decodes it to JSON text.
+    # JSON/GEOMETRY columns arrive as the raw blob (like the reference,
+    # row_parser.rs:174-175); kinds "json"/"geometry" decode them to text.
     "json": _jsonb_to_text,
+    "geometry": _geometry_to_wkt,
     "date": _to_date,
     "binary": bytes,
     "datetime": _to_datetime,

@@ -812,7 +812,7 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
     or None on a kind/type mismatch (→ scalar fallback)."""
     if colref is None:  # column absent from this table map → typed nulls
-        if kind in ("str", "binary", "date", "decimal", "time", "json"):
+        if kind in ("str", "binary", "date", "decimal", "time", "json", "geometry"):
             return ("obj", np.full(n, None, dtype=object))
         if kind in ("ts_millis", "datetime"):
             return ("dt", np.full(n, np.datetime64("NaT"), dtype="datetime64[ms]"))
@@ -834,17 +834,21 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         if ckind != "blob":
             return None
         return ("obj", _strings_from_slices(data, a, b, nulls, binary=True))
-    if kind == "json":
+    if kind in ("json", "geometry"):
         if ckind != "blob":
             return None
-        # jsonb is a recursive offset-tree format — decoded per value at
-        # Arrow-batch granularity (the one per-value kernel; JSON columns
-        # are a small fraction of a row and the blob bytes never shuffle).
-        from .jsonb import jsonb_to_text
+        # jsonb / SRID+WKB are recursive offset-tree formats — decoded per
+        # value at Arrow-batch granularity (the one per-value kernel; such
+        # columns are a small fraction of a row and the blob bytes never
+        # shuffle).
+        if kind == "json":
+            from .jsonb import jsonb_to_text as conv
+        else:
+            from .geometry import geometry_to_wkt as conv
 
         raw = _strings_from_slices(data, a, b, nulls, binary=True)
         out = np.array(
-            [None if v is None else jsonb_to_text(v) for v in raw], dtype=object
+            [None if v is None else conv(v) for v in raw], dtype=object
         )
         return ("obj", out)
     if kind == "date":
@@ -1145,7 +1149,7 @@ def decode_segment_fast(
     for _name, _ddl, kind in spec.columns:
         if kind not in (
             "str", "int", "ts_millis", "double", "binary", "date",
-            "decimal", "datetime", "time", "json",
+            "decimal", "datetime", "time", "json", "geometry",
         ):
             return None
     prep = _prepare_segment(content, spec)
