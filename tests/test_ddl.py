@@ -291,6 +291,91 @@ def test_minimal_metadata_replay_equals_oracle(spark, minimal_stream, tmp_path):
     )
 
 
+def test_multi_table_ddl_isolation(spark, tmp_path):
+    """One MINIMAL-metadata stream carrying TWO tables, each evolved by
+    its own ALTER: per-table DDL discovery must apply each statement to
+    its own spec only (chat.transcripts gains ``tool``, metrics.samples
+    gains ``note`` — and neither leaks into the other)."""
+    import os
+
+    from mysql_cdc_spark.binlog.constants import ColumnType, EventType
+    from mysql_cdc_spark.binlog.decoder import TableSpec
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.pipeline.multi import MultiReplayer
+
+    METRICS = TableSpec(
+        database="metrics",
+        table="samples",
+        columns=(
+            ("sample_id", "string", "str"),
+            ("k", "int", "int"),
+            ("value", "double", "double"),
+        ),
+        primary_key=("sample_id", "k"),
+    )
+    uuid = "24bc7850-2c16-11e6-a073-0242ac110033"
+    w = BinlogWriter("mix.000001")
+    seq = 0
+
+    def txn(db, table_id, table, ctypes, cmeta, nullab, rows):
+        nonlocal seq
+        seq += 1
+        w.write_mysql_gtid(uuid, seq)
+        w.write_query("BEGIN", database=db)
+        w.write_table_map(
+            table_id, db, table, ctypes, cmeta, nullab, column_names=None
+        )
+        w.write_rows(table_id, ctypes, cmeta, rows)
+        w.write_xid(seq)
+
+    T5 = [ColumnType.VARCHAR, ColumnType.LONG, ColumnType.VARCHAR,
+          ColumnType.VARCHAR, ColumnType.TIMESTAMP2]
+    T5M = [64, 0, 16, 2048, 3]
+    M3 = [ColumnType.VARCHAR, ColumnType.LONG, ColumnType.DOUBLE]
+    M3M = [64, 0, 8]
+
+    txn("chat", 100, "transcripts", T5, T5M, [False] * 5,
+        [["c-1", 0, "user", "hello", 1700000000000]])
+    txn("metrics", 500, "samples", M3, M3M, [False, False, True],
+        [["s-1", 0, 1.5]])
+    w.write_query(EVOLUTION_DDL, database="chat")  # adds tool to transcripts
+    txn("chat", 101, "transcripts", T5 + [ColumnType.VARCHAR], T5M + [64],
+        [False] * 5 + [True],
+        [["c-1", 1, "assistant", "hi", 1700000001000, "search"]])
+    w.write_query(
+        "ALTER TABLE metrics.samples ADD COLUMN note VARCHAR(32) NULL"
+    )
+    txn("metrics", 501, "samples", M3 + [ColumnType.VARCHAR], M3M + [32],
+        [False, False, True, True],
+        [["s-1", 1, 2.5, "calibrated"]])
+    outdir = str(tmp_path / "binlog")
+    os.makedirs(outdir)
+    w.save(os.path.join(outdir, "mix.000001"))
+
+    multi = MultiReplayer(
+        spark, outdir, str(tmp_path / "stores"),
+        specs=[transcripts_pre_spec(), METRICS], discover_ddl=True,
+    )
+    multi.replay()
+    t_spec = multi.replayers["chat.transcripts"].spec
+    m_spec = multi.replayers["metrics.samples"].spec
+    assert [c[0] for c in t_spec.columns] == [
+        "conv_id", "turn_idx", "role", "text", "ts", "tool",
+    ]
+    assert [c[0] for c in m_spec.columns] == ["sample_id", "k", "value", "note"]
+
+    t_state = {
+        (r["conv_id"], r["turn_idx"]): r["tool"]
+        for r in multi.read_state("chat.transcripts").collect()
+    }
+    assert t_state == {("c-1", 0): None, ("c-1", 1): "search"}
+    m_state = {
+        (r["sample_id"], r["k"]): (r["value"], r["note"])
+        for r in multi.read_state("metrics.samples").collect()
+    }
+    assert m_state == {("s-1", 0): (1.5, None), ("s-1", 1): (2.5, "calibrated")}
+
+
 def test_minimal_metadata_resume(spark, minimal_stream, tmp_path):
     """Kill/resume on the MINIMAL stream: first batch with one Replayer,
     fresh Replayer (re-discovering the spec from DDL) finishes; same
