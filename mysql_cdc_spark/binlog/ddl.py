@@ -30,7 +30,8 @@ DDL rows (a table's lifetime carries tens of ALTERs, not millions).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+import warnings
+from dataclasses import dataclass, replace
 
 from .constants import ChecksumType, EventType
 from .reader import (
@@ -54,6 +55,8 @@ class AddColumn:
     type_text: str  # the MySQL type as written, e.g. "VARCHAR(64)"
     spark_ddl: str  # TableSpec column DDL, e.g. "string"
     kind: str  # TableSpec decode kind, e.g. "str"
+    first: bool = False  # ADD COLUMN ... FIRST
+    after: str | None = None  # ADD COLUMN ... AFTER <col>
 
 
 @dataclass(frozen=True)
@@ -62,6 +65,11 @@ class AlterTable:
     table: str
     adds: tuple[AddColumn, ...]
     unsupported: tuple[str, ...]  # non-additive clause heads, e.g. ("DROP",)
+    # column defs that failed to parse or map (e.g. ENUM/SET types) —
+    # recorded, not raised, so DDL on *untracked* tables never crashes
+    # discovery; evolve_spec raises iff the statement targets the
+    # tracked table
+    errors: tuple[str, ...] = ()
 
 
 _IDENT = r"(?:`(?:[^`]|``)+`|[A-Za-z0-9_$]+)"
@@ -211,17 +219,24 @@ def parse_alter(sql: str) -> AlterTable | None:
 
     adds: list[AddColumn] = []
     unsupported: list[str] = []
+    errors: list[str] = []
     for clause in _split_clauses(body):
         if not clause:
             continue
         madd = _ADD_CLAUSE.match(clause)
         if madd and not _NEUTRAL_HEAD.match(clause):
             rest = clause[madd.end() :].strip()
-            if rest.startswith("("):  # grouped form: ADD COLUMN (a int, b text)
-                adds.extend(_parse_column_defs(rest[1 : rest.rindex(")")]))
-            else:
-                # a single def; attrs after the type are consumed implicitly
-                adds.extend(_parse_column_defs(_strip_attrs(rest)))
+            try:
+                if rest.startswith("("):  # grouped: ADD COLUMN (a int, b text)
+                    # MySQL grammar allows no FIRST/AFTER in the grouped form
+                    adds.extend(_parse_column_defs(rest[1 : rest.rindex(")")]))
+                else:
+                    base, first, after = _strip_attrs(rest)
+                    (col,) = _parse_column_defs(base)
+                    adds.append(replace(col, first=first, after=after))
+            except UnsupportedDdl as exc:
+                # defer: DDL on untracked tables must not crash discovery
+                errors.append(str(exc))
             continue
         if _NEUTRAL_HEAD.match(clause):
             continue
@@ -230,31 +245,48 @@ def parse_alter(sql: str) -> AlterTable | None:
             unsupported.append(mu.group(1).upper())
             continue
         unsupported.append(clause.split(None, 1)[0].upper())
-    return AlterTable(db, table, tuple(adds), tuple(unsupported))
+    return AlterTable(db, table, tuple(adds), tuple(unsupported), tuple(errors))
 
 
-def _strip_attrs(coldef: str) -> str:
-    """Trim trailing column attributes so only ``name type`` remains."""
+_AFTER_ATTR = re.compile(r"\s+AFTER\s+(" + _IDENT + r")", re.IGNORECASE)
+_FIRST_ATTR = re.compile(r"\s+FIRST\b", re.IGNORECASE)
+
+
+def _strip_attrs(coldef: str) -> tuple[str, bool, str | None]:
+    """Trim trailing column attributes so only ``name type`` remains;
+    return (base, first, after) with any FIRST / AFTER <col> placement
+    extracted (not discarded — mid-table insertion changes positional
+    decode for MINIMAL-metadata streams, so it must be threaded)."""
     m = _COLUMN_DEF.match(coldef)
     if not m:
-        return coldef
+        return coldef, False, None
     rest = coldef[m.end() :]
     pos = 0
+    first = False
+    after: str | None = None
     while True:
         ma = _ATTR.match(rest, pos)
         if not ma:
             break
+        attr = ma.group(0)
+        maft = _AFTER_ATTR.fullmatch(attr)
+        if maft:
+            after = _unquote(maft.group(1))
+        elif _FIRST_ATTR.fullmatch(attr):
+            first = True
         pos = ma.end()
-    return coldef[: m.end()]
+    return coldef[: m.end()], first, after
 
 
 def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
     """Fold parsed ``AlterTable`` statements (stream order) into an
-    evolved TableSpec. Adds are appended in statement order (MySQL
-    appends to the end absent FIRST/AFTER — and the decode tier maps by
-    name when TABLE_MAP carries names, positionally otherwise, so end-
-    append matches the evolved TABLE_MAP layout). Raises
-    ``UnsupportedDdl`` on a non-additive clause for the tracked table."""
+    evolved TableSpec. Adds land at their declared position — the end
+    absent FIRST/AFTER, matching MySQL's physical layout — because the
+    decode tier maps positionally when TABLE_MAP carries no names
+    (MINIMAL metadata): a mid-table insertion folded as an end-append
+    would silently mis-decode every column after the insertion point.
+    Raises ``UnsupportedDdl`` on a non-additive clause (or a column def
+    the decode tier cannot map) for the tracked table."""
     from .decoder import TableSpec
 
     cols = list(spec.columns)
@@ -264,17 +296,59 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
             continue
         if alter.table != spec.table:
             continue
-        if alter.database is not None and alter.database != spec.database:
+        if alter.database is None:
+            if spec.database is not None:
+                # statement was unqualified AND the QUERY event carried no
+                # session default db — name-match is the only signal left.
+                # Loud, because a same-named table in another database
+                # would be folded into the tracked spec here.
+                warnings.warn(
+                    f"ALTER TABLE {alter.table!r} has no database qualifier "
+                    "and its QUERY event carried no session default "
+                    f"database; applying to tracked spec "
+                    f"{spec.database}.{spec.table} on table-name match only",
+                    stacklevel=2,
+                )
+        elif alter.database != spec.database:
             continue
         if alter.unsupported:
             raise UnsupportedDdl(
                 f"non-additive DDL on tracked table {spec.table!r}: "
                 f"{', '.join(alter.unsupported)} (additive evolution only)"
             )
+        if alter.errors:
+            raise UnsupportedDdl(
+                f"unmappable ADD COLUMN on tracked table {spec.table!r}: "
+                + "; ".join(alter.errors)
+            )
         for add in alter.adds:
             if add.name in have:  # IF NOT EXISTS / redelivered DDL
                 continue
-            cols.append((add.name, add.spark_ddl, add.kind))
+            if add.first:
+                idx = 0
+            elif add.after is not None:
+                names = [c[0] for c in cols]
+                if add.after not in names:
+                    raise UnsupportedDdl(
+                        f"ADD COLUMN {add.name!r} AFTER {add.after!r}: "
+                        f"no such column on tracked table {spec.table!r}"
+                    )
+                idx = names.index(add.after) + 1
+            else:
+                idx = len(cols)
+            if idx != len(cols):
+                # Nameless TABLE_MAPs decode as a *prefix* of the
+                # canonical order (decoder._colmap), which is only valid
+                # under end-append evolution: a mid-table insertion would
+                # silently mis-decode every column after the insertion
+                # point in every pre-ALTER row. Refuse loudly.
+                raise UnsupportedDdl(
+                    f"ADD COLUMN {add.name!r} with FIRST/AFTER places the "
+                    f"column mid-table on tracked table {spec.table!r}; "
+                    "positional (MINIMAL-metadata) decode supports "
+                    "end-append evolution only"
+                )
+            cols.insert(idx, (add.name, add.spark_ddl, add.kind))
             have.add(add.name)
     if len(cols) == len(spec.columns):
         return spec
@@ -453,8 +527,6 @@ def discover_spec(spark, binlog_dir: str, spec) -> "TableSpec":  # noqa: F821
             continue
         if alter.database is None and r["database"]:
             # statement relied on the session default database (USE db)
-            alter = AlterTable(
-                str(r["database"]), alter.table, alter.adds, alter.unsupported
-            )
+            alter = replace(alter, database=str(r["database"]))
         alters.append(alter)
     return evolve_spec(spec, alters)

@@ -156,13 +156,16 @@ def _unpack_datetime(packed: int, date_only: bool = False) -> str:
 
 
 def _unpack_time(packed: int) -> str:
+    """my_time.h packed TIME: (hms << 24) + usec where hms is the same
+    bitfield layout as datetime — h<<12 | m<<6 | s — NOT total seconds."""
     neg = packed < 0
     if neg:
         packed = -packed
     usec = packed % (1 << 24)
-    seconds = packed >> 24
-    h, rem = divmod(seconds, 3600)
-    m, s = divmod(rem, 60)
+    hms = packed >> 24
+    h = hms >> 12
+    m = (hms >> 6) & 63
+    s = hms & 63
     out = f"{'-' if neg else ''}{h:02d}:{m:02d}:{s:02d}"
     if usec:
         out += f".{usec:06d}"
@@ -375,7 +378,7 @@ def _encode_scalar(v) -> tuple[int, bytes]:
             return INT32, struct.pack("<i", v)
         if -(1 << 63) <= v < (1 << 63):
             return INT64, struct.pack("<q", v)
-        if v < (1 << 64):
+        if (1 << 63) <= v < (1 << 64):
             return UINT64, struct.pack("<Q", v)
         raise JsonbError("jsonb: integer out of 64-bit range")
     if isinstance(v, float):

@@ -156,6 +156,87 @@ def test_evolve_wrong_database_ignored():
     assert evolve_spec(pre, [a]) is pre
 
 
+def test_parse_extracts_placement():
+    a = parse_alter("ALTER TABLE transcripts ADD COLUMN x INT FIRST")
+    assert a.adds[0].first and a.adds[0].after is None
+    a2 = parse_alter(
+        "ALTER TABLE t ADD `x` INT DEFAULT 0 AFTER `text`"
+    )
+    assert a2.adds[0].after == "text" and not a2.adds[0].first
+
+
+def test_evolve_raises_on_mid_table_placement():
+    """FIRST/AFTER inserts mid-table; positional (MINIMAL) decode maps
+    nameless TABLE_MAPs as a canonical-order prefix, so a mid-table
+    insertion would silently mis-decode pre-ALTER rows — must refuse."""
+    pre = transcripts_pre_spec()
+    with pytest.raises(UnsupportedDdl, match="FIRST/AFTER"):
+        evolve_spec(
+            pre,
+            [parse_alter("ALTER TABLE chat.transcripts ADD COLUMN x INT FIRST")],
+        )
+    with pytest.raises(UnsupportedDdl, match="FIRST/AFTER"):
+        evolve_spec(
+            pre,
+            [parse_alter(
+                "ALTER TABLE chat.transcripts ADD COLUMN x INT AFTER role"
+            )],
+        )
+
+
+def test_evolve_after_last_column_is_append():
+    pre = transcripts_pre_spec()
+    ev = evolve_spec(
+        pre,
+        [parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN tool VARCHAR(64) AFTER ts"
+        )],
+    )
+    assert [c[0] for c in ev.columns] == [
+        "conv_id", "turn_idx", "role", "text", "ts", "tool",
+    ]
+
+
+def test_evolve_nonexistent_after_column_raises():
+    pre = transcripts_pre_spec()
+    with pytest.raises(UnsupportedDdl, match="no such column"):
+        evolve_spec(
+            pre,
+            [parse_alter(
+                "ALTER TABLE chat.transcripts ADD COLUMN x INT AFTER ghost"
+            )],
+        )
+
+
+def test_unmappable_type_on_other_table_ignored():
+    """An ALTER on an untracked table with a type the decode tier can't
+    map must not crash discovery — errors are recorded, not raised."""
+    pre = transcripts_pre_spec()
+    a = parse_alter("ALTER TABLE other_table ADD COLUMN e ENUM('a','b')")
+    assert a.errors and not a.adds
+    assert evolve_spec(pre, [a]) is pre
+
+
+def test_unmappable_type_on_tracked_table_raises():
+    pre = transcripts_pre_spec()
+    a = parse_alter("ALTER TABLE chat.transcripts ADD COLUMN e ENUM('a','b')")
+    with pytest.raises(UnsupportedDdl, match="unmappable"):
+        evolve_spec(pre, [a])
+
+
+def test_evolve_warns_on_unqualified_statement_without_session_db():
+    """database=None with a database-qualified spec is a name-only match:
+    apply (MySQL DDL in a binlog nearly always concerns the tracked
+    stream) but warn loudly instead of silently wildcarding."""
+    pre = transcripts_pre_spec()
+    with pytest.warns(UserWarning, match="no database qualifier"):
+        ev = evolve_spec(
+            pre,
+            [parse_alter("ALTER TABLE transcripts ADD COLUMN tool VARCHAR(64)")],
+        )
+    assert [c[0] for c in ev.columns][-1] == "tool"
+
+
 # ------------------------------------------------- spec_from_create_table
 
 TRANSCRIPTS_CREATE = """

@@ -133,11 +133,24 @@ def test_opaque_datetime():
 
 
 def test_opaque_time():
-    packed = ((2 * 3600 + 3 * 60 + 4) << 24) + 500000
+    # my_time.h packs TIME as bitfields h<<12|m<<6|s (same as datetime),
+    # not total seconds
+    packed = (((2 << 12) | (3 << 6) | 4) << 24) + 500000
     blob = bytes([J.OPAQUE, 11]) + bytes([8]) + packed.to_bytes(8, "little", signed=True)
     assert J.decode_jsonb(blob) == "02:03:04.500000"
     neg = bytes([J.OPAQUE, 11]) + bytes([8]) + (-packed).to_bytes(8, "little", signed=True)
     assert J.decode_jsonb(neg) == "-02:03:04.500000"
+
+
+def test_encode_int_out_of_64bit_range_raises():
+    # below -(1<<63) must raise JsonbError, not fall into the UINT64
+    # branch and leak a raw struct.error
+    for v in [-(1 << 63) - 1, -(1 << 80), 1 << 64, 1 << 80]:
+        with pytest.raises(J.JsonbError, match="64-bit"):
+            J.encode_jsonb(v)
+    # boundaries still encode
+    assert J.decode_jsonb(J.encode_jsonb(-(1 << 63))) == -(1 << 63)
+    assert J.decode_jsonb(J.encode_jsonb((1 << 64) - 1)) == (1 << 64) - 1
 
 
 def test_unsupported_opaque_raises():
