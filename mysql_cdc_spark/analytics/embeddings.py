@@ -182,31 +182,56 @@ def _codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(build_codebook(spark, sf_dir))
 
 
+# Per-corpus memo of persisted intermediate DataFrames: three IVF
+# queries in one session must share ONE cached assignment, not stack
+# three persisted copies that nothing ever unpersists. Keyed by
+# (SparkContext id, role, sf_dir); the stored codebook path carries the
+# corpus identity (path + mtime/size), so a regenerated corpus evicts
+# and unpersists the stale entry instead of leaking it.
+_PERSIST_MEMO: dict = {}
+
+
+def _memo_persist(spark: SparkSession, role: str, sf_dir: str, build) -> DataFrame:
+    key = (id(spark.sparkContext), role, sf_dir)
+    ident = codebook_path(sf_dir)
+    hit = _PERSIST_MEMO.get(key)
+    if hit is not None:
+        if hit[0] == ident:
+            return hit[1]
+        hit[1].unpersist()  # corpus regenerated — release the stale cache
+    df = build().persist()
+    _PERSIST_MEMO[key] = (ident, df)
+    return df
+
+
 def _ivf_assign(
     spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
 ) -> DataFrame:
     """Nearest-centroid assignment of ``emb`` (default: the raw corpus)
     against the persisted codebook — a broadcast argmax. Returns
-    (vec_id, cell, v), persisted — every IVF consumer probes this
-    assignment from both sides of a join."""
-    if emb is None:
-        emb = load(spark, sf_dir, "embeddings").selectExpr(
-            "vec_id", f"{_DOUBLE_VEC} as v"
+    (vec_id, cell, v), persisted via the per-corpus memo — every IVF
+    consumer (and every repeated call in a session) probes ONE cached
+    assignment from both sides of its join."""
+
+    def build(emb=emb):
+        if emb is None:
+            emb = load(spark, sf_dir, "embeddings").selectExpr(
+                "vec_id", f"{_DOUBLE_VEC} as v"
+            )
+        cents = _codebook_df(spark, sf_dir)
+        return (
+            emb.select("vec_id", "v")
+            .crossJoin(F.broadcast(cents))
+            .selectExpr("vec_id", "v", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(F.struct(F.col("c_label"), F.col("v")), F.struct(F.col("c_sim"), (-F.col("c_label")).alias("t"))).alias("w")
+            )
+            .selectExpr("vec_id", "w.c_label as cell", "w.v as v")
         )
-    cents = _codebook_df(spark, sf_dir)
-    return (
-        emb.select("vec_id", "v")
-        .crossJoin(F.broadcast(cents))
-        .selectExpr("vec_id", "v", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(F.struct(F.col("c_label"), F.col("v")), F.struct(F.col("c_sim"), (-F.col("c_label")).alias("t"))).alias("w")
-        )
-        .selectExpr("vec_id", "w.c_label as cell", "w.v as v")
-        # assignment feeds BOTH sides of the probe join — persist so the
-        # argmin subplan runs once, not twice
-        .persist()
-    )
+
+    role = "assign" if emb is None else "assign_neardup"
+    return _memo_persist(spark, role, sf_dir, build)
 
 
 def _per_query_topk(scored: DataFrame) -> DataFrame:
@@ -275,14 +300,17 @@ def knn_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", f"{_DOUBLE_VEC} as v"
     )
     cents = _codebook_df(spark, sf_dir)
-    cell_rank = (
-        emb.crossJoin(F.broadcast(cents))
-        .selectExpr("vec_id", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
-        .groupBy("vec_id")
-        .agg(F.slice(F.array_sort(F.collect_list(F.struct(F.struct((-F.col("c_sim")).alias("nc"), F.col("c_label").alias("t")).alias("ord"), F.col("c_label")))), 1, 2).alias("top"))
-        .selectExpr("vec_id", "posexplode(top) as (i, s)")
-        .selectExpr("vec_id", "s.c_label as cell", "i as cell_rank")
-    ).persist()
+    cell_rank = _memo_persist(
+        spark, "cell_rank2", sf_dir,
+        lambda: (
+            emb.crossJoin(F.broadcast(cents))
+            .selectExpr("vec_id", "c_label", f"{_cos_spark('v', 'cv')} as c_sim")
+            .groupBy("vec_id")
+            .agg(F.slice(F.array_sort(F.collect_list(F.struct(F.struct((-F.col("c_sim")).alias("nc"), F.col("c_label").alias("t")).alias("ord"), F.col("c_label")))), 1, 2).alias("top"))
+            .selectExpr("vec_id", "posexplode(top) as (i, s)")
+            .selectExpr("vec_id", "s.c_label as cell", "i as cell_rank")
+        ),
+    )
     vecs = emb.select("vec_id", "v")
     corpus = (
         cell_rank.filter(F.col("cell_rank") == 0)

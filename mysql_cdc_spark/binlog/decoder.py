@@ -154,6 +154,7 @@ def _ddl_to_type(ddl: str) -> T.DataType:
         "double": T.DoubleType(),
         "date": T.DateType(),
         "binary": T.BinaryType(),
+        "boolean": T.BooleanType(),  # derived specs (scd2 history flags)
         "timestamp": T.TimestampType(),
         "timestamp_ntz": T.TimestampNTZType(),
     }[ddl]

@@ -133,14 +133,18 @@ def last_writer_wins_partial(
     agg = df.groupBy(*key_cols).agg(*aggs)
 
     carried_bits = []
-    sel = [
-        *key_cols,
-        F.col("_last.op").alias("op"),
-        *[F.col(f"_last.{c}").alias(c) for c in order_cols],
-        F.col("_last.src_file").alias("src_file"),
-        F.col("_last.gtid_source").alias("gtid_source"),
-        F.col("_last.xid").alias("xid"),
-    ]
+    # per-column winners own the ``after_<col>`` names: an order override
+    # that leads with a payload column (e.g. ``after_ts`` for multi-writer
+    # timestamp ordering) must not also pass it through from ``_last`` —
+    # a duplicate output name breaks every downstream reference
+    winner_names = {f"after_{name}" for name, _, _ in spec.columns}
+    sel = [*key_cols, F.col("_last.op").alias("op")]
+    seen = set(key_cols) | {"op"}
+    for c in [*order_cols, "src_file", "gtid_source", "xid"]:
+        if c in seen or c in winner_names:
+            continue
+        sel.append(F.col(f"_last.{c}").alias(c))
+        seen.add(c)
     for ci, (name, _ddl, _kind) in enumerate(spec.columns):
         w = F.col(f"_w_{name}")
         alive = w.isNotNull() & (

@@ -37,7 +37,7 @@ from .order import (
     last_writer_wins_partial,
     with_change_key,
 )
-from .target import ParquetMergeTarget
+from .target import BucketedParquetMergeTarget, ParquetMergeTarget
 
 
 def _after_position_predicate(max_file: str, max_pos: int):
@@ -175,6 +175,8 @@ class Replayer:
         row_image: str = "full",
         views: list | None = None,
         discover_ddl: bool = False,
+        order_cols: list[str] | None = None,
+        history: object | None = None,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -201,7 +203,28 @@ class Replayer:
         O(changed rows), see pipeline/ivm.py). View refresh happens AFTER
         the ledger append: a crash between the two leaves the view one
         batch stale, and the next refresh folds both batches — same
-        result, because the fold is associative over the diff range."""
+        result, because the fold is associative over the diff range.
+
+        ``order_cols``: override of the total order used for LWW dedup
+        (default ``order.ORDER_COLS`` = (gtid_seq, pos, row_in_event)).
+        Cross-source ``gtid_seq`` values are not mutually ordered, so a
+        multi-writer deployment where several gtid sources update the
+        SAME keys should lead with an application timestamp, e.g.
+        ``["after_ts", "gtid_seq", "pos", "row_in_event"]`` — any column
+        of the decoded change rows (meta cols or ``after_<col>``)
+        qualifies. Resume filtering (GTID anti-join + position predicate)
+        is unaffected: it is per-source and keyed on identity, not order.
+        ``bootstrap`` currently seeds order tuple 0 for the default
+        order columns only.
+
+        ``history``: optional ``scd2.Scd2HistoryStore`` — every committed
+        batch also extends an SCD Type-2 history table (incremental
+        MERGE: the batch's first event per key closes the stored current
+        row; versions continue from the stored per-key max). Applied
+        BEFORE the ledger append and idempotent under batch replay, so a
+        crash between the two re-applies as a no-op. Requires
+        ``row_image="full"`` (MINIMAL images carry only changed columns;
+        a faithful history needs whole rows)."""
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
@@ -217,14 +240,29 @@ class Replayer:
         self.salt_buckets = salt_buckets
         self.row_image = row_image
         self.ledger = Ledger(store_dir)
-        # snapshot bucket count tracks cluster parallelism: the output
-        # committer's driver-side file moves are a serial cost per bucket,
-        # so a 2-core session shouldn't pay for 32 output files
-        self.target = target or ParquetMergeTarget(
+        # Default sink is the bucket-pruned copy-on-write target: per-batch
+        # IO is O(touched-bucket data), not O(table), which is the only
+        # shape that survives steady-state incremental ingest at 10^10 rows
+        # (measured 5.0x at 4M rows and flat vs table size —
+        # tools/bench_bucketed_merge.py). Pass ``target=ParquetMergeTarget``
+        # explicitly for the plain whole-snapshot rewrite. Bucket count
+        # tracks cluster parallelism (the output committer's driver-side
+        # file moves are a serial cost per bucket, so a 2-core session
+        # shouldn't pay for 32 output dirs) with a floor that keeps
+        # pruning meaningful.
+        self.target = target or BucketedParquetMergeTarget(
             store_dir, spec,
-            buckets=max(8, spark.sparkContext.defaultParallelism),
+            buckets=max(16, spark.sparkContext.defaultParallelism),
         )
         self.views = list(views) if views else []
+        self.order_cols = list(order_cols) if order_cols else list(ORDER_COLS)
+        if history is not None and row_image == "minimal":
+            raise ValueError(
+                "history sink requires row_image='full': MINIMAL images "
+                "carry only changed columns, so batch history rows would "
+                "hold NULLs for untouched columns"
+            )
+        self.history = history
         if start is not None:
             from .start import seed_ledger
 
@@ -379,21 +417,21 @@ class Replayer:
         # mask (order.last_writer_wins_partial)
         if self.row_image == "minimal":
             net = last_writer_wins_partial(
-                changes, key_cols=keys, spec=spec, order_cols=ORDER_COLS
+                changes, key_cols=keys, spec=spec, order_cols=self.order_cols
             )
         else:
             payload_cols = list(
                 dict.fromkeys(
                     ["op"]
                     + [f"after_{n}" for n, _, _ in spec.columns]
-                    + ORDER_COLS
+                    + self.order_cols
                     + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
                 )
             )
             net = last_writer_wins(
                 changes,
                 key_cols=keys,
-                order_cols=ORDER_COLS,
+                order_cols=self.order_cols,
                 payload_cols=payload_cols,
                 salt_buckets=self.salt_buckets,
             )
@@ -495,6 +533,17 @@ class Replayer:
         net_rows = -1  # avoid a second action; lineage covers observability
         phase_t["decode_lww_merge_s"] = merge_out["seconds"]
         t_phase = time.time()
+
+        # -- optional SCD2 history sink, BEFORE the ledger append: a crash
+        # between history commit and ledger leaves the batch un-acked, and
+        # the replay re-applies idempotently (scd2.apply_batch's outrank
+        # guard + (key, valid_from) anti-join)
+        if self.history is not None:
+            self.history.apply_batch(
+                spark, changes, self.history.current_version()
+            )
+            phase_t["history_s"] = round(time.time() - t_phase, 2)
+            t_phase = time.time()
 
         # -- ledger gtid-set update (driver-side splice of the per-file
         # islands already collected with the stats — no extra job)

@@ -50,6 +50,21 @@ def test_knn_ivf_reads_persisted_codebook(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_ivf_persisted_cache_is_bounded(spark):
+    """Repeated IVF queries in one session must reuse ONE memoized
+    persisted assignment per corpus, not stack persists that nothing
+    unpersists (the leak would accumulate executor memory per query)."""
+    def run_all():
+        embeddings.knn_ivf(spark, SF).count()
+        embeddings.knn_ivf_probe2(spark, SF).count()
+        embeddings.embedding_neardup_ivf(spark, SF).count()
+
+    run_all()
+    n0 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    run_all()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0
+
+
 def test_redact_is_zero_exchange_scan(spark):
     plan = _plan(text.text_redact_pii(spark, SF))
     assert "Exchange" not in plan

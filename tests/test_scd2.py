@@ -113,6 +113,89 @@ def test_redelivery_mints_no_duplicate_version(history):
     assert diff.count() == 0
 
 
+VALUE_COLS = [n for n, _, _ in TRANSCRIPTS.columns if n not in KEYS]
+
+
+def _sorted_hist(pdf):
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols]
+        .sort_values([*KEYS, "version"])
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_history_equals_oneshot(spark, tmp_path):
+    """The incremental SCD2 sink (scd2.Scd2HistoryStore wired through
+    Replayer(history=...)) applied over MULTIPLE batches must produce the
+    exact table the one-shot scd2_history builds over the whole stream —
+    closing previous current rows across batch boundaries and continuing
+    version numbers."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+    from mysql_cdc_spark.pipeline.scd2 import Scd2HistoryStore
+
+    txns = generate_changelog(
+        n_conversations=12, max_turns=4, n_extra_ops=40, seed=77,
+        duplicate_txns=2,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=15)
+    store = Scd2HistoryStore(
+        str(tmp_path / "hist"), TRANSCRIPTS, buckets=8,
+        value_cols=VALUE_COLS, dedup_cols=DEDUP,
+    )
+    rep = Replayer(spark, outdir, str(tmp_path / "store"), history=store)
+    pend = rep.pending_files()
+    assert len(pend) >= 3, "need multiple batches to exercise the merge"
+    rep.replay(files_per_batch=max(1, len(pend) // 3))
+
+    inc = _sorted_hist(store.read_history(spark).toPandas())
+
+    changes = with_change_key(
+        gate_complete_transactions(decode_binlog_dir(spark, outdir, TRANSCRIPTS)),
+        KEYS,
+    )
+    oneshot = _sorted_hist(
+        scd2_history(
+            changes, KEYS, value_cols=VALUE_COLS, dedup_cols=DEDUP
+        ).toPandas()
+    )
+    import pandas as pd
+
+    assert list(inc.columns) == list(oneshot.columns)
+    assert len(inc) == len(oneshot)
+    pd.testing.assert_frame_equal(inc, oneshot, check_dtype=False)
+
+
+def test_incremental_history_batch_replay_is_noop(spark, tmp_path):
+    """Crash between the history commit and the ledger append replays the
+    batch: apply_batch must be idempotent (outrank guard + valid_from
+    anti-join), not double-close or re-mint versions."""
+    from mysql_cdc_spark.pipeline.scd2 import Scd2HistoryStore
+
+    txns = generate_changelog(
+        n_conversations=6, max_turns=3, n_extra_ops=15, seed=5,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=100)
+    changes = with_change_key(
+        gate_complete_transactions(decode_binlog_dir(spark, outdir, TRANSCRIPTS)),
+        KEYS,
+    )
+    store = Scd2HistoryStore(
+        str(tmp_path / "hist"), TRANSCRIPTS, buckets=4,
+        value_cols=VALUE_COLS, dedup_cols=DEDUP,
+    )
+    v1 = store.apply_batch(spark, changes, 0)
+    first = _sorted_hist(store.read(spark, v1).toPandas())
+    v2 = store.apply_batch(spark, changes, v1)  # the replayed batch
+    second = _sorted_hist(store.read(spark, v2).toPandas())
+    import pandas as pd
+
+    assert len(first) == len(second)
+    pd.testing.assert_frame_equal(first, second, check_dtype=False)
+
+
 def test_validity_chain(history):
     """valid_to of version v equals valid_from of version v+1 when the
     next change opened a version, or the closing delete's order."""
