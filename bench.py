@@ -149,17 +149,21 @@ def bench_cdc_replay(spark, sf: float, cpus: int, timings: dict) -> tuple[int, f
     from mysql_cdc_spark.pipeline.replay import Replayer
 
     # same corpus shape as tools/bench_scaling.py, scaled by sf
-    # (sf0.1 → ~1.36M events over 32 segments, replayed as ONE batch).
+    # (sf0.1 → ~2.7M events over 32 segments, replayed as ONE batch).
     # Sizing rationale: the metric is steady-state events/sec at the
     # 10^10-event design point, where per-batch fixed cost (plan,
-    # schedule, snapshot commit — ~7s on this host) is noise. A 450k
-    # corpus was ~85% fixed cost; at ~1.36M events the measured rate is
-    # within ~2× of the asymptote the 9M-event scaling sessions reach
-    # (BENCH.md) while keeping the bench under a minute. 32 segments =
-    # one decode task per core at the default local[32].
-    n_conv = max(500, int(900000 * sf))
-    n_ops = max(2000, int(3600000 * sf))
-    root = f"/tmp/cdc_bench_sf{sf}_v5"
+    # schedule, snapshot commit — ~7s on this host) is noise. The v5
+    # corpus (1.36M events) was still ~1/3 fixed cost in a throttled
+    # window (BENCH_r03: 20.8 s of which ~7 s fixed); v6 doubles the
+    # event count so even a degraded-burst window amortizes the fixed
+    # cost past the headline bar, while the healthy-window figure moves
+    # toward the 9M-event scaling sessions' asymptote (BENCH.md).
+    # Generation is cached in /tmp and excluded from the timed region
+    # (it synthesizes the *input*, which exists at production).
+    # 32 segments = one decode task per core at the default local[32].
+    n_conv = max(500, int(1800000 * sf))
+    n_ops = max(2000, int(7200000 * sf))
+    root = f"/tmp/cdc_bench_sf{sf}_v6"
     cache = os.path.join(root, "binlog")
     meta = os.path.join(root, "meta.json")
     if not os.path.exists(meta):

@@ -751,6 +751,86 @@ def _strings_from_slices(data: np.ndarray, starts, lens, nulls, binary: bool = F
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _jsonb_texts_from_slices(
+    data: np.ndarray, starts, lens, nulls
+) -> np.ndarray:
+    """Batch jsonb → canonical JSON text. Top-level SCALAR values — the
+    flat-document shape a JSON column holding numbers/flags/nulls has —
+    decode with vectorized offset arithmetic straight off the segment
+    buffer, grouped by type byte: one numpy gather per byte lane, one
+    C-side int/float→string conversion per group, zero per-value Python.
+    Containers, strings, and opaque values (recursive offset trees /
+    escape-dependent rendering) fall back to the recursive
+    ``jsonb_to_text`` per value; parity between the two paths is pinned
+    by the fuzz corpus in tests/test_jsonb.py."""
+    from . import jsonb as J
+
+    n = len(starts)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.empty(n, dtype=object)  # SQL NULL (null / empty blob) → None
+
+    valid = (~np.asarray(nulls)) & (lens > 0)
+    if not valid.any():
+        return out
+    tb = np.zeros(n, dtype=np.uint8)
+    tb[valid] = data[starts[valid]]
+
+    def _gather_uint(idx: np.ndarray, width: int) -> np.ndarray:
+        acc = np.zeros(len(idx), dtype=np.uint64)
+        base = starts[idx] + 1  # payload begins after the type byte
+        for k in range(width):
+            acc |= data[base + k].astype(np.uint64) << np.uint64(8 * k)
+        return acc
+
+    handled = np.zeros(n, dtype=bool)
+
+    # literals: payload byte 0/1/2 → null/true/false
+    idx = np.nonzero(valid & (tb == J.LITERAL) & (lens >= 2))[0]
+    if len(idx):
+        lit = data[starts[idx] + 1]
+        ok = lit <= 2
+        words = np.array(["null", "true", "false"], dtype=object)
+        out[idx[ok]] = words[lit[ok]]
+        handled[idx[ok]] = True
+
+    # fixed-width integers, sign-extended per width then formatted in C
+    for type_byte, width, signed in (
+        (J.INT16, 2, True), (J.UINT16, 2, False),
+        (J.INT32, 4, True), (J.UINT32, 4, False),
+        (J.INT64, 8, True), (J.UINT64, 8, False),
+    ):
+        idx = np.nonzero(valid & (tb == type_byte) & (lens >= 1 + width))[0]
+        if not len(idx):
+            continue
+        u = _gather_uint(idx, width)
+        if signed:
+            v = u.astype({2: np.uint16, 4: np.uint32, 8: np.uint64}[width])
+            v = v.astype({2: np.int16, 4: np.int32, 8: np.int64}[width])
+            texts = v.astype(np.int64).astype("U20")
+        else:
+            texts = u.astype("U20")
+        out[idx] = texts.astype(object)
+        handled[idx] = True
+
+    # doubles: 8-byte LE bit pattern → float64 → shortest round-trip text
+    # (numpy's unique-repr formatting equals Python repr for float64)
+    idx = np.nonzero(valid & (tb == J.DOUBLE) & (lens >= 9))[0]
+    if len(idx):
+        f = _gather_uint(idx, 8).view(np.float64)
+        finite = np.isfinite(f)  # jsonb never stores NaN/Inf; fall back if seen
+        out[idx[finite]] = f[finite].astype("U32").astype(object)
+        handled[idx[finite]] = True
+
+    # everything else (strings need escape scanning; objects/arrays/opaque
+    # are recursive): per-value fallback on exactly the unhandled slice
+    rest = np.nonzero(valid & ~handled)[0]
+    for i in rest:
+        s = int(starts[i])
+        out[i] = J.jsonb_to_text(data[s : s + int(lens[i])].tobytes())
+    return out
+
+
 def _decimals_from_unscaled(vals: np.ndarray, nulls: np.ndarray, p: int, s: int) -> np.ndarray:
     """Arrow decimal128(p, s) build from int64 unscaled values → object
     ndarray of decimal.Decimal / None (C-side materialization). The
@@ -834,17 +914,18 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         if ckind != "blob":
             return None
         return ("obj", _strings_from_slices(data, a, b, nulls, binary=True))
-    if kind in ("json", "geometry"):
+    if kind == "json":
         if ckind != "blob":
             return None
-        # jsonb / SRID+WKB are recursive offset-tree formats — decoded per
-        # value at Arrow-batch granularity (the one per-value kernel; such
-        # columns are a small fraction of a row and the blob bytes never
-        # shuffle).
-        if kind == "json":
-            from .jsonb import jsonb_to_text as conv
-        else:
-            from .geometry import geometry_to_wkt as conv
+        return ("obj", _jsonb_texts_from_slices(data, a, b, nulls))
+    if kind == "geometry":
+        if ckind != "blob":
+            return None
+        # SRID+WKB is a recursive offset-tree format — decoded per value
+        # at Arrow-batch granularity (the one remaining per-value kernel;
+        # such columns are a small fraction of a row and the blob bytes
+        # never shuffle).
+        from .geometry import geometry_to_wkt as conv
 
         raw = _strings_from_slices(data, a, b, nulls, binary=True)
         out = np.array(

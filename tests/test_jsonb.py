@@ -196,6 +196,55 @@ def test_roundtrip_property(v):
     assert J.decode_jsonb(J.encode_jsonb(v)) == v
 
 
+_SQL_NULL = object()  # sentinel: empty blob (SQL NULL), not JSON null
+
+
+def _batch_parity(values):
+    """Lay encoded blobs into one contiguous buffer (the segment shape)
+    and check the vectorized batch kernel against the recursive decoder
+    value-for-value."""
+    import numpy as np
+
+    from mysql_cdc_spark.binlog.vector import _jsonb_texts_from_slices
+
+    blobs = [b"" if v is _SQL_NULL else J.encode_jsonb(v) for v in values]
+    pad = b"\xaa\xbb"  # interleave garbage so wrong offsets fail loudly
+    buf = bytearray()
+    starts, lens = [], []
+    for b in blobs:
+        buf += pad
+        starts.append(len(buf))
+        lens.append(len(b))
+        buf += b
+    data = np.frombuffer(bytes(buf), dtype=np.uint8)
+    nulls = np.zeros(len(blobs), dtype=bool)
+    got = _jsonb_texts_from_slices(
+        data, np.array(starts, dtype=np.int64), np.array(lens, dtype=np.int64), nulls
+    )
+    want = [None if not b else J.jsonb_to_text(b) for b in blobs]
+    assert list(got) == want
+
+
+def test_batch_text_kernel_known_values():
+    from decimal import Decimal as D
+
+    _batch_parity([
+        _SQL_NULL, None, True, False,
+        0, -1, 42, -(1 << 15), (1 << 15) - 1, (1 << 15), -(1 << 31),
+        (1 << 31), (1 << 63) - 1, -(1 << 63), (1 << 64) - 1,
+        0.1, -2.5e300, 1e16, 2.0, -0.0, 5e-324,
+        "plain", 'needs "escape"\n\t', "",
+        {"a": 1, "b": [1, 2, 3]}, [1, "x", None], {}, [],
+        D("12.50"),
+    ])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_json_values, max_size=12))
+def test_batch_text_kernel_fuzz_parity(vals):
+    _batch_parity(vals)
+
+
 # ------------------------------------------------- e2e through the engine
 
 DOCS = TableSpec(
