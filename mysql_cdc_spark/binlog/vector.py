@@ -822,8 +822,55 @@ def _jsonb_texts_from_slices(
         out[idx[finite]] = f[finite].astype("U32").astype(object)
         handled[idx[finite]] = True
 
-    # everything else (strings need escape scanning; objects/arrays/opaque
-    # are recursive): per-value fallback on exactly the unhandled slice
+    # top-level strings: vectorized varlen-header arithmetic (1- and
+    # 2-byte headers cover 16 KiB), one Arrow gather for the payloads,
+    # and a reduceat escape scan — only values that actually contain a
+    # quote/backslash/control byte fall back to the escaping renderer
+    idx = np.nonzero(valid & (tb == J.STRING) & (lens >= 2))[0]
+    if len(idx):
+        b0 = data[starts[idx] + 1].astype(np.int64)
+        one = b0 < 0x80
+        two = ~one & (lens[idx] >= 3)
+        b1 = np.zeros(len(idx), dtype=np.int64)
+        b1[two] = data[starts[idx[two]] + 2]
+        two &= b1 < 0x80
+        known = one | two
+        slen = np.where(one, b0, (b0 & 0x7F) | (b1 << 7))
+        pstart = starts[idx] + 1 + np.where(one, 1, 2)
+        fits = known & (pstart + slen <= starts[idx] + lens[idx])
+        sub = np.nonzero(fits)[0]
+        if len(sub):
+            ps, sl = pstart[sub], slen[sub]
+            total = int(sl.sum())
+            offs = np.zeros(len(sl) + 1, dtype=np.int64)
+            np.cumsum(sl, out=offs[1:])
+            if total:
+                within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], sl)
+                payload = data[np.repeat(ps, sl) + within]
+                esc = (payload == 0x22) | (payload == 0x5C) | (payload < 0x20)
+                any_esc = np.zeros(len(sl), dtype=bool)
+                nz = sl > 0
+                if nz.any():
+                    red = np.add.reduceat(esc, offs[:-1][nz])
+                    any_esc[nz] = red > 0
+            else:
+                payload = np.zeros(0, dtype=np.uint8)
+                any_esc = np.zeros(len(sl), dtype=bool)
+            plain = np.nonzero(~any_esc)[0]
+            if len(plain):
+                texts = _strings_from_slices(
+                    data, ps[plain], sl[plain],
+                    np.zeros(len(plain), dtype=bool),
+                )
+                quoted = np.array(
+                    ['"' + s + '"' for s in texts], dtype=object
+                )
+                out[idx[sub[plain]]] = quoted
+                handled[idx[sub[plain]]] = True
+
+    # everything else (escape-carrying strings; objects/arrays/opaque are
+    # recursive offset trees): per-value fallback on exactly the
+    # unhandled slice
     rest = np.nonzero(valid & ~handled)[0]
     for i in rest:
         s = int(starts[i])

@@ -58,6 +58,7 @@ def build_segment(n: int, payload) -> bytes:
 
 SHAPES = {
     "flat_scalar": lambda k: (k * 37) % 100000 if k % 3 else k * 0.125,
+    "flat_string": lambda k: f"session-{k % 997} turn text without escapes {k}",
     "flat_object": lambda k: {"score": k * 0.5, "n": k, "ok": bool(k % 2)},
     "nested": lambda k: {
         "meta": {"k": k, "tags": ["a", "b", str(k % 7)]},
