@@ -1,0 +1,263 @@
+"""In-process MySQL replication fake server for transport tests.
+
+Speaks the real wire protocol over a real loopback TCP socket —
+handshake, mysql_native_password auth (optionally via an auth-plugin
+switch), text-protocol result sets, and COM_BINLOG_DUMP streaming of an
+actual binlog segment directory (synthetic ROTATE between files, OK-
+wrapped event frames, EOF at end — the non-blocking dump shape). The
+engine's client (binlog/transport.py) is exercised against these exact
+bytes; only the credential store and the SQL surface are fake.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+
+from mysql_cdc_spark.binlog.constants import ChecksumType
+from mysql_cdc_spark.binlog.decoder import _segment_sort_key
+from mysql_cdc_spark.binlog.encoder import BinlogWriter
+from mysql_cdc_spark.binlog.frames import split_segment_frames
+from mysql_cdc_spark.binlog.wire import (
+    COM_BINLOG_DUMP,
+    COM_BINLOG_DUMP_GTID,
+    COM_QUERY,
+    COM_REGISTER_SLAVE,
+    LONG_FLAG,
+    PLUGIN_AUTH,
+    PROTOCOL_41,
+    SECURE_CONNECTION,
+    encrypt_password,
+    write_packets,
+)
+
+OK_PAYLOAD = b"\x00\x00\x00\x02\x00\x00\x00"
+EOF_PAYLOAD = b"\xfe\x00\x00\x02\x00"
+
+
+def _err_payload(code: int, message: str) -> bytes:
+    return b"\xff" + struct.pack("<H", code) + f"#28000{message}".encode()
+
+
+def _read_packet(conn: socket.socket) -> tuple[bytes, int]:
+    header = _read_exact(conn, 4)
+    size = int.from_bytes(header[:3], "little")
+    return _read_exact(conn, size), header[3]
+
+
+def _read_exact(conn: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("client closed")
+        buf += chunk
+    return bytes(buf)
+
+
+def rotate_frame(next_name: str, checksum: int = ChecksumType.CRC32) -> bytes:
+    w = BinlogWriter("synthetic", checksum=checksum)
+    w.write_rotate(next_name)
+    return split_segment_frames(w.getvalue())[-1][1]
+
+
+class FakeMySqlServer:
+    def __init__(
+        self,
+        binlog_dir: str,
+        user: str = "repl",
+        password: str = "secret",
+        use_auth_switch: bool = False,
+        checksum_text: str = "CRC32",
+        server_version: str = "8.0.99-fake",
+    ):
+        self.binlog_dir = binlog_dir
+        self.user = user
+        self.password = password
+        self.use_auth_switch = use_auth_switch
+        self.checksum_text = checksum_text
+        self.server_version = server_version
+        self.scramble = "abcdefghij0123456789"  # 20 chars, ASCII
+        self.switch_scramble = "zyxwvutsrq9876543210"
+        self._srv: socket.socket | None = None
+        self._thread: threading.Thread | None = None
+        self.port = 0
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def __enter__(self) -> "FakeMySqlServer":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    def start(self) -> None:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(4)
+        self._srv = srv
+        self.port = srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._srv is not None:
+            try:
+                self._srv.close()
+            except OSError:
+                pass
+            self._srv = None
+
+    def _accept_loop(self) -> None:
+        while self._srv is not None:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    # -- protocol -----------------------------------------------------------
+
+    def _handshake_payload(self) -> bytes:
+        caps = LONG_FLAG | PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH
+        cb = caps.to_bytes(8, "little")
+        out = bytearray([10])
+        out += self.server_version.encode() + b"\x00"
+        out += struct.pack("<I", 99)  # connection id
+        out += self.scramble[:8].encode() + b"\x00"
+        out += cb[0:2]  # capability word 1
+        out.append(33)  # server collation
+        out += struct.pack("<H", 2)  # status flags
+        out += cb[2:4]  # capability word 2
+        out.append(21)  # auth plugin data length
+        out += b"\x00" * 6  # filler
+        out += cb[4:8]  # capability word 3
+        out += self.scramble[8:].encode() + b"\x00"  # SECURE_CONNECTION tail
+        out += b"mysql_native_password\x00"  # PLUGIN_AUTH name
+        return bytes(out)
+
+    @staticmethod
+    def _parse_auth_response(payload: bytes) -> tuple[str, bytes]:
+        off = 4 + 4 + 1 + 23  # caps, max packet, collation, reserved
+        end = payload.index(0, off)
+        username = payload[off:end].decode()
+        off = end + 1
+        token_len = payload[off]
+        off += 1
+        return username, payload[off : off + token_len]
+
+    def _send(self, conn: socket.socket, payload: bytes, seq: int) -> int:
+        conn.sendall(write_packets(payload, seq))
+        return seq + 1
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            seq = self._send(conn, self._handshake_payload(), 0)
+            payload, seq_in = _read_packet(conn)
+            username, token = self._parse_auth_response(payload)
+            scramble = self.scramble
+            if self.use_auth_switch:
+                seq = self._send(
+                    conn,
+                    b"\xfemysql_native_password\x00"
+                    + self.switch_scramble.encode() + b"\x00",
+                    seq_in + 1,
+                )
+                token, seq_in = _read_packet(conn)
+                scramble = self.switch_scramble
+            expected = encrypt_password(
+                self.password, scramble, "mysql_native_password"
+            )
+            if username != self.user or token != expected:
+                self._send(
+                    conn,
+                    _err_payload(1045, f"Access denied for user '{username}'"),
+                    seq_in + 1,
+                )
+                return
+            self._send(conn, OK_PAYLOAD, seq_in + 1)
+            self._command_loop(conn)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _command_loop(self, conn: socket.socket) -> None:
+        while True:
+            payload, _ = _read_packet(conn)
+            if not payload:
+                continue
+            cmd = payload[0]
+            if cmd == COM_QUERY:
+                self._handle_query(conn, payload[1:].decode())
+            elif cmd == COM_REGISTER_SLAVE:
+                self._send(conn, OK_PAYLOAD, 1)
+            elif cmd in (COM_BINLOG_DUMP, COM_BINLOG_DUMP_GTID):
+                self._handle_dump(conn, payload)
+                return  # a real dump holds the connection; fake EOFs + closes
+            else:
+                self._send(conn, _err_payload(1047, "unknown command"), 1)
+
+    def _result_set(self, conn: socket.socket, rows: list[list[str]]) -> None:
+        ncols = len(rows[0]) if rows else 1
+        seq = self._send(conn, bytes([ncols]), 1)
+        for _ in range(ncols):
+            seq = self._send(conn, b"\x03def", seq)  # metadata, skipped
+        seq = self._send(conn, EOF_PAYLOAD, seq)
+        for row in rows:
+            body = b"".join(
+                bytes([len(c.encode())]) + c.encode() for c in row
+            )
+            seq = self._send(conn, body, seq)
+        self._send(conn, EOF_PAYLOAD, seq)
+
+    def _segments(self) -> list[str]:
+        return sorted(os.listdir(self.binlog_dir), key=_segment_sort_key)
+
+    def _handle_query(self, conn: socket.socket, sql: str) -> None:
+        low = sql.strip().lower()
+        if low.startswith("select @master_binlog_checksum"):
+            self._result_set(conn, [[self.checksum_text]])
+        elif low == "show master status":
+            self._result_set(conn, [[self._segments()[0], "4"]])
+        else:  # SET statements and friends
+            self._send(conn, OK_PAYLOAD, 1)
+
+    def _handle_dump(self, conn: socket.socket, payload: bytes) -> None:
+        if payload[0] == COM_BINLOG_DUMP:
+            filename = payload[11:].decode() or self._segments()[0]
+        else:  # GTID dump carries the name length-prefixed after flags+sid
+            name_len = struct.unpack_from("<I", payload, 7)[0]
+            filename = payload[11 : 11 + name_len].decode() or self._segments()[0]
+        names = [
+            n for n in self._segments()
+            if _segment_sort_key(n) >= _segment_sort_key(filename)
+        ]
+        checksum = (
+            ChecksumType.CRC32
+            if self.checksum_text == "CRC32"
+            else ChecksumType.NONE
+        )
+        # real server shape: ONE fake rotate naming the start file, then
+        # each file's frames verbatim — the files' own trailing ROTATE
+        # events chain to the next segment
+        seq = 1
+        if names:
+            seq = self._send(
+                conn, b"\x00" + rotate_frame(names[0], checksum), seq
+            )
+        for name in names:
+            with open(os.path.join(self.binlog_dir, name), "rb") as f:
+                content = f.read()
+            for _pos, frame in split_segment_frames(content):
+                seq = self._send(conn, b"\x00" + frame, seq)
+        self._send(conn, EOF_PAYLOAD, seq)
