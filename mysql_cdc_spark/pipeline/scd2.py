@@ -156,11 +156,21 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
         history), one aggregation for per-key batch-first events, and one
         key join against ONLY the touched buckets' stored rows — per-batch
         cost is O(batch + touched-bucket history)."""
+        # three consumers (batch history, per-key firsts, touched-bucket
+        # collect) would each re-execute the decode pipeline — cache the
+        # deduped batch once, release before returning
+        d = changes.dropDuplicates(self.dedup_cols).persist()
+        try:
+            return self._apply_batch_cached(spark, d, current_version)
+        finally:
+            d.unpersist()
+
+    def _apply_batch_cached(
+        self, spark: SparkSession, d: DataFrame, current_version: int
+    ) -> int:
         keys = list(self.base_spec.primary_key)
         oc = self.order_cols
         ordv = F.struct(*[F.col(c) for c in oc])
-
-        d = changes.dropDuplicates(self.dedup_cols)
         # batch-local history (versions 1-based within the batch)
         bh = scd2_history(
             d, keys, order_cols=oc, value_cols=self.value_cols,
