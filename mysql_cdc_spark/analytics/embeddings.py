@@ -9,9 +9,10 @@ products in whole-stage codegen — no Python in the hot path):
 - knn_ivf / knn_ivf_probe2  IVF-style ANN against a PERSISTED coarse
                    codebook (build_codebook trains once per corpus;
                    every probe broadcasts the artifact)
-- embedding_neardup       exact cosine near-dup pairs (label-blocked
-                          verification baseline)
-- embedding_neardup_ivf   scale-safe near-dup via IVF cell candidates
+- embedding_neardup       EXACT cosine near-dup pairs via pivot-cell
+                          bound pruning (lossless triangle-inequality
+                          candidate cut — no quadratic label block)
+- embedding_neardup_ivf   approximate near-dup via IVF cell candidates
 - embedding_quantize_int8 symmetric per-vector int8 quantization with
                           exact scale/checksum/RMS-error oracle
 
@@ -403,15 +404,90 @@ _NEARDUP_CORPUS_SQL = f"""
   WHERE vec_id % 127 = 0"""
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.95) within the same
-    label cell — the candidate-pruned form of all-pairs near-dup. The
-    label prejoin keeps the pair space at sum(cell²) instead of n²."""
+def _embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic within-label reference formulation — kept only as the
+    obviously-correct twin the cell-pruned form is parity-tested against
+    (tests/test_text_exact_joins.py)."""
     corpus = _neardup_corpus(spark, sf_dir)
     a = corpus.selectExpr("vec_id as id_a", "label as l_a", "v as va")
     b = corpus.selectExpr("vec_id as id_b", "label as l_b", "v as vb")
     return (
         a.join(b, (F.col("l_a") == F.col("l_b")) & (F.col("id_a") < F.col("id_b")))
+        .selectExpr("id_a", "id_b", f"{_cos_spark('va', 'vb')} as cos_sim")
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+# round(cos, 4) >= 0.95 admits true cosine down to this boundary; the
+# pruning bound below must use it, not 0.95 itself.
+_NEARDUP_T = 0.94995
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (round(cos, 4) ≥ 0.95)
+    within the same label cell, via pivot-cell bound pruning instead of
+    the quadratic within-label cross join:
+
+    - on unit vectors, cos(a, b) = 1 − ‖â−b̂‖²/2, so the threshold is a
+      Euclidean ε-join on the sphere with ε = √(2·(1−t));
+    - every vector is assigned to its nearest coarse cell (the SAME
+      persisted-codebook assignment the IVF twin probes); per (label,
+      cell) we compute the normalized-space centroid and member radius;
+    - a (cell_i, cell_j) pair can contain a qualifying pair only if
+      ‖c_i−c_j‖ − r_i − r_j ≤ ε (triangle inequality), so only surviving
+      cell pairs are joined, then the exact cosine verify runs on the
+      original vectors (same formula as before).
+
+    Lossless — the pruning bound is a strict lower bound on any member
+    distance, and the oracle stays the quadratic DuckDB SQL — but pair
+    space is Σ surviving-cell-pair |i|·|j|, not Σ label². Cell count is
+    the knob (more centroids → smaller cells → fewer survivors); a truly
+    near-duplicate-dense region keeps its cell pairs, which is the
+    output's own size — unavoidable for any exact pair listing. Zero-norm
+    vectors are excluded from candidates: their cosine is NULL in both
+    engines and can never pass the threshold."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir, emb=corpus)
+    eps = (2.0 * (1.0 - _NEARDUP_T)) ** 0.5 + 1e-9
+    nrm = _NORM.format(a="v")
+    members = _memo_persist(
+        spark, "neardup_exact_members", sf_dir,
+        lambda: (
+            assigned.join(corpus.select("vec_id", "label"), "vec_id")
+            .selectExpr("vec_id", "label", "cell", "v", f"{nrm} as nrm")
+            .filter("nrm > 0")
+            .selectExpr("vec_id", "label", "cell", "v", "transform(v, x -> x / nrm) as u")
+        ),
+    )
+    dist = "sqrt(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e))"
+    cent = (
+        members.selectExpr("label", "cell", "posexplode(u) as (dim, x)")
+        .groupBy("label", "cell", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label", "cell")
+        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)").alias("cu"))
+    )
+    cells = (
+        members.join(F.broadcast(cent), ["label", "cell"])
+        .selectExpr("label", "cell", "cu", dist.format(a="u", b="cu") + " as dc")
+        .groupBy("label", "cell")
+        .agg(F.max("dc").alias("radius"), F.first("cu").alias("cu"))
+    )
+    ca = cells.selectExpr("label", "cell as cell_a", "cu as cu_a", "radius as r_a")
+    cb = cells.selectExpr("label", "cell as cell_b", "cu as cu_b", "radius as r_b")
+    cell_pairs = (
+        ca.join(cb, "label")  # all ordered pairs incl. (i, i): members are
+        # in exactly one cell, so id_a < id_b below emits each pair once
+        .selectExpr("label", "cell_a", "cell_b", "r_a", "r_b", dist.format(a="cu_a", b="cu_b") + " as dcc")
+        .filter(F.col("dcc") - F.col("r_a") - F.col("r_b") <= eps)
+        .select("label", "cell_a", "cell_b")
+    )
+    ma = members.selectExpr("label", "cell as cell_a", "vec_id as id_a", "v as va")
+    mb = members.selectExpr("label", "cell as cell_b", "vec_id as id_b", "v as vb")
+    return (
+        ma.join(F.broadcast(cell_pairs), ["label", "cell_a"])
+        .join(mb, ["label", "cell_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .selectExpr("id_a", "id_b", f"{_cos_spark('va', 'vb')} as cos_sim")
         .filter(F.col("cos_sim") >= 0.95)
     )
@@ -427,16 +503,15 @@ WHERE {_cos_duck('a.v', 'b.v')} >= 0.95
 
 
 def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe embedding near-dup: candidates from IVF cells instead of
-    the label column. Where ``embedding_neardup`` is quadratic within a
-    label block (a 10^7-doc hot label melts at corpus scale), this routes
-    through the same coarse-quantized cells ``knn_ivf`` probes: pair space
-    is Σ cell², cells are data-derived (no label needed), and the cell
-    count is a knob — more centroids → smaller cells → fewer candidate
-    pairs, at the standard recall cost on cell boundaries. The exact
-    label-blocked form stays as the verification baseline. Probes the
-    persisted codebook (trained on the raw corpus) over the augmented
-    re-ingest corpus."""
+    """Approximate embedding near-dup: candidates from IVF cells instead
+    of the label column, through the same coarse-quantized cells
+    ``knn_ivf`` probes: pair space is Σ cell², cells are data-derived (no
+    label needed), and the cell count is a knob — more centroids →
+    smaller cells → fewer candidate pairs, at the standard recall cost on
+    cell boundaries. ``embedding_neardup`` is the exact twin (same cells,
+    lossless triangle-inequality pruning instead of same-cell-only
+    candidates). Probes the persisted codebook (trained on the raw
+    corpus) over the augmented re-ingest corpus."""
     assigned = _ivf_assign(spark, sf_dir, emb=_neardup_corpus(spark, sf_dir))
     a = assigned.selectExpr("vec_id as id_a", "cell", "v as va")
     b = assigned.selectExpr("vec_id as id_b", "cell", "v as vb")

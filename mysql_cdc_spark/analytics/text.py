@@ -458,17 +458,41 @@ MINHASH_SQL = _minhash_sql()
 # standalone n-gram Jaccard (restricted pair space) + per-language TF-IDF
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise word-3-gram Jaccard within (lang, length-bucket)
-    blocks — the blocked form of all-pairs similarity (pair space is
-    Σ block², not n²; at corpus scale the LSH path in
-    minhash_lsh_neardup replaces this, same verification formula)."""
-    docs = load(spark, sf_dir, "documents")
+# round(j, 4) >= 0.2 admits true Jaccard down to this boundary; every
+# candidate-pruning bound below must use it, not 0.2 itself.
+_JACCARD_T = 0.19995
+
+
+def _jaccard_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(WORDS, "spark")
-    base = docs.selectExpr(
+    return load(spark, sf_dir, "documents").selectExpr(
         "doc_id", "lang", "cast(floor(n_chars / 100) as int) as len_bucket",
         f"{sh} as shingles",
     )
+
+
+def _jaccard_verify(cand: DataFrame, base: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates → exact verified pairs, the shared final
+    stage of every candidate-generation strategy below."""
+    a = base.selectExpr("doc_id as doc_a", "lang", "shingles as sh_a")
+    b = base.selectExpr("doc_id as doc_b", "shingles as sh_b")
+    return (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "lang",
+            "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def _ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-within-(lang, len_bucket) reference formulation — kept
+    only as the obviously-correct twin the parity test checks the
+    prefix-filtered form against (tests/test_text_exact_joins.py)."""
+    base = _jaccard_base(spark, sf_dir)
     a = base.selectExpr("doc_id as doc_a", "lang", "len_bucket", "shingles as sh_a")
     b = base.selectExpr("doc_id as doc_b", "lang", "len_bucket", "shingles as sh_b")
     return (
@@ -482,12 +506,65 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise word-3-gram Jaccard ≥ 0.2 within (lang,
+    length-bucket) blocks, via AllPairs/PPJoin-style prefix filtering
+    (Bayardo et al. WWW'07, Xiao et al. WWW'08) instead of the quadratic
+    within-block cross join:
+
+    - order shingles by ascending global document frequency (rarest
+      first; any total order is correct — df order keeps boilerplate
+      shingles out of the index for all but the largest sets);
+    - for Jaccard ≥ t two sets must share a token inside their first
+      ``|s| − ceil(t·|s|) + 1`` tokens of that order, so only those
+      prefixes are exploded into the inverted index;
+    - candidates = prefix-token equi-join within the block, pruned
+      further by the length filter ``t·|a| ≤ |b| ≤ |a|/t``, then the
+      exact intersect/union verify (same formula as before).
+
+    Lossless — the oracle stays the quadratic DuckDB SQL — but candidate
+    space is Σ_token df², not Σ_block n²: unrelated same-block docs never
+    pair. At t = 0.2 prefixes are ~80% of each set (weak per-set pruning
+    — the price of a low threshold); the zero-shared-shingle cut is what
+    removes the quadratic blow-up. Pair-explosion from a shingle shared
+    by 10^6 docs is the residual skew risk, mitigated by the df ordering
+    and ultimately by the LSH twin (``ngram_jaccard_lsh``)."""
+    base = _jaccard_base(spark, sf_dir)
+    toks = base.selectExpr(
+        "doc_id", "lang", "len_bucket", "size(shingles) as sz",
+        "explode(shingles) as tok",
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = f"greatest(sz - cast(ceil({_JACCARD_T}D * sz) as int) + 1, 0)"
+    pre = (
+        toks.join(df_counts, "tok")
+        .groupBy("doc_id", "lang", "len_bucket", "sz")
+        .agg(F.expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)").alias("ordered"))
+        .selectExpr("doc_id", "lang", "len_bucket", "sz", f"slice(ordered, 1, {prefix_len}) as prefix")
+        .selectExpr("doc_id", "lang", "len_bucket", "sz", "explode(prefix) as tok")
+    )
+    a = pre.selectExpr("doc_id as doc_a", "lang", "len_bucket", "sz as sz_a", "tok")
+    b = pre.selectExpr("doc_id as doc_b", "lang", "len_bucket", "sz as sz_b", "tok")
+    cand = (
+        a.join(b, ["lang", "len_bucket", "tok"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") >= _JACCARD_T * F.col("sz_a"))
+            & (F.col("sz_a") >= _JACCARD_T * F.col("sz_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify(cand, base)
+
+
 def ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe variant of ``ngram_jaccard``: same verification formula
+    """Approximate twin of ``ngram_jaccard``: same verification formula
     (word-3-gram Jaccard ≥ 0.2, same-language pairs) but candidates come
-    from MinHash LSH banding instead of exact (lang, len_bucket) blocks —
-    the blocked form is quadratic within a block and melts on a 10^7-doc
-    (en, bucket) cell; here pair space is bounded by band-bucket sizes.
+    from MinHash LSH banding instead of the exact prefix-filtered index —
+    banding bounds pair space by band-bucket sizes even when a hot
+    shingle would explode the exact form's inverted index, at the
+    standard probabilistic-recall cost.
 
     Banding is tuned for the low 0.2 threshold: 8 bands × 1 row (band key
     = one minhash), so P(candidate | jaccard=s) = 1-(1-s)^8 — ≈0.83 at
