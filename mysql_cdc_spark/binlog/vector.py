@@ -934,6 +934,94 @@ def _dates_from_days(days: np.ndarray, nulls: np.ndarray) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _geometry_texts_from_slices(
+    data: np.ndarray, starts, lens, nulls
+) -> np.ndarray:
+    """Batch geometry blob (SRID + WKB) → WKT/EWKT text. Little-endian
+    POINT — the dominant shape of a real geo column (every lat/lon value
+    is one) — is an exactly-25-byte blob, so the whole lane decodes with
+    vectorized offset arithmetic: one gather per coordinate lane, numpy's
+    shortest-round-trip float formatting (same repr contract the jsonb
+    double lane relies on), and C-side string assembly via np.char. Other
+    WKB types, big-endian values, and malformed lengths fall back to the
+    recursive ``geometry_to_wkt`` per value; parity between the paths is
+    pinned by tests/test_geometry.py."""
+    from .geometry import geometry_to_wkt as conv
+
+    n = len(starts)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.empty(n, dtype=object)  # SQL NULL (null / empty blob) → None
+
+    valid = (~np.asarray(nulls)) & (lens > 0)
+    if not valid.any():
+        return out
+
+    def _u32(base: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(base), dtype=np.uint64)
+        for k in range(4):
+            acc |= data[base + k].astype(np.uint64) << np.uint64(8 * k)
+        return acc
+
+    def _f64(base: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(base), dtype=np.uint64)
+        for k in range(8):
+            acc |= data[base + k].astype(np.uint64) << np.uint64(8 * k)
+        return acc.view(np.float64)
+
+    # LE POINT lane: srid:u32 | order=1 | type=1:u32 | x:f64 | y:f64
+    cand = np.nonzero(valid & (lens == 25))[0]
+    handled = np.zeros(n, dtype=bool)
+    if len(cand):
+        s = starts[cand]
+        is_pt = (data[s + 4] == 1) & (_u32(s + 5) == 1)
+        pt = cand[is_pt]
+        if len(pt):
+            s = starts[pt]
+            srid = _u32(s)
+            xs, ys = _f64(s + 9), _f64(s + 17)
+            finite = np.isfinite(xs) & np.isfinite(ys)  # _fmt contract is
+            pt, s, srid = pt[finite], s[finite], srid[finite]  # finite-only
+            xs, ys = xs[finite], ys[finite]
+            if len(pt):
+                import pandas as pd
+
+                # object-space concat (pandas' C string-add) — ~4× the
+                # throughput of an np.char.add chain, which rescans its
+                # widening U-dtype operands per call
+                tx = pd.Series(_wkt_coord_texts(xs), dtype=object)
+                ty = pd.Series(_wkt_coord_texts(ys), dtype=object)
+                texts = ("POINT(" + tx + " " + ty + ")").to_numpy()
+                with_srid = srid != 0
+                if with_srid.any():
+                    pre = pd.Series(
+                        srid[with_srid].astype("U10"), dtype=object
+                    )
+                    texts[with_srid] = (
+                        "SRID=" + pre + ";"
+                        + pd.Series(texts[with_srid], dtype=object)
+                    ).to_numpy()
+                out[pt] = texts
+                handled[pt] = True
+
+    rest = np.nonzero(valid & ~handled)[0]
+    for i in rest:
+        s = int(starts[i])
+        out[i] = conv(data[s : s + int(lens[i])].tobytes())
+    return out
+
+
+def _wkt_coord_texts(v: np.ndarray) -> np.ndarray:
+    """float64 lane → WKT coordinate text (``geometry._fmt`` semantics:
+    integral values under 1e15 print as integers, others as shortest
+    round-trip repr — numpy's U-cast formatting for float64)."""
+    as_int = (v == np.floor(v)) & (np.abs(v) < 1e15)
+    texts = v.astype("U32")
+    if as_int.any():
+        texts[as_int] = v[as_int].astype(np.int64).astype("U20")
+    return texts
+
+
 def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     """Convert a decoded image column to a canonical-kind descriptor:
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
@@ -968,17 +1056,7 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     if kind == "geometry":
         if ckind != "blob":
             return None
-        # SRID+WKB is a recursive offset-tree format — decoded per value
-        # at Arrow-batch granularity (the one remaining per-value kernel;
-        # such columns are a small fraction of a row and the blob bytes
-        # never shuffle).
-        from .geometry import geometry_to_wkt as conv
-
-        raw = _strings_from_slices(data, a, b, nulls, binary=True)
-        out = np.array(
-            [None if v is None else conv(v) for v in raw], dtype=object
-        )
-        return ("obj", out)
+        return ("obj", _geometry_texts_from_slices(data, a, b, nulls))
     if kind == "date":
         if ckind != "date32":
             return None

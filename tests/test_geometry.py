@@ -167,3 +167,57 @@ def test_geometry_scalar_vector_parity(tmp_path):
     assert len(sc) == len(fa)
     for col in ("after_place_id", "after_loc", "op"):
         assert sc[col].tolist() == fa[col].tolist(), f"{col} differs"
+
+
+def test_batch_point_kernel_parity_fuzz():
+    """The vectorized LE-POINT lane in vector._geometry_texts_from_slices
+    must render byte-identically to the recursive scalar decoder across
+    random coordinates (integral, fractional, exponent-range), random
+    SRIDs, big-endian points, non-point shapes, and NULLs."""
+    import random
+
+    import numpy as np
+
+    from mysql_cdc_spark.binlog.vector import _geometry_texts_from_slices
+
+    rng = random.Random(20260818)
+    blobs = []
+    for i in range(600):
+        kind = i % 6
+        srid = rng.choice([0, 0, 4326, 3857, 1])
+        if kind <= 2:  # LE points dominate, mixed coord shapes
+            def coord():
+                c = rng.choice([
+                    float(rng.randint(-10**6, 10**6)),
+                    rng.uniform(-180, 180),
+                    rng.uniform(-1e-6, 1e-6),
+                    rng.uniform(-1e18, 1e18),
+                    -0.0,
+                ])
+                return c
+            blobs.append(G.encode_geometry(("point", (coord(), coord())), srid=srid))
+        elif kind == 3:  # big-endian point → fallback path
+            x, y = rng.uniform(-50, 50), rng.uniform(-50, 50)
+            wkb = struct.pack(">BI2d", 0, 1, x, y)
+            blobs.append(struct.pack("<I", srid) + wkb)
+        elif kind == 4:
+            blobs.append(G.encode_geometry(
+                ("linestring", [(rng.randint(0, 9), rng.randint(0, 9)) for _ in range(3)]),
+                srid=srid,
+            ))
+        else:
+            blobs.append(None)  # SQL NULL
+
+    data = b"".join(b or b"" for b in blobs)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    starts, lens, nulls, pos = [], [], [], 0
+    for b in blobs:
+        starts.append(pos)
+        lens.append(len(b) if b else 0)
+        nulls.append(b is None)
+        pos += len(b) if b else 0
+    got = _geometry_texts_from_slices(
+        buf, np.array(starts), np.array(lens), np.array(nulls)
+    )
+    want = [None if b is None else G.geometry_to_wkt(b) for b in blobs]
+    assert list(got) == want
