@@ -13,10 +13,16 @@ missing channel:
   (binlog_client.rs:19-65 + configure.rs): handshake → authenticate
   (incl. auth-plugin switch) → heartbeat/checksum negotiation →
   provider dump dispatch → an iterator of raw binlog event frames;
-- ``mirror_stream`` — lands the frame stream as rotation segment files
-  (ROTATE switches files), the bridge from one tailing connection to
-  the distributed file-based Replayer: the single-writer tail is
-  I/O-bound byte copying; Spark owns every byte after the landing zone.
+- ``mirror_stream`` / ``MirrorWriter`` — land the frame stream as
+  rotation segment files (ROTATE switches files), the bridge from one
+  tailing connection to the distributed file-based Replayer: the
+  single-writer tail is I/O-bound byte copying; Spark owns every byte
+  after the landing zone;
+- ``tail_mirror`` — the resilient form: reconnects on connection loss
+  with exponential backoff and resumes the dump from the last fully
+  landed (file, position), deduplicating the re-sent rotate/FDE
+  preamble, so the landed segments carry every event exactly once
+  across any number of separated drops.
 
 The sandbox has no MySQL server, so the tests drive this against an
 in-process fake server speaking the same wire protocol over a loopback
@@ -277,6 +283,113 @@ def rotate_target(frame: bytes, checksum_type: int) -> str:
     return frame[19 + 8 : end].decode("utf-8")
 
 
+class MirrorWriter:
+    """Stateful segment-file writer for a dump stream, supporting
+    mid-file append resume after a reconnect.
+
+    Rotate semantics mirror the server's relay behavior: a ROTATE event
+    that arrives while a file is open is the END of that file — it is
+    written into it (binlog files carry their trailing rotate) and the
+    next non-rotate frame opens the target file. A ROTATE with no file
+    open (the dump's initial fake rotate) only names the first file; the
+    landed first segment starts with its FDE, like the source file. A
+    trailing rotate with no events after it creates no empty file.
+
+    Because frames land verbatim after the MAGIC prefix, a mirrored
+    file is byte-identical to the source binlog file and the write
+    offset IS the binlog position — ``resume_point()`` needs no header
+    parsing. After a connection loss, ``begin_resume()`` arms a
+    preamble skip for the re-dump from that point: the server re-sends
+    an artificial ROTATE naming the current file (a real trailing
+    rotate always names the NEXT file, so the two cannot be confused)
+    and the file's FORMAT_DESCRIPTION; both are already on disk and are
+    dropped instead of duplicated."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        checksum_type: int = ChecksumType.CRC32,
+        initial_filename: str = "mirror.000001",
+        fsync: bool = False,
+    ):
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.checksum_type = checksum_type
+        self.fsync = fsync
+        self.paths: list[str] = []
+        self._fh = None
+        self._next_name = initial_filename
+        self._current_name: Optional[str] = None
+        self._pos = 0  # byte offset in the open file == binlog position
+        self._skip_preamble = False
+        self._wrote_any = False
+
+    # -- resume protocol ----------------------------------------------------
+
+    def resume_point(self) -> Optional[tuple[str, int]]:
+        """(filename, position) a reconnecting dump should restart from,
+        or None if nothing has been landed yet (restart from the
+        original arguments)."""
+        if not self._wrote_any:
+            return None
+        if self._fh is None:  # between files: the next file, from its top
+            return (self._next_name, 4)
+        return (self._current_name, self._pos)
+
+    def begin_resume(self) -> None:
+        """Arm the duplicate-preamble skip for the next frames; only
+        needed when appending into a half-written file (between files
+        the artificial rotate is naturally a no-op)."""
+        self._skip_preamble = self._fh is not None
+
+    # -- writing ------------------------------------------------------------
+
+    def _close_file(self) -> None:
+        if self._fh is not None:
+            if self.fsync:
+                self._fh.flush()
+                os.fsync(self._fh.fileno())
+            self._fh.close()
+            self._fh = None
+            self._current_name = None
+
+    def write(self, frame: bytes) -> None:
+        etype = frame[4] if len(frame) > 4 else -1
+        if etype == EventType.ROTATE:
+            target = rotate_target(frame, self.checksum_type)
+            if self._skip_preamble and target == self._current_name:
+                return  # resume re-announcement of the open file
+            if self._fh is not None:
+                self._fh.write(frame)  # a file's trailing rotate is content
+                self._pos += len(frame)
+                self._close_file()
+            self._next_name = target
+            self._wrote_any = True
+            return
+        if (
+            self._skip_preamble
+            and etype == EventType.FORMAT_DESCRIPTION
+            and self._fh is not None
+            and self._pos > len(MAGIC_NUMBER)
+        ):
+            self._skip_preamble = False
+            return  # re-sent descriptor; the file already carries its FDE
+        self._skip_preamble = False
+        if self._fh is None:
+            path = os.path.join(self.out_dir, self._next_name)
+            self._fh = open(path, "wb")
+            self._fh.write(MAGIC_NUMBER)
+            self._pos = len(MAGIC_NUMBER)
+            self._current_name = self._next_name
+            self.paths.append(path)
+        self._fh.write(frame)
+        self._pos += len(frame)
+        self._wrote_any = True
+
+    def close(self) -> None:
+        self._close_file()
+
+
 def mirror_stream(
     frames: Iterator[bytes],
     out_dir: str,
@@ -295,45 +408,85 @@ def mirror_stream(
     ``checksum_type`` must be the negotiated value
     (``BinlogSocketClient.negotiate``): ROTATE frames carry a CRC32
     trailer exactly when the stream does, and the filename sits flush
-    against it.
-
-    Rotate semantics mirror the server's relay behavior: a ROTATE event
-    that arrives while a file is open is the END of that file — it is
-    written into it (binlog files carry their trailing rotate) and the
-    next non-rotate frame opens the target file. A ROTATE with no file
-    open (the dump's initial fake rotate) only names the first file; the
-    landed first segment starts with its FDE, like the source file. A
-    trailing rotate with no events after it creates no empty file."""
-    os.makedirs(out_dir, exist_ok=True)
-    paths: list[str] = []
-    fh = None
-    next_name = initial_filename
-
-    def close_file():
-        nonlocal fh
-        if fh is not None:
-            if fsync:
-                fh.flush()
-                os.fsync(fh.fileno())
-            fh.close()
-            fh = None
-
+    against it. Single-connection form of ``tail_mirror`` (rotate
+    semantics documented on ``MirrorWriter``)."""
+    writer = MirrorWriter(out_dir, checksum_type, initial_filename, fsync)
     try:
         for frame in frames:
-            etype = frame[4] if len(frame) > 4 else -1
-            if etype == EventType.ROTATE:
-                target = rotate_target(frame, checksum_type)
-                if fh is not None:
-                    fh.write(frame)  # a file's trailing rotate is content
-                    close_file()
-                next_name = target
-                continue
-            if fh is None:
-                path = os.path.join(out_dir, next_name)
-                fh = open(path, "wb")
-                fh.write(MAGIC_NUMBER)
-                paths.append(path)
-            fh.write(frame)
+            writer.write(frame)
     finally:
-        close_file()
-    return paths
+        writer.close()
+    return writer.paths
+
+
+def tail_mirror(
+    connect,
+    out_dir: str,
+    start_file: str = "",
+    start_pos: int = 4,
+    checksum_type: int = ChecksumType.CRC32,
+    initial_filename: str = "mirror.000001",
+    fsync: bool = False,
+    max_retries: int = 5,
+    backoff_s: float = 0.05,
+    sleep=None,
+) -> list[str]:
+    """Resilient live tail: dump → mirror, reconnecting on connection
+    loss and resuming from the last fully-landed event so the landed
+    segment files carry every event exactly once regardless of where
+    the connection died (the real-world failure mode of a replication
+    client; the reference surfaces it as the retry loop around
+    ``BinlogClient.replicate``).
+
+    ``connect`` is a zero-argument factory returning a CONNECTED and
+    negotiated ``BinlogSocketClient`` — the caller owns credentials,
+    provider choice, and negotiation; this loop owns only retry and
+    resume. The retry budget refreshes whenever a connection makes
+    progress (lands at least one frame), so a long-lived tail survives
+    any number of separated drops while a hard-down server still fails
+    after ``max_retries`` straight dead connections. Backoff doubles
+    per consecutive failure. Returns the landed paths after a clean
+    server EOF (non-blocking dump); a blocking dump never returns."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    writer = MirrorWriter(out_dir, checksum_type, initial_filename, fsync)
+    file, pos = start_file, start_pos
+    failures = 0
+    try:
+        while True:
+            try:
+                client = connect()
+            except (ConnectionError, OSError) as exc:
+                failures += 1
+                if failures > max_retries:
+                    raise TransportError(
+                        f"tail gave up after {failures} consecutive "
+                        f"connection failures: {exc}"
+                    ) from exc
+                do_sleep(backoff_s * (2 ** (failures - 1)))
+                continue
+            progressed = False
+            try:
+                for frame in client.dump(file, pos):
+                    writer.write(frame)
+                    progressed = True
+                return writer.paths  # clean EOF
+            except (ConnectionError, OSError) as exc:  # incl. TransportError
+                if progressed:
+                    failures = 0
+                failures += 1
+                if failures > max_retries:
+                    raise TransportError(
+                        f"tail gave up after {failures} consecutive "
+                        f"dead connections: {exc}"
+                    ) from exc
+                do_sleep(backoff_s * (2 ** (failures - 1)))
+                resume = writer.resume_point()
+                if resume is not None:
+                    file, pos = resume
+                    writer.begin_resume()
+            finally:
+                client.close()
+    finally:
+        writer.close()

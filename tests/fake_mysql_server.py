@@ -72,6 +72,7 @@ class FakeMySqlServer:
         use_auth_switch: bool = False,
         checksum_text: str = "CRC32",
         server_version: str = "8.0.99-fake",
+        fail_after_frames: list[int] | None = None,
     ):
         self.binlog_dir = binlog_dir
         self.user = user
@@ -79,6 +80,11 @@ class FakeMySqlServer:
         self.use_auth_switch = use_auth_switch
         self.checksum_text = checksum_text
         self.server_version = server_version
+        # each dump connection pops the next entry and hard-closes the
+        # socket after sending that many event frames (connection-loss
+        # injection for the resumable tail); exhausted → stream fully
+        self.fail_after_frames = list(fail_after_frames or [])
+        self._fail_lock = threading.Lock()
         self.scramble = "abcdefghij0123456789"  # 20 chars, ASCII
         self.switch_scramble = "zyxwvutsrq9876543210"
         self._srv: socket.socket | None = None
@@ -105,12 +111,25 @@ class FakeMySqlServer:
         self._thread.start()
 
     def stop(self) -> None:
-        if self._srv is not None:
-            try:
-                self._srv.close()
-            except OSError:
+        srv = self._srv
+        if srv is None:
+            return
+        self._srv = None
+        # the accept() blocked in _accept_loop holds a kernel reference to
+        # the listening socket, so close() alone leaves the port accepting;
+        # poke one connection through to let the loop observe _srv is None
+        try:
+            with socket.create_connection(("127.0.0.1", self.port), timeout=1):
                 pass
-            self._srv = None
+        except OSError:
+            pass
+        try:
+            srv.close()
+        except OSError:
+            pass
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+            self._thread = None
 
     def _accept_loop(self) -> None:
         while self._srv is not None:
@@ -234,10 +253,12 @@ class FakeMySqlServer:
 
     def _handle_dump(self, conn: socket.socket, payload: bytes) -> None:
         if payload[0] == COM_BINLOG_DUMP:
+            pos = struct.unpack_from("<I", payload, 1)[0]
             filename = payload[11:].decode() or self._segments()[0]
         else:  # GTID dump carries the name length-prefixed after flags+sid
             name_len = struct.unpack_from("<I", payload, 7)[0]
             filename = payload[11 : 11 + name_len].decode() or self._segments()[0]
+            pos = struct.unpack_from("<Q", payload, 11 + name_len)[0]
         names = [
             n for n in self._segments()
             if _segment_sort_key(n) >= _segment_sort_key(filename)
@@ -247,17 +268,36 @@ class FakeMySqlServer:
             if self.checksum_text == "CRC32"
             else ChecksumType.NONE
         )
+        with self._fail_lock:
+            fail_after = (
+                self.fail_after_frames.pop(0)
+                if self.fail_after_frames
+                else None
+            )
         # real server shape: ONE fake rotate naming the start file, then
         # each file's frames verbatim — the files' own trailing ROTATE
-        # events chain to the next segment
+        # events chain to the next segment. A dump from pos > 4 re-sends
+        # the start file's FORMAT_DESCRIPTION first, then seeks to pos
+        # (what mysqld's binlog sender does for a mid-file start).
         seq = 1
+        sent = 0
         if names:
             seq = self._send(
                 conn, b"\x00" + rotate_frame(names[0], checksum), seq
             )
-        for name in names:
+        for i, name in enumerate(names):
             with open(os.path.join(self.binlog_dir, name), "rb") as f:
                 content = f.read()
-            for _pos, frame in split_segment_frames(content):
+            frames = split_segment_frames(content)
+            if i == 0 and pos > 4 and frames:
+                fde_pos, fde = frames[0]
+                if fde_pos + len(fde) <= pos:
+                    seq = self._send(conn, b"\x00" + fde, seq)
+                frames = [(p, fr) for p, fr in frames if p >= pos]
+            for _pos, frame in frames:
+                if fail_after is not None and sent >= fail_after:
+                    conn.close()  # injected mid-stream connection loss
+                    return
                 seq = self._send(conn, b"\x00" + frame, seq)
+                sent += 1
         self._send(conn, EOF_PAYLOAD, seq)

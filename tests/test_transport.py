@@ -154,3 +154,121 @@ def test_mariadb_provider_command_sequence(source_binlog, tmp_path):
         )
         client.close()
     assert [os.path.basename(p) for p in landed] == names
+
+
+def _bytes_equal_to_source(landed, outdir, names):
+    assert [os.path.basename(p) for p in landed] == names
+    for path in landed:
+        with open(os.path.join(outdir, os.path.basename(path)), "rb") as f:
+            want = f.read()
+        with open(path, "rb") as f:
+            got = f.read()
+        assert got == want, os.path.basename(path)
+
+
+def test_tail_mirror_survives_connection_drops(source_binlog, tmp_path):
+    """Connection loss mid-stream (the real-world failure mode): the
+    resumable tail reconnects, re-dumps from the last landed (file,
+    position), skips the re-sent rotate/FDE preamble, and the final
+    mirrored segments are STILL byte-identical to the source files —
+    no event lost, none duplicated, across drops early in a file,
+    mid-file, and deep into later files."""
+    from mysql_cdc_spark.binlog.transport import tail_mirror
+
+    _, outdir, names = source_binlog
+    with FakeMySqlServer(outdir, fail_after_frames=[7, 5, 60, 11]) as srv:
+        def connect():
+            c = _client(srv)
+            c.connect()
+            assert c.negotiate() == "CRC32"
+            return c
+
+        landed = tail_mirror(
+            connect, str(tmp_path / "landing"),
+            start_file=names[0], start_pos=4,
+            sleep=lambda s: None,
+        )
+    _bytes_equal_to_source(landed, outdir, names)
+
+
+def test_tail_mirror_many_separated_drops_outlast_retry_budget(
+    source_binlog, tmp_path
+):
+    """The retry budget refreshes on progress: eight separated drops
+    with max_retries=2 still complete, because every connection lands
+    at least one frame before dying."""
+    from mysql_cdc_spark.binlog.transport import tail_mirror
+
+    _, outdir, names = source_binlog
+    with FakeMySqlServer(
+        outdir, fail_after_frames=[3, 3, 3, 3, 3, 3, 3, 3]
+    ) as srv:
+        def connect():
+            c = _client(srv)
+            c.connect()
+            c.negotiate()
+            return c
+
+        landed = tail_mirror(
+            connect, str(tmp_path / "landing"),
+            start_file=names[0], start_pos=4,
+            max_retries=2, sleep=lambda s: None,
+        )
+    _bytes_equal_to_source(landed, outdir, names)
+
+
+def test_tail_mirror_gives_up_on_hard_down_server(source_binlog, tmp_path):
+    from mysql_cdc_spark.binlog.transport import tail_mirror
+
+    _, outdir, names = source_binlog
+    srv = FakeMySqlServer(outdir)
+    srv.start()
+    srv.stop()  # port allocated, then closed: every connect refused
+
+    def connect():
+        c = BinlogSocketClient(
+            "127.0.0.1", srv.port,
+            ReplicaOptions(username="repl", password="secret", blocking=False),
+            connect_timeout_s=0.5,
+        )
+        c.connect()
+        return c
+
+    with pytest.raises(TransportError, match="gave up"):
+        tail_mirror(
+            connect, str(tmp_path / "landing"),
+            start_file=names[0], start_pos=4,
+            max_retries=2, sleep=lambda s: None,
+        )
+
+
+def test_tail_mirror_to_replayer_equals_oracle(spark, source_binlog, tmp_path):
+    """Drop-riddled live tail → mirrored segments → distributed Replayer:
+    final table state equals the sequential oracle, pinning that the
+    reconnect path preserves exactly-once all the way to the sink."""
+    from mysql_cdc_spark.binlog.transport import tail_mirror
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    txns, outdir, names = source_binlog
+    landing = str(tmp_path / "landing")
+    with FakeMySqlServer(outdir, fail_after_frames=[13, 40]) as srv:
+        def connect():
+            c = _client(srv)
+            c.connect()
+            c.negotiate()
+            return c
+
+        tail_mirror(
+            connect, landing, start_file=names[0], start_pos=4,
+            sleep=lambda s: None,
+        )
+
+    rep = Replayer(spark, landing, str(tmp_path / "store"))
+    rep.replay(files_per_batch=2)
+    state = (
+        rep.read_state().orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+    oracle = apply_changelog_oracle(txns)
+    assert state["text"].tolist() == oracle["text"].tolist()
+    assert state["tool"].tolist() == oracle["tool"].tolist()
