@@ -754,15 +754,17 @@ def _strings_from_slices(data: np.ndarray, starts, lens, nulls, binary: bool = F
 def _jsonb_texts_from_slices(
     data: np.ndarray, starts, lens, nulls
 ) -> np.ndarray:
-    """Batch jsonb → canonical JSON text. Top-level SCALAR values — the
-    flat-document shape a JSON column holding numbers/flags/nulls has —
-    decode with vectorized offset arithmetic straight off the segment
-    buffer, grouped by type byte: one numpy gather per byte lane, one
-    C-side int/float→string conversion per group, zero per-value Python.
-    Containers, strings, and opaque values (recursive offset trees /
-    escape-dependent rendering) fall back to the recursive
-    ``jsonb_to_text`` per value; parity between the two paths is pinned
-    by the fuzz corpus in tests/test_jsonb.py."""
+    """Batch jsonb → canonical JSON text. Top-level SCALAR values and
+    FLAT SMALL OBJECTS of scalars — the flat-document shapes a JSON
+    metadata column has — decode with vectorized offset arithmetic
+    straight off the segment buffer, grouped by type byte: one numpy
+    gather per byte lane, one C-side conversion per group, zero
+    per-value Python (objects flatten to element level and re-join via
+    ``reduceat``). Nested containers, opaque values, and
+    escape-carrying strings (recursive offset trees / escape-dependent
+    rendering) fall back to the recursive ``jsonb_to_text`` per value;
+    parity between the paths is pinned by the fuzz corpus in
+    tests/test_jsonb.py."""
     from . import jsonb as J
 
     n = len(starts)
@@ -868,14 +870,230 @@ def _jsonb_texts_from_slices(
                 out[idx[sub[plain]]] = quoted
                 handled[idx[sub[plain]]] = True
 
-    # everything else (escape-carrying strings; objects/arrays/opaque are
-    # recursive offset trees): per-value fallback on exactly the
-    # unhandled slice
+    # top-level SMALL objects whose members are all inlined scalars,
+    # fixed-width numerics, doubles, or escape-free strings — the flat
+    # single-level shape a transcript metadata column has
+    idx = np.nonzero(valid & (tb == J.SMALL_OBJECT) & (lens >= 5) & ~handled)[0]
+    if len(idx):
+        texts, ok = _flat_small_object_texts(data, starts[idx] + 1, lens[idx] - 1)
+        sub = np.nonzero(ok)[0]
+        if len(sub):
+            out[idx[sub]] = texts[sub]
+            handled[idx[sub]] = True
+
+    # everything else (escape-carrying strings; nested containers and
+    # opaque values are recursive offset trees): per-value fallback on
+    # exactly the unhandled slice
     rest = np.nonzero(valid & ~handled)[0]
     for i in rest:
         s = int(starts[i])
         out[i] = J.jsonb_to_text(data[s : s + int(lens[i])].tobytes())
     return out
+
+
+_FLAT_OBJ_MAX_MEMBERS = 64
+
+
+def _flat_small_object_texts(
+    data: np.ndarray, bases: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch decode of top-level SMALL-object payloads (``bases`` points
+    at each object's count word) into canonical JSON text. Objects are
+    flattened to element level — one numpy gather per entry field, one
+    type-grouped conversion per scalar lane, ``reduceat`` joins back per
+    object — so the per-object Python cost is zero. Returns
+    (texts, ok); ``ok=False`` rows (nested containers, opaque values,
+    escape-carrying or duplicate keys, >2-byte string headers, bound
+    overruns) are left for the recursive fallback, whose output the fuzz
+    corpus pins this lane against."""
+    import pandas as pd
+
+    from . import jsonb as J
+
+    n = len(bases)
+    texts = np.empty(n, dtype=object)
+    ok = np.ones(n, dtype=bool)
+
+    def _u16(pos: np.ndarray) -> np.ndarray:
+        return data[pos].astype(np.int64) | (data[pos + 1].astype(np.int64) << 8)
+
+    count = _u16(bases)
+    size = _u16(bases + 2)
+    ok &= (size <= sizes) & (size >= 4) & (count <= _FLAT_OBJ_MAX_MEMBERS)
+    # entry tables must fit inside the declared container size
+    ok &= 4 + count * 6 <= size
+    texts[ok & (count == 0)] = "{}"
+
+    live = ok & (count > 0)
+    obj = np.nonzero(live)[0]
+    if not len(obj):
+        return texts, ok
+
+    cnt = count[obj]
+    e_start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    E = int(cnt.sum())
+    oi = np.repeat(np.arange(len(obj)), cnt)  # element → local object row
+    ek = np.arange(E, dtype=np.int64) - np.repeat(e_start, cnt)
+    base_e = bases[obj][oi]
+    size_e = size[obj][oi]
+
+    # key entries: (offset u16, length u16) at base + 4 + 4k
+    kpos = base_e + 4 + 4 * ek
+    koff = _u16(kpos)
+    klen = _u16(kpos + 2)
+    e_ok = (koff + klen <= size_e) & (klen > 0)
+    kstart = base_e + koff
+    key_bytes_ok = e_ok.copy()
+    # escape scan over all key payloads in one pass
+    ktotal = int(klen[e_ok].sum()) if e_ok.any() else 0
+    keys = np.empty(E, dtype=object)
+    if ktotal:
+        sel = np.nonzero(e_ok)[0]
+        ks, kl = kstart[sel], klen[sel]
+        offs = np.zeros(len(kl) + 1, dtype=np.int64)
+        np.cumsum(kl, out=offs[1:])
+        within = np.arange(int(kl.sum()), dtype=np.int64) - np.repeat(offs[:-1], kl)
+        payload = data[np.repeat(ks, kl) + within]
+        esc = (payload == 0x22) | (payload == 0x5C) | (payload < 0x20)
+        bad = np.add.reduceat(esc, offs[:-1]) > 0
+        key_bytes_ok[sel[bad]] = False
+        good = sel[~bad]
+        if len(good):
+            keys[good] = _strings_from_slices(
+                data, kstart[good], klen[good], np.zeros(len(good), dtype=bool)
+            )
+    e_ok &= key_bytes_ok
+
+    # duplicate stored keys would collapse through the recursive path's
+    # dict; keys are stored sorted, so duplicates are adjacent — defer
+    same_as_prev = np.zeros(E, dtype=bool)
+    if E > 1:
+        cand = (ek > 0) & e_ok
+        cand[1:] &= e_ok[:-1]
+        ci = np.nonzero(cand)[0]
+        if len(ci):
+            same_as_prev[ci] = keys[ci] == keys[ci - 1]
+    e_ok &= ~same_as_prev
+
+    # value entries: (type u8, inlined-or-offset u16) at base + 4 + 4c + 3k
+    vpos = base_e + 4 + 4 * cnt[oi] + 3 * ek
+    vtype = data[vpos]
+    vval = _u16(vpos + 1)
+    vtexts = np.empty(E, dtype=object)
+    v_done = np.zeros(E, dtype=bool)
+
+    lit = vtype == J.LITERAL
+    if lit.any():
+        lv = vval[lit] & 0xFF
+        words = np.array(["null", "true", "false"], dtype=object)
+        okl = lv <= 2
+        li = np.nonzero(lit)[0]
+        vtexts[li[okl]] = words[lv[okl]]
+        v_done[li[okl]] = True
+
+    i16 = vtype == J.INT16
+    if i16.any():
+        vtexts[i16] = vval[i16].astype(np.uint16).astype(np.int16).astype("U6").astype(object)
+        v_done[i16] = True
+    u16t = vtype == J.UINT16
+    if u16t.any():
+        vtexts[u16t] = vval[u16t].astype("U5").astype(object)
+        v_done[u16t] = True
+
+    def _gather_w(sel: np.ndarray, width: int) -> np.ndarray:
+        acc = np.zeros(len(sel), dtype=np.uint64)
+        vb = base_e[sel] + vval[sel]
+        for k in range(width):
+            acc |= data[vb + k].astype(np.uint64) << np.uint64(8 * k)
+        return acc
+
+    for type_byte, width, signed in (
+        (J.INT32, 4, True), (J.UINT32, 4, False),
+        (J.INT64, 8, True), (J.UINT64, 8, False),
+    ):
+        m = (vtype == type_byte) & (vval + width <= size_e)
+        if not m.any():
+            continue
+        sel = np.nonzero(m)[0]
+        u = _gather_w(sel, width)
+        if signed:
+            v = u.astype({4: np.uint32, 8: np.uint64}[width])
+            v = v.astype({4: np.int32, 8: np.int64}[width])
+            vtexts[sel] = v.astype(np.int64).astype("U21").astype(object)
+        else:
+            vtexts[sel] = u.astype("U21").astype(object)
+        v_done[sel] = True
+
+    m = (vtype == J.DOUBLE) & (vval + 8 <= size_e)
+    if m.any():
+        sel = np.nonzero(m)[0]
+        f = _gather_w(sel, 8).view(np.float64)
+        finite = np.isfinite(f)
+        vtexts[sel[finite]] = f[finite].astype("U32").astype(object)
+        v_done[sel[finite]] = True
+
+    m = (vtype == J.STRING) & (vval + 1 <= size_e)
+    if m.any():
+        sel = np.nonzero(m)[0]
+        sb = base_e[sel] + vval[sel]
+        b0 = data[sb].astype(np.int64)
+        one = b0 < 0x80
+        two = ~one & (vval[sel] + 2 <= size_e[sel])
+        b1 = np.zeros(len(sel), dtype=np.int64)
+        b1[two] = data[sb[two] + 1]
+        two &= b1 < 0x80
+        known = one | two
+        slen = np.where(one, b0, (b0 & 0x7F) | (b1 << 7))
+        ps = sb + np.where(one, 1, 2)
+        fits = known & (vval[sel] + np.where(one, 1, 2) + slen <= size_e[sel])
+        ssel = sel[fits]
+        if len(ssel):
+            ps, sl = ps[fits], slen[fits]
+            total = int(sl.sum())
+            offs = np.zeros(len(sl) + 1, dtype=np.int64)
+            np.cumsum(sl, out=offs[1:])
+            if total:
+                within = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], sl)
+                payload = data[np.repeat(ps, sl) + within]
+                esc = (payload == 0x22) | (payload == 0x5C) | (payload < 0x20)
+                any_esc = np.zeros(len(sl), dtype=bool)
+                nz = sl > 0
+                if nz.any():
+                    any_esc[nz] = np.add.reduceat(esc, offs[:-1][nz]) > 0
+            else:
+                any_esc = np.zeros(len(sl), dtype=bool)
+            plain = np.nonzero(~any_esc)[0]
+            if len(plain):
+                sv = _strings_from_slices(
+                    data, ps[plain], sl[plain], np.zeros(len(plain), dtype=bool)
+                )
+                vtexts[ssel[plain]] = (
+                    '"' + pd.Series(sv, dtype=object) + '"'
+                ).to_numpy()
+                v_done[ssel[plain]] = True
+
+    e_ok &= v_done
+
+    # any failed element defers its whole object to the recursive path
+    obj_ok = np.logical_and.reduceat(e_ok, e_start)
+    ok[obj] &= obj_ok
+    good_obj = np.nonzero(obj_ok)[0]
+    if not len(good_obj):
+        return texts, ok
+
+    good_e = obj_ok[oi]
+    pieces = (
+        pd.Series(np.where(ek[good_e] == 0, "", ", "), dtype=object)
+        + '"' + pd.Series(keys[good_e], dtype=object) + '": '
+        + pd.Series(vtexts[good_e], dtype=object)
+    ).to_numpy()
+    g_cnt = cnt[good_obj]
+    g_start = np.concatenate(([0], np.cumsum(g_cnt)[:-1]))
+    joined = np.add.reduceat(pieces, g_start)
+    texts[obj[good_obj]] = (
+        "{" + pd.Series(joined, dtype=object) + "}"
+    ).to_numpy()
+    return texts, ok
 
 
 def _decimals_from_unscaled(vals: np.ndarray, nulls: np.ndarray, p: int, s: int) -> np.ndarray:
