@@ -76,7 +76,7 @@ def _ensure_e2e_oracle_parquet() -> str:
 
 def _replay_e2e(
     spark: SparkSession, provider: str = "mysql", row_image: str = "full",
-    row_metadata: str = "full",
+    row_metadata: str = "full", compress: bool = False,
 ) -> DataFrame:
     """Shared e2e body: deterministic transcript changelog →
     binlog-format bytes (per provider / row-image / row-metadata mode) →
@@ -95,7 +95,8 @@ def _replay_e2e(
     # fresh every call, into a fresh store)
     binlog_dir = os.path.join(
         tempfile.gettempdir(),
-        f"cdc_e2e_binlog_{provider}_{row_image}_{row_metadata}",
+        f"cdc_e2e_binlog_{provider}_{row_image}_{row_metadata}"
+        + ("_z" if compress else ""),
     )
     done_marker = binlog_dir + ".complete"
     if not os.path.exists(done_marker):
@@ -103,10 +104,20 @@ def _replay_e2e(
 
         shutil.rmtree(binlog_dir, ignore_errors=True)
         txns = generate_changelog(**_E2E_KNOBS)
-        write_binlog_files(
+        paths = write_binlog_files(
             txns, binlog_dir, txns_per_file=40,
             provider=provider, row_image=row_image, row_metadata=row_metadata,
         )
+        if compress:
+            # rewrite each file as a log_bin_compress=ON stream (zlib
+            # tails, re-linked next_pos chain) — binlog/compressed.py
+            from mysql_cdc_spark.binlog.compressed import compress_segment
+
+            for p in paths:
+                with open(p, "rb") as f:
+                    data = compress_segment(f.read())
+                with open(p, "wb") as f:
+                    f.write(data)
         with open(done_marker, "w") as f:
             f.write("ok")
     tmp = tempfile.mkdtemp(prefix=f"cdc_entry_{provider}_{row_image}_{row_metadata}_")
@@ -177,6 +188,17 @@ def cdc_replay_ddl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_e2e(spark, provider="mysql", row_metadata="minimal")
 
 
+def cdc_replay_compressed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MariaDB log_bin_compress=ON end-to-end (beyond-reference — the
+    reference's event enum stops at GTID_LIST=163): every QUERY / rows
+    event's variable tail is zlib-deflated on disk (types 165-171), so
+    both decode paths must inflate, dispatch the plain twin, and keep
+    positions exact in the compressed file's own on-disk coordinates
+    (binlog/compressed.py). The logical stream is unchanged → same
+    sequential-replay oracle."""
+    return _replay_e2e(spark, provider="mariadb", row_image="full", compress=True)
+
+
 # Sequential replay of the dual-written logical changelog: at-most-once per
 # transaction seq (uuid_set.rs:46-48 idempotence — first delivery wins),
 # then per-key last-writer over the (seq, op_ord) total order, deletes
@@ -215,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_minimal_e2e"] = cdc_replay_minimal_e2e
     out["cdc_replay_mariadb_e2e"] = cdc_replay_mariadb_e2e
     out["cdc_replay_ddl_e2e"] = cdc_replay_ddl_e2e
+    out["cdc_replay_compressed_e2e"] = cdc_replay_compressed_e2e
     return out
 
 
@@ -233,4 +256,7 @@ def oracle_sql() -> dict[str, str]:
     # MINIMAL row *metadata* (nameless TABLE_MAPs + DDL-discovered schema)
     # also leaves the logical stream unchanged — same oracle again
     out["cdc_replay_ddl_e2e"] = CDC_REPLAY_E2E_SQL
+    # log_bin_compress=ON changes only the on-disk byte form (zlib event
+    # tails) — the logical stream, and therefore the oracle, is identical
+    out["cdc_replay_compressed_e2e"] = CDC_REPLAY_E2E_SQL
     return out

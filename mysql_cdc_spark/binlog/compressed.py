@@ -1,0 +1,289 @@
+"""MariaDB compressed binlog events (``log_bin_compress=ON``) — zlib codec.
+
+Beyond-reference capability: the reference library has no compressed-event
+support at all (its 17-variant enum stops at MariaDB GTID_LIST=163;
+src/events/event_type.rs), so a MariaDB server running with
+``log_bin_compress=ON`` — a common setting for WAN replication — is
+unreadable by it. The formats here are MariaDB's published on-disk layouts
+(server source ``sql/log_event.cc``: ``binlog_buf_compress``,
+``binlog_get_uncompress_len``, ``query_event_uncompress``,
+``row_log_event_uncompress``), re-implemented from the documented format:
+
+Compressed record::
+
+    byte 0   : 0x80 | (algorithm << 4) | lenlen   (algorithm 0 = zlib)
+    bytes 1..: uncompressed length, big-endian, ``lenlen`` (1-4) bytes
+    rest     : zlib deflate stream
+
+What is compressed differs per event kind (only the *variable tail* is,
+so the schema-bearing head stays random-access):
+
+- QUERY_COMPRESSED (165): everything through the post-header, status
+  vars, db name and NUL stays plain; the SQL text is compressed.
+- {WRITE,UPDATE,DELETE}_ROWS_COMPRESSED[_V1] (166-171): the rows-event
+  post-header, len-enc column count and presence bitmap(s) stay plain;
+  the row images are compressed.
+
+Inflating rewrites the event to its plain twin (type byte per
+``constants.COMPRESSED_TO_PLAIN``) so every existing decode path — scalar
+and vectorized — runs unchanged on the inflated bytes.
+
+Position exactness: ``inflate_segment`` returns, alongside the inflated
+stream, the *original on-disk start offset of every frame*. The decoders
+report those as ``pos`` (and keep each header's untouched
+``next_event_position``), so ledger/resume arithmetic stays exact in
+on-disk coordinates even though inflated frames are longer.
+
+Scale note: zlib inflate runs in C at hundreds of MB/s; the per-event
+Python overhead is one dict lookup on the type byte. Segments with no
+compressed events (the common case) pay exactly that lookup — the numpy
+type-byte scan in the vectorized path and the existing dispatch in the
+scalar path — and are passed through untouched, zero-copy.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+from . import kernels as K
+from .constants import (
+    COMPRESSED_TO_PLAIN,
+    EVENT_HEADER_SIZE,
+    FIRST_EVENT_POSITION,
+    MAGIC_NUMBER,
+    ChecksumType,
+    EventType,
+)
+
+
+class CompressedEventError(ValueError):
+    """Malformed compressed record (bad flag byte, algorithm, or length)."""
+
+
+def parse_compressed_head(buf: bytes, off: int = 0) -> tuple[int, int]:
+    """Parse the 1-5 byte compressed-record head at ``off``.
+
+    Returns ``(uncompressed_length, data_offset)``. Mirrors
+    ``binlog_get_uncompress_len``: flag bit 7 must be set, algorithm bits
+    6-4 must be 0 (zlib), low 3 bits give the big-endian length width.
+    """
+    if off >= len(buf):
+        raise CompressedEventError("compressed record truncated before head")
+    b0 = buf[off]
+    if b0 & 0x80 == 0 or (b0 >> 4) & 0x07 != 0:
+        raise CompressedEventError(
+            f"bad compressed-record head 0x{b0:02x} (want 0x80|lenlen, zlib)"
+        )
+    lenlen = b0 & 0x07
+    if not 1 <= lenlen <= 4 or off + 1 + lenlen > len(buf):
+        raise CompressedEventError(f"bad compressed length width {lenlen}")
+    un_len = int.from_bytes(buf[off + 1 : off + 1 + lenlen], "big")
+    return un_len, off + 1 + lenlen
+
+
+def compress_record(data: bytes) -> bytes:
+    """Inverse of :func:`parse_compressed_head` + inflate — the fixture
+    encoder's side of ``binlog_buf_compress``."""
+    n = len(data)
+    lenlen = max(1, (n.bit_length() + 7) // 8)
+    if lenlen > 4:
+        raise CompressedEventError("record over 4 GiB cannot be framed")
+    return bytes([0x80 | lenlen]) + n.to_bytes(lenlen, "big") + zlib.compress(data)
+
+
+def _inflate_tail(payload: bytes, head_end: int) -> bytes:
+    un_len, data_off = parse_compressed_head(payload, head_end)
+    out = zlib.decompress(payload[data_off:], bufsize=max(un_len, 16))
+    if len(out) != un_len:
+        raise CompressedEventError(
+            f"inflated {len(out)} bytes, record head promised {un_len}"
+        )
+    return payload[:head_end] + out
+
+
+def _head_split(plain_etype: int, payload: bytes) -> int:
+    """Offset where the compressible variable tail starts. The head layout
+    is identical in the plain and compressed twins (only the tail differs),
+    so both the inflater and the fixture compressor share this walk."""
+    E = EventType
+    if plain_etype == E.QUERY:
+        # post-header: thread_id(4) exec_time(4) db_len(1) error(2)
+        # status_len(2), then status vars + db + NUL stay plain
+        db_len = payload[8]
+        status_len = struct.unpack_from("<H", payload, 11)[0]
+        return 13 + status_len + db_len + 1
+    # rows post-header: table_id(6) + flags(2) [+ V2 extra-data]
+    off = 8
+    if plain_etype in (
+        E.MYSQL_WRITE_ROWS_V2,
+        E.MYSQL_UPDATE_ROWS_V2,
+        E.MYSQL_DELETE_ROWS_V2,
+    ):
+        extra = struct.unpack_from("<H", payload, off)[0]
+        off += extra  # extra length includes its own two bytes
+    ncols, off = K.read_len_enc_num(payload, off)
+    off += (ncols + 7) // 8  # columns-present bitmap
+    if plain_etype in (E.UPDATE_ROWS_V1, E.MYSQL_UPDATE_ROWS_V2):
+        off += (ncols + 7) // 8  # update after-image bitmap
+    return off
+
+
+def inflate_event_body(etype: int, payload: bytes) -> tuple[int, bytes]:
+    """One compressed event body (header+checksum already stripped) →
+    ``(plain_event_type, plain_body)``. Non-compressed types pass through."""
+    plain = COMPRESSED_TO_PLAIN.get(etype)
+    if plain is None:
+        return etype, payload
+    return plain, _inflate_tail(payload, _head_split(plain, payload))
+
+
+def compress_event_body(etype: int, payload: bytes) -> tuple[int, bytes]:
+    """Fixture-side inverse of :func:`inflate_event_body` — the encoder half
+    of ``binlog_buf_compress``. Types without a compressed twin pass
+    through."""
+    comp = PLAIN_TO_COMPRESSED.get(etype)
+    if comp is None:
+        return etype, payload
+    head_end = _head_split(etype, payload)
+    return comp, payload[:head_end] + compress_record(payload[head_end:])
+
+
+_COMPRESSED_TYPES = frozenset(COMPRESSED_TO_PLAIN)
+PLAIN_TO_COMPRESSED = {v: k for k, v in COMPRESSED_TO_PLAIN.items()}
+
+
+def segment_has_compressed(etypes: np.ndarray) -> bool:
+    """Cheap gate for the vectorized path: any frame type in 165..171."""
+    return bool(
+        len(etypes)
+        and np.any(
+            (etypes >= EventType.MARIADB_QUERY_COMPRESSED)
+            & (etypes <= EventType.MARIADB_DELETE_ROWS_COMPRESSED)
+        )
+    )
+
+
+def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
+    """Rewrite a whole segment's compressed frames to their plain twins.
+
+    Returns ``(inflated_content, orig_offsets)`` where ``orig_offsets[i]``
+    is the *on-disk* start offset of inflated frame ``i`` — the decoders
+    report these as ``pos``. Returns ``None`` when the segment contains no
+    compressed frames (caller keeps the original bytes, zero-copy).
+
+    Header handling per rewritten frame: timestamp/server_id/flags are
+    copied, the type byte becomes the plain twin, ``event_length`` is the
+    inflated length, and ``next_event_position`` keeps its original
+    on-disk value (it is an on-disk coordinate; inflation must not invent
+    a new coordinate space). CRC32 trailers are recomputed over the
+    rewritten frame when the stream's FDE declares them.
+    """
+    if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+        raise ValueError("Invalid binary log file header")
+    n = len(content)
+    u32 = struct.Struct("<I").unpack_from
+    # quick scan: bail out (common case) before allocating anything
+    pos = FIRST_EVENT_POSITION
+    found = False
+    while pos + EVENT_HEADER_SIZE <= n:
+        ln = u32(content, pos + 9)[0]
+        if ln < EVENT_HEADER_SIZE or pos + ln > n:
+            break
+        if content[pos + 4] in _COMPRESSED_TYPES:
+            found = True
+            break
+        pos += ln
+    if not found:
+        return None
+
+    from .reader import parse_format_description  # lazy: avoid import cycle
+
+    checksum = ChecksumType.NONE
+    out: list[bytes] = [MAGIC_NUMBER]
+    orig_offs: list[int] = []
+    pos = FIRST_EVENT_POSITION
+    while pos + EVENT_HEADER_SIZE <= n:
+        ln = u32(content, pos + 9)[0]
+        if ln < EVENT_HEADER_SIZE or pos + ln > n:
+            break  # truncated tail — both decoders stop here too
+        frame = content[pos : pos + ln]
+        etype = frame[4]
+        if etype == EventType.FORMAT_DESCRIPTION:
+            _, _, checksum = parse_format_description(
+                frame[EVENT_HEADER_SIZE:], ln
+            )
+        if etype in _COMPRESSED_TYPES:
+            trailer = 4 if checksum == ChecksumType.CRC32 else 0
+            body = frame[EVENT_HEADER_SIZE : ln - trailer]
+            plain_type, plain_body = inflate_event_body(etype, body)
+            new_len = EVENT_HEADER_SIZE + len(plain_body) + trailer
+            header = bytearray(frame[:EVENT_HEADER_SIZE])
+            header[4] = plain_type
+            header[9:13] = struct.pack("<I", new_len)
+            # header[13:17] (next_event_position) stays the on-disk value
+            new_frame = bytes(header) + plain_body
+            if trailer:
+                new_frame += struct.pack("<I", zlib.crc32(new_frame))
+            out.append(new_frame)
+        else:
+            out.append(frame)
+        orig_offs.append(pos)
+        pos += ln
+    return b"".join(out), np.array(orig_offs, dtype=np.int64)
+
+
+def compress_segment(content: bytes) -> bytes:
+    """Fixture encoder: rewrite a plain segment as a ``log_bin_compress=ON``
+    stream — every QUERY / rows frame gets its variable tail deflated and
+    its type byte swapped to the compressed twin, and the whole chain's
+    ``next_event_position`` values are re-linked over the new (shorter)
+    frame lengths, exactly as a MariaDB server would have written the file.
+    CRC32 trailers are recomputed when the stream's FDE declares them.
+    Test/bench harness only — production code never compresses."""
+    if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+        raise ValueError("Invalid binary log file header")
+    from .reader import parse_format_description  # lazy: avoid import cycle
+
+    n = len(content)
+    u32 = struct.Struct("<I").unpack_from
+    checksum = ChecksumType.NONE
+    out: list[bytes] = [MAGIC_NUMBER]
+    new_pos = FIRST_EVENT_POSITION
+    pos = FIRST_EVENT_POSITION
+    while pos + EVENT_HEADER_SIZE <= n:
+        ln = u32(content, pos + 9)[0]
+        if ln < EVENT_HEADER_SIZE or pos + ln > n:
+            break
+        frame = content[pos : pos + ln]
+        etype = frame[4]
+        if etype == EventType.FORMAT_DESCRIPTION:
+            _, _, checksum = parse_format_description(frame[EVENT_HEADER_SIZE:], ln)
+        trailer = 4 if checksum == ChecksumType.CRC32 else 0
+        if etype in PLAIN_TO_COMPRESSED:
+            body = frame[EVENT_HEADER_SIZE : ln - trailer]
+            comp_type, comp_body = compress_event_body(etype, body)
+            new_len = EVENT_HEADER_SIZE + len(comp_body) + trailer
+            header = bytearray(frame[:EVENT_HEADER_SIZE])
+            header[4] = comp_type
+            header[9:13] = struct.pack("<I", new_len)
+            header[13:17] = struct.pack("<I", new_pos + new_len)
+            new_frame = bytes(header) + comp_body
+            if trailer:
+                new_frame += struct.pack("<I", zlib.crc32(new_frame))
+        else:
+            header = bytearray(frame[:EVENT_HEADER_SIZE])
+            header[13:17] = struct.pack("<I", new_pos + ln)
+            new_frame = bytes(header) + frame[EVENT_HEADER_SIZE:]
+            if trailer and etype != EventType.FORMAT_DESCRIPTION:
+                new_frame = new_frame[:-4] + struct.pack(
+                    "<I", zlib.crc32(new_frame[:-4])
+                )
+            new_len = ln
+        out.append(new_frame)
+        new_pos += new_len
+        pos += ln
+    return b"".join(out)

@@ -40,6 +40,31 @@ class EventType:
     MARIADB_GTID = 162
     MARIADB_GTID_LIST = 163
     MARIADB_START_ENCRYPTION = 164
+    # MariaDB log_bin_compress=ON event kinds (zlib body; beyond-reference —
+    # the reference has no compressed-event support). V1 are what MariaDB
+    # servers emit; the plain (V2-shaped) codes exist in the enum for
+    # completeness.
+    MARIADB_QUERY_COMPRESSED = 165
+    MARIADB_WRITE_ROWS_COMPRESSED_V1 = 166
+    MARIADB_UPDATE_ROWS_COMPRESSED_V1 = 167
+    MARIADB_DELETE_ROWS_COMPRESSED_V1 = 168
+    MARIADB_WRITE_ROWS_COMPRESSED = 169
+    MARIADB_UPDATE_ROWS_COMPRESSED = 170
+    MARIADB_DELETE_ROWS_COMPRESSED = 171
+
+
+# compressed event code → the uncompressed event code its inflated body
+# parses as (MariaDB log_event.cc query_event_uncompress /
+# row_log_event_uncompress rewrite the type byte exactly this way)
+COMPRESSED_TO_PLAIN = {
+    EventType.MARIADB_QUERY_COMPRESSED: EventType.QUERY,
+    EventType.MARIADB_WRITE_ROWS_COMPRESSED_V1: EventType.WRITE_ROWS_V1,
+    EventType.MARIADB_UPDATE_ROWS_COMPRESSED_V1: EventType.UPDATE_ROWS_V1,
+    EventType.MARIADB_DELETE_ROWS_COMPRESSED_V1: EventType.DELETE_ROWS_V1,
+    EventType.MARIADB_WRITE_ROWS_COMPRESSED: EventType.MYSQL_WRITE_ROWS_V2,
+    EventType.MARIADB_UPDATE_ROWS_COMPRESSED: EventType.MYSQL_UPDATE_ROWS_V2,
+    EventType.MARIADB_DELETE_ROWS_COMPRESSED: EventType.MYSQL_DELETE_ROWS_V2,
+}
 
 
 ROW_EVENTS_V1 = {

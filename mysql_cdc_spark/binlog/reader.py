@@ -24,6 +24,7 @@ from typing import Iterator, Optional
 
 from . import kernels as K
 from .constants import (
+    COMPRESSED_TO_PLAIN,
     EVENT_HEADER_SIZE,
     FIRST_EVENT_POSITION,
     MAGIC_NUMBER,
@@ -597,6 +598,13 @@ class BinlogFileReader:
 
     def _parse(self, etype: int, server_id: int, payload: bytes, event_length: int):
         E = EventType
+        if etype in COMPRESSED_TO_PLAIN:
+            # MariaDB log_bin_compress frame (beyond-reference; the CRC32
+            # trailer was already trimmed by __iter__): inflate the zlib
+            # tail and dispatch as the plain twin — binlog/compressed.py
+            from .compressed import inflate_event_body
+
+            etype, payload = inflate_event_body(etype, payload)
         if etype == E.FORMAT_DESCRIPTION:
             binlog_version, server_version, checksum = parse_format_description(
                 payload, event_length

@@ -58,6 +58,7 @@ from .constants import (
     ColumnType,
     EventType,
 )
+from .compressed import inflate_segment, segment_has_compressed
 from .reader import parse_format_description, parse_query, parse_table_map
 
 _ROW_WRITE = (EventType.WRITE_ROWS_V1, EventType.MYSQL_WRITE_ROWS_V2)
@@ -1471,6 +1472,16 @@ class _Prep:
 def _prepare_segment(content: bytes, spec) -> _Prep:
     prep = _Prep()
     fr = _frame_chain(content)
+    fr["pos_out"] = fr["off"]
+    if segment_has_compressed(fr["etype"]):
+        # MariaDB log_bin_compress frames: inflate the whole segment once
+        # (zlib in C), re-walk the inflated bytes, and report positions in
+        # on-disk coordinates via the sidecar map — binlog/compressed.py
+        inflated = inflate_segment(content)
+        if inflated is not None:
+            content, orig_offs = inflated
+            fr = _frame_chain(content)
+            fr["pos_out"] = orig_offs[: fr["n"]]
     prep.fr = fr
     data, m = fr["data"], fr["n"]
     etype, ps, pe = fr["etype"], fr["p_start"], fr["p_end"]
@@ -1650,7 +1661,7 @@ def decode_segment_fast(
         out: dict[str, tuple] = {}
         e_abs = ev[evt_local]
         l_abs = loc[evt_local]
-        out["pos"] = ("i64", fr["off"][e_abs])
+        out["pos"] = ("i64", fr["pos_out"][e_abs])
         out["next_pos"] = ("i64", fr["next_pos"][e_abs])
         hts = fr["ts"][e_abs]
         tsv = hts.astype("datetime64[s]").astype("datetime64[ms]")
@@ -1800,7 +1811,7 @@ def segment_row_stats(
 
     # committed transactions only (gate_complete_transactions analog)
     mask = prep.hx_k[l_all].copy()
-    pos_row = fr["off"][ridx_k[l_all]]
+    pos_row = fr["pos_out"][ridx_k[l_all]]
     if min_pos_exclusive is not None:
         mask &= pos_row > min_pos_exclusive
     src = prep.src_k[l_all]
