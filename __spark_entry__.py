@@ -76,7 +76,7 @@ def _ensure_e2e_oracle_parquet() -> str:
 
 def _replay_e2e(
     spark: SparkSession, provider: str = "mysql", row_image: str = "full",
-    row_metadata: str = "full", compress: bool = False,
+    row_metadata: str = "full", compress: str | None = None,
 ) -> DataFrame:
     """Shared e2e body: deterministic transcript changelog →
     binlog-format bytes (per provider / row-image / row-metadata mode) →
@@ -96,7 +96,7 @@ def _replay_e2e(
     binlog_dir = os.path.join(
         tempfile.gettempdir(),
         f"cdc_e2e_binlog_{provider}_{row_image}_{row_metadata}"
-        + ("_z" if compress else ""),
+        + (f"_{compress}" if compress else ""),
     )
     done_marker = binlog_dir + ".complete"
     if not os.path.exists(done_marker):
@@ -108,14 +108,26 @@ def _replay_e2e(
             txns, binlog_dir, txns_per_file=40,
             provider=provider, row_image=row_image, row_metadata=row_metadata,
         )
-        if compress:
-            # rewrite each file as a log_bin_compress=ON stream (zlib
-            # tails, re-linked next_pos chain) — binlog/compressed.py
+        if compress == "zlib":
+            # rewrite each file as a MariaDB log_bin_compress=ON stream
+            # (zlib tails, re-linked next_pos chain) — binlog/compressed.py
             from mysql_cdc_spark.binlog.compressed import compress_segment
 
             for p in paths:
                 with open(p, "rb") as f:
                     data = compress_segment(f.read())
+                with open(p, "wb") as f:
+                    f.write(data)
+        elif compress == "payload":
+            # rewrite each file as a MySQL binlog_transaction_compression=ON
+            # stream (zstd TRANSACTION_PAYLOAD wrappers per transaction)
+            from mysql_cdc_spark.binlog.compressed import (
+                wrap_transaction_payload_segment,
+            )
+
+            for p in paths:
+                with open(p, "rb") as f:
+                    data = wrap_transaction_payload_segment(f.read(), "zstd")
                 with open(p, "wb") as f:
                     f.write(data)
         with open(done_marker, "w") as f:
@@ -196,7 +208,18 @@ def cdc_replay_compressed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions exact in the compressed file's own on-disk coordinates
     (binlog/compressed.py). The logical stream is unchanged → same
     sequential-replay oracle."""
-    return _replay_e2e(spark, provider="mariadb", row_image="full", compress=True)
+    return _replay_e2e(spark, provider="mariadb", row_image="full", compress="zlib")
+
+
+def cdc_replay_payload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL binlog_transaction_compression=ON end-to-end (beyond-
+    reference): each transaction's BEGIN/table-map/rows/XID events ride
+    inside one zstd TRANSACTION_PAYLOAD frame (type 40, TLV header); the
+    engine must unwrap, splice the embedded checksum-free events into
+    both decode paths, and keep positions at the wrapper frame's on-disk
+    offset so resume stays exact (a wrapped transaction is atomic).
+    Same logical stream → same sequential-replay oracle."""
+    return _replay_e2e(spark, provider="mysql", row_image="full", compress="payload")
 
 
 # Sequential replay of the dual-written logical changelog: at-most-once per
@@ -238,6 +261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_mariadb_e2e"] = cdc_replay_mariadb_e2e
     out["cdc_replay_ddl_e2e"] = cdc_replay_ddl_e2e
     out["cdc_replay_compressed_e2e"] = cdc_replay_compressed_e2e
+    out["cdc_replay_payload_e2e"] = cdc_replay_payload_e2e
     return out
 
 
@@ -259,4 +283,6 @@ def oracle_sql() -> dict[str, str]:
     # log_bin_compress=ON changes only the on-disk byte form (zlib event
     # tails) — the logical stream, and therefore the oracle, is identical
     out["cdc_replay_compressed_e2e"] = CDC_REPLAY_E2E_SQL
+    # zstd TRANSACTION_PAYLOAD wrappers likewise change only the byte form
+    out["cdc_replay_payload_e2e"] = CDC_REPLAY_E2E_SQL
     return out

@@ -157,12 +157,16 @@ PLAIN_TO_COMPRESSED = {v: k for k, v in COMPRESSED_TO_PLAIN.items()}
 
 
 def segment_has_compressed(etypes: np.ndarray) -> bool:
-    """Cheap gate for the vectorized path: any frame type in 165..171."""
+    """Cheap gate for the vectorized path: any MariaDB compressed frame
+    (165..171) or MySQL TRANSACTION_PAYLOAD wrapper (40)."""
     return bool(
         len(etypes)
         and np.any(
-            (etypes >= EventType.MARIADB_QUERY_COMPRESSED)
-            & (etypes <= EventType.MARIADB_DELETE_ROWS_COMPRESSED)
+            (
+                (etypes >= EventType.MARIADB_QUERY_COMPRESSED)
+                & (etypes <= EventType.MARIADB_DELETE_ROWS_COMPRESSED)
+            )
+            | (etypes == EventType.MYSQL_TRANSACTION_PAYLOAD)
         )
     )
 
@@ -170,16 +174,24 @@ def segment_has_compressed(etypes: np.ndarray) -> bool:
 def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
     """Rewrite a whole segment's compressed frames to their plain twins.
 
+    Handles both wire forms: MariaDB ``log_bin_compress`` frames (165-171,
+    1:1 rewrite) and MySQL TRANSACTION_PAYLOAD wrappers (type 40, one
+    frame splices into its N embedded events).
+
     Returns ``(inflated_content, orig_offsets)`` where ``orig_offsets[i]``
     is the *on-disk* start offset of inflated frame ``i`` — the decoders
-    report these as ``pos``. Returns ``None`` when the segment contains no
-    compressed frames (caller keeps the original bytes, zero-copy).
+    report these as ``pos`` (every event spliced out of one payload frame
+    maps to that frame's offset: a wrapped transaction is atomic, so
+    frame-granular resume is exact). Returns ``None`` when the segment
+    contains no compressed frames (caller keeps the original bytes,
+    zero-copy).
 
     Header handling per rewritten frame: timestamp/server_id/flags are
     copied, the type byte becomes the plain twin, ``event_length`` is the
     inflated length, and ``next_event_position`` keeps its original
     on-disk value (it is an on-disk coordinate; inflation must not invent
-    a new coordinate space). CRC32 trailers are recomputed over the
+    a new coordinate space) — spliced embedded events get the wrapper
+    frame's on-disk next position. CRC32 trailers are recomputed over the
     rewritten frame when the stream's FDE declares them.
     """
     if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
@@ -193,7 +205,8 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
         ln = u32(content, pos + 9)[0]
         if ln < EVENT_HEADER_SIZE or pos + ln > n:
             break
-        if content[pos + 4] in _COMPRESSED_TYPES:
+        t = content[pos + 4]
+        if t in _COMPRESSED_TYPES or t == EventType.MYSQL_TRANSACTION_PAYLOAD:
             found = True
             break
         pos += ln
@@ -216,8 +229,8 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
             _, _, checksum = parse_format_description(
                 frame[EVENT_HEADER_SIZE:], ln
             )
+        trailer = 4 if checksum == ChecksumType.CRC32 else 0
         if etype in _COMPRESSED_TYPES:
-            trailer = 4 if checksum == ChecksumType.CRC32 else 0
             body = frame[EVENT_HEADER_SIZE : ln - trailer]
             plain_type, plain_body = inflate_event_body(etype, body)
             new_len = EVENT_HEADER_SIZE + len(plain_body) + trailer
@@ -229,9 +242,35 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
             if trailer:
                 new_frame += struct.pack("<I", zlib.crc32(new_frame))
             out.append(new_frame)
+            orig_offs.append(pos)
+        elif etype == EventType.MYSQL_TRANSACTION_PAYLOAD:
+            body = frame[EVENT_HEADER_SIZE : ln - trailer] if trailer else frame[
+                EVENT_HEADER_SIZE:
+            ]
+            outer_next = frame[13:17]  # on-disk next position, little-endian
+            inner = inflate_transaction_payload(body)
+            ipos, m = 0, len(inner)
+            while ipos + EVENT_HEADER_SIZE <= m:
+                iln = u32(inner, ipos + 9)[0]
+                if iln < EVENT_HEADER_SIZE or ipos + iln > m:
+                    raise CompressedEventError(
+                        "corrupt embedded frame inside transaction payload"
+                    )
+                iheader = bytearray(inner[ipos : ipos + EVENT_HEADER_SIZE])
+                ibody = inner[ipos + EVENT_HEADER_SIZE : ipos + iln]
+                iheader[9:13] = struct.pack(
+                    "<I", EVENT_HEADER_SIZE + len(ibody) + trailer
+                )
+                iheader[13:17] = outer_next
+                new_frame = bytes(iheader) + ibody
+                if trailer:
+                    new_frame += struct.pack("<I", zlib.crc32(new_frame))
+                out.append(new_frame)
+                orig_offs.append(pos)
+                ipos += iln
         else:
             out.append(frame)
-        orig_offs.append(pos)
+            orig_offs.append(pos)
         pos += ln
     return b"".join(out), np.array(orig_offs, dtype=np.int64)
 
@@ -286,4 +325,227 @@ def compress_segment(content: bytes) -> bytes:
         out.append(new_frame)
         new_pos += new_len
         pos += ln
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# MySQL 8.0.20+ TRANSACTION_PAYLOAD (type 40) — binlog_transaction_compression
+# --------------------------------------------------------------------------
+# One frame wraps a whole transaction's events (BEGIN query, table maps,
+# row events, XID) as a zstd-compressed — or uncompressed — payload; the
+# GTID event stays outside the wrapper. On-the-wire layout
+# (libbinlogevents Transaction_payload_event; also implemented by
+# go-mysql replication/event.go and python-mysql-replication): a TLV
+# field list, each field a 1-byte type + 1-byte length + little-endian
+# fixed-width value, terminated by HEADER_END_MARK, then the raw payload.
+# Events inside the payload carry NO checksum trailer regardless of the
+# outer stream's FDE (checksum_alg is OFF inside payloads).
+
+PAYLOAD_HEADER_END_MARK = 0
+PAYLOAD_SIZE_FIELD = 1
+PAYLOAD_COMPRESSION_TYPE_FIELD = 2
+PAYLOAD_UNCOMPRESSED_SIZE_FIELD = 3
+
+PAYLOAD_COMPRESSION_ZSTD = 0  # binlogevents/include/compression/base.h
+PAYLOAD_COMPRESSION_NONE = 255
+
+
+def _zstd_codec():
+    """pyarrow ships a compiled zstd codec (standard zstd frames — the
+    same ZSTD_compress output a MySQL server writes); gate behind an
+    import-try so environments without it fail with a clear error, not
+    an ImportError mid-decode."""
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return pa.Codec("zstd")
+    except ImportError:
+        pass
+    return None
+
+
+def parse_payload_fields(body: bytes) -> tuple[int, Optional[int], bytes]:
+    """TLV walk → ``(compression_type, uncompressed_size, raw_payload)``."""
+    off = 0
+    ctype = PAYLOAD_COMPRESSION_NONE
+    psize: Optional[int] = None
+    usize: Optional[int] = None
+    n = len(body)
+    while True:
+        if off >= n:
+            raise CompressedEventError("payload TLV ran past the event body")
+        ftype = body[off]
+        off += 1
+        if ftype == PAYLOAD_HEADER_END_MARK:
+            payload = body[off : off + psize] if psize is not None else body[off:]
+            if psize is not None and len(payload) != psize:
+                raise CompressedEventError(
+                    f"payload truncated: {len(payload)} of {psize} bytes"
+                )
+            return ctype, usize, payload
+        if off >= n:
+            raise CompressedEventError("payload TLV field truncated")
+        flen = body[off]
+        off += 1
+        if off + flen > n:
+            raise CompressedEventError("payload TLV value truncated")
+        val = int.from_bytes(body[off : off + flen], "little")
+        off += flen
+        if ftype == PAYLOAD_SIZE_FIELD:
+            psize = val
+        elif ftype == PAYLOAD_COMPRESSION_TYPE_FIELD:
+            ctype = val
+        elif ftype == PAYLOAD_UNCOMPRESSED_SIZE_FIELD:
+            usize = val
+        # unknown field types are skipped (forward compatibility, same as
+        # the server's codec)
+
+
+def inflate_transaction_payload(body: bytes) -> bytes:
+    """TRANSACTION_PAYLOAD event body → concatenated embedded event frames
+    (19-byte headers, no checksums)."""
+    ctype, usize, payload = parse_payload_fields(body)
+    if ctype == PAYLOAD_COMPRESSION_NONE:
+        return payload
+    if ctype == PAYLOAD_COMPRESSION_ZSTD:
+        codec = _zstd_codec()
+        if codec is None:
+            raise CompressedEventError(
+                "zstd payload but no zstd codec available (pyarrow missing)"
+            )
+        if usize is None:
+            raise CompressedEventError("zstd payload without uncompressed size")
+        out = bytes(codec.decompress(payload, decompressed_size=usize))
+        if len(out) != usize:
+            raise CompressedEventError(
+                f"zstd inflated {len(out)} bytes, header promised {usize}"
+            )
+        return out
+    raise CompressedEventError(f"unknown payload compression type {ctype}")
+
+
+def encode_payload_fields(payload: bytes, ctype: int, usize: int) -> bytes:
+    """Fixture-side TLV encoder — the write half of the server's codec."""
+
+    def field(ftype: int, val: int) -> bytes:
+        width = max(1, (val.bit_length() + 7) // 8)
+        return bytes([ftype, width]) + val.to_bytes(width, "little")
+
+    out = field(PAYLOAD_COMPRESSION_TYPE_FIELD, ctype)
+    if ctype != PAYLOAD_COMPRESSION_NONE:
+        out += field(PAYLOAD_UNCOMPRESSED_SIZE_FIELD, usize)
+    out += field(PAYLOAD_SIZE_FIELD, len(payload))
+    out += bytes([PAYLOAD_HEADER_END_MARK])
+    return out + payload
+
+
+def wrap_transaction_payload_segment(
+    content: bytes, compression: str = "zstd"
+) -> bytes:
+    """Fixture encoder: rewrite a plain segment as a
+    ``binlog_transaction_compression=ON`` stream — each BEGIN..XID run is
+    replaced by one TRANSACTION_PAYLOAD frame (GTID events stay outside,
+    like the server writes them), with the chain's ``next_event_position``
+    re-linked over the new frame lengths. Embedded frames lose their
+    checksum trailers (checksum_alg OFF inside payloads). Test/bench
+    harness only — production code never compresses."""
+    if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+        raise ValueError("Invalid binary log file header")
+    from .reader import parse_format_description, parse_query  # lazy
+
+    if compression == "zstd":
+        ctype = PAYLOAD_COMPRESSION_ZSTD
+        codec = _zstd_codec()
+        if codec is None:
+            raise CompressedEventError("zstd codec unavailable (pyarrow missing)")
+    elif compression == "none":
+        ctype = PAYLOAD_COMPRESSION_NONE
+        codec = None
+    else:
+        raise ValueError(f"unknown compression {compression!r}")
+
+    n = len(content)
+    u32 = struct.Struct("<I").unpack_from
+    checksum = ChecksumType.NONE
+    out: list[bytes] = [MAGIC_NUMBER]
+    new_pos = FIRST_EVENT_POSITION
+    txn: list[bytes] | None = None  # embedded (checksum-free) frames
+    txn_ts = 0
+    txn_server_id = 0
+
+    def emit(etype: int, body: bytes, ts: int, server_id: int) -> None:
+        nonlocal new_pos
+        trailer = 4 if checksum == ChecksumType.CRC32 else 0
+        ln = EVENT_HEADER_SIZE + len(body) + trailer
+        header = struct.pack(
+            "<IBIIIH", ts, etype, server_id, ln, new_pos + ln, 0
+        )
+        frame = header + body
+        if trailer:
+            frame += struct.pack("<I", zlib.crc32(frame))
+        out.append(frame)
+        new_pos += ln
+
+    def passthrough(frame: bytes) -> None:
+        nonlocal new_pos
+        ln = len(frame)
+        header = bytearray(frame[:EVENT_HEADER_SIZE])
+        header[13:17] = struct.pack("<I", new_pos + ln)
+        new_frame = bytes(header) + frame[EVENT_HEADER_SIZE:]
+        if (
+            checksum == ChecksumType.CRC32
+            and frame[4] != EventType.FORMAT_DESCRIPTION
+        ):
+            new_frame = new_frame[:-4] + struct.pack("<I", zlib.crc32(new_frame[:-4]))
+        out.append(new_frame)
+        new_pos += ln
+
+    pos = FIRST_EVENT_POSITION
+    while pos + EVENT_HEADER_SIZE <= n:
+        ln = u32(content, pos + 9)[0]
+        if ln < EVENT_HEADER_SIZE or pos + ln > n:
+            break
+        frame = content[pos : pos + ln]
+        etype = frame[4]
+        pos += ln
+        if etype == EventType.FORMAT_DESCRIPTION:
+            _, _, checksum = parse_format_description(frame[EVENT_HEADER_SIZE:], ln)
+            passthrough(frame)
+            continue
+        trailer = 4 if checksum == ChecksumType.CRC32 else 0
+        body = frame[EVENT_HEADER_SIZE : ln - trailer] if trailer else frame[EVENT_HEADER_SIZE:]
+        if txn is None:
+            if (
+                etype == EventType.QUERY
+                and parse_query(body)["sql_statement"] == "BEGIN"
+            ):
+                txn = []
+                txn_ts = struct.unpack_from("<I", frame, 0)[0]
+                txn_server_id = struct.unpack_from("<I", frame, 5)[0]
+            else:
+                passthrough(frame)
+                continue
+        # inside a transaction: buffer the embedded (checksum-free) form
+        iheader = bytearray(frame[:EVENT_HEADER_SIZE])
+        iheader[9:13] = struct.pack("<I", EVENT_HEADER_SIZE + len(body))
+        iheader[13:17] = b"\x00\x00\x00\x00"  # inner next_pos is meaningless
+        txn.append(bytes(iheader) + body)
+        if etype == EventType.XID:
+            inner = b"".join(txn)
+            txn = None
+            if codec is not None:
+                payload_body = encode_payload_fields(
+                    bytes(codec.compress(inner)), ctype, len(inner)
+                )
+            else:
+                payload_body = encode_payload_fields(inner, ctype, len(inner))
+            emit(
+                EventType.MYSQL_TRANSACTION_PAYLOAD,
+                payload_body,
+                txn_ts,
+                txn_server_id,
+            )
+    if txn is not None:
+        raise CompressedEventError("unterminated transaction at segment end")
     return b"".join(out)

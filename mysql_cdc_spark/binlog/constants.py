@@ -35,6 +35,12 @@ class EventType:
     MYSQL_GTID = 33
     MYSQL_PREVIOUS_GTIDS = 35
     MYSQL_XA_PREPARE = 38
+    # MySQL 8.0.20+ binlog_transaction_compression=ON wrapper (beyond-
+    # reference): one frame carrying a whole transaction's events as a
+    # zstd (or uncompressed) payload — libbinlogevents
+    # Transaction_payload_event, TLV on-the-wire fields
+    MYSQL_TRANSACTION_PAYLOAD = 40
+    MYSQL_HEARTBEAT_V2 = 41
     MARIADB_ANNOTATE_ROWS = 160
     MARIADB_BINLOG_CHECKPOINT = 161
     MARIADB_GTID = 162

@@ -345,6 +345,21 @@ class _FileDecoder:
             self._rows.extend(txn_buffer)
             self._xids.extend([xid] * len(txn_buffer))
 
+        # TRANSACTION_PAYLOAD splices report every embedded event at the
+        # wrapper's on-disk pos; row_in_event continues across row events
+        # sharing one pos so (gtid_seq, pos, row_in_event) stays a total
+        # order within the transaction (pipeline/order.py ORDER_COLS).
+        # Plain frames never share a pos, so base stays 0 for them.
+        last_row_pos = None
+        row_base = 0
+
+        def _base(p, n):
+            nonlocal last_row_pos, row_base
+            b = row_base if p == last_row_pos else 0
+            last_row_pos = p
+            row_base = b + n
+            return b
+
         for header, pos, kind, event in reader:
             if kind == "mysql_gtid":
                 cur_gtid_source = event["source_uuid"]
@@ -366,17 +381,18 @@ class _FileDecoder:
                 db, tbl = table["database_name"], table["table_name"]
                 meta = (pos, header[4], ts, header[2], op, cur_gtid_source,
                         cur_gtid_seq, tid, db, tbl)
+                base = _base(pos, len(event["rows"]))
                 if op == "insert":
                     masks = (0, img_mask)
                     for i, row in enumerate(event["rows"]):
                         txn_buffer.append(
-                            meta + (i,) + masks + nulls + map_image(row, colmap)
+                            meta + (base + i,) + masks + nulls + map_image(row, colmap)
                         )
                 else:
                     masks = (img_mask, 0)
                     for i, row in enumerate(event["rows"]):
                         txn_buffer.append(
-                            meta + (i,) + masks + map_image(row, colmap) + nulls
+                            meta + (base + i,) + masks + map_image(row, colmap) + nulls
                         )
             elif kind == "update_rows":
                 table = reader.table_map[event["table_id"]]
@@ -392,9 +408,10 @@ class _FileDecoder:
                 db, tbl = table["database_name"], table["table_name"]
                 meta = (pos, header[4], ts, header[2], "update", cur_gtid_source,
                         cur_gtid_seq, tid, db, tbl)
+                base = _base(pos, len(event["rows"]))
                 for i, (before, after) in enumerate(event["rows"]):
                     txn_buffer.append(
-                        meta + (i,) + masks
+                        meta + (base + i,) + masks
                         + map_image(before, colmap) + map_image(after, colmap)
                     )
             elif kind == "xid":

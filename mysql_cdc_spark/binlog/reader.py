@@ -592,6 +592,28 @@ class BinlogFileReader:
             if self.checksum_type == ChecksumType.CRC32 and etype != EventType.FORMAT_DESCRIPTION:
                 payload = payload[:-4]  # event_parser.rs:47-50
 
+            if etype == EventType.MYSQL_TRANSACTION_PAYLOAD:
+                # MySQL binlog_transaction_compression wrapper (beyond-
+                # reference): one frame carries a whole transaction;
+                # expand into the embedded events (checksum-free inside),
+                # all reported at the wrapper's on-disk position — a
+                # wrapped transaction is atomic, so frame-granular resume
+                # is exact (binlog/compressed.py)
+                from .compressed import inflate_transaction_payload
+
+                inner = inflate_transaction_payload(payload)
+                ipos, m = 0, len(inner)
+                while ipos + EVENT_HEADER_SIZE <= m:
+                    (its, ietype, isid, ilen, _inext, iflags) = parse_event_header(
+                        inner, ipos
+                    )
+                    ibody = inner[ipos + EVENT_HEADER_SIZE : ipos + ilen]
+                    kind, event = self._parse(ietype, isid, ibody, ilen)
+                    yield (its, ietype, isid, ilen, _next_pos, iflags), pos, kind, event
+                    ipos += ilen
+                pos = payload_end
+                continue
+
             kind, event = self._parse(etype, server_id, payload, event_length)
             yield header, pos, kind, event
             pos = payload_end

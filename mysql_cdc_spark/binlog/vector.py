@@ -1732,9 +1732,28 @@ def decode_segment_fast(
     _, row_all, _ = _col("row_in_event")
     order = np.lexsort((row_all, evt_all))
 
+    # TRANSACTION_PAYLOAD splices give every embedded frame its wrapper's
+    # on-disk pos — renumber row_in_event cumulatively across the frames
+    # of one wrapper so (gtid_seq, pos, row_in_event) stays a total order
+    # within the transaction (pipeline/order.py ORDER_COLS)
+    pos_out = np.asarray(fr["pos_out"])
+    row_adj = None
+    if len(pos_out) > 1 and bool(np.any(pos_out[1:] == pos_out[:-1])):
+        counts = np.bincount(evt_all, minlength=len(pos_out)).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(counts)[:-1]))  # rows before frame i
+        idx = np.arange(len(pos_out), dtype=np.int64)
+        new_run = np.ones(len(pos_out), dtype=bool)
+        new_run[1:] = pos_out[1:] != pos_out[:-1]
+        run_first = np.maximum.accumulate(np.where(new_run, idx, 0))
+        offset = csum - csum[run_first]  # rows in earlier frames of the run
+        row_adj = (row_all.astype(np.int64) + offset[evt_all]).astype(np.int32)
+
     names = [k for k in frames[0] if k != "_evt"]
     cols: dict[str, object] = {"src_file": np.full(len(order), src_file, dtype=object)}
     for name in names:
+        if name == "row_in_event" and row_adj is not None:
+            cols[name] = row_adj[order]
+            continue
         tag, vals, mask = _col(name)
         if tag == "int_null":
             cols[name] = pd.arrays.IntegerArray(vals[order], mask=mask[order])

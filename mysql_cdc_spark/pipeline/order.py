@@ -15,6 +15,13 @@ gtid_seq, so it can never outrank a newer transaction on the same key
 (ST5 idempotence, uuid_set.rs:46-48). For GTID-less streams pass
 ``order_cols=["src_file", "pos", "row_in_event"]``.
 
+TRANSACTION_PAYLOAD streams (MySQL binlog_transaction_compression) splice
+a whole transaction's events out of one wrapper frame, so they all share
+the wrapper's on-disk ``pos``; the decoders keep the order total by
+numbering ``row_in_event`` cumulatively across the frames of one wrapper
+(binlog/compressed.py). Plain frames never share a ``pos``, so their
+``row_in_event`` stays the familiar per-event index.
+
 Multi-source caveat: ``gtid_seq`` values from different ``gtid_source``
 uuids are not mutually ordered, so the default order is only total within
 one source. That matches replication reality — cross-origin writes to the

@@ -318,3 +318,206 @@ class TestReplayE2E:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(before, after)
+
+
+# ------------------------------------------- MySQL TRANSACTION_PAYLOAD (40)
+
+
+from mysql_cdc_spark.binlog.compressed import (  # noqa: E402
+    PAYLOAD_COMPRESSION_NONE,
+    PAYLOAD_COMPRESSION_ZSTD,
+    encode_payload_fields,
+    inflate_transaction_payload,
+    parse_payload_fields,
+    wrap_transaction_payload_segment,
+)
+
+
+class TestPayloadFields:
+    def test_tlv_round_trip_zstd_shape(self):
+        body = encode_payload_fields(b"\x01\x02\x03", PAYLOAD_COMPRESSION_ZSTD, 10)
+        ctype, usize, payload = parse_payload_fields(body)
+        assert (ctype, usize, payload) == (PAYLOAD_COMPRESSION_ZSTD, 10, b"\x01\x02\x03")
+
+    def test_tlv_round_trip_none_shape(self):
+        body = encode_payload_fields(b"abc", PAYLOAD_COMPRESSION_NONE, 3)
+        ctype, usize, payload = parse_payload_fields(body)
+        assert ctype == PAYLOAD_COMPRESSION_NONE and payload == b"abc"
+
+    def test_unknown_fields_skipped(self):
+        # forward compat: an unknown TLV field type must be ignored
+        body = bytes([9, 2, 0xAA, 0xBB]) + encode_payload_fields(
+            b"xy", PAYLOAD_COMPRESSION_NONE, 2
+        )
+        ctype, _usize, payload = parse_payload_fields(body)
+        assert ctype == PAYLOAD_COMPRESSION_NONE and payload == b"xy"
+
+    def test_truncated_tlv_raises(self):
+        with pytest.raises(CompressedEventError):
+            parse_payload_fields(b"")
+        with pytest.raises(CompressedEventError):
+            parse_payload_fields(bytes([1, 8, 0x01]))  # promises 8 value bytes
+
+    def test_payload_shorter_than_size_field_raises(self):
+        body = bytes([1, 1, 50, 0])  # size=50, end mark, no payload bytes
+        with pytest.raises(CompressedEventError):
+            parse_payload_fields(body)
+
+    def test_unknown_compression_raises(self):
+        body = encode_payload_fields(b"zz", 7, 2)
+        with pytest.raises(CompressedEventError):
+            inflate_transaction_payload(body)
+
+
+def _txn_binlog(checksum=ChecksumType.CRC32) -> bytes:
+    """Two GTID-framed transactions plus a standalone (unwrapped) query."""
+    types = [ColumnType.LONG, ColumnType.VARCHAR]
+    meta = [0, 400]
+    w = BinlogWriter("binlog.000001", checksum=checksum)
+    w.write_query("CREATE TABLE t (a INT)", database="db", timestamp=99)
+    w.write_mysql_gtid("a1b2c3d4-0000-0000-0000-000000000001", 1, timestamp=100)
+    w.write_query("BEGIN", database="db", timestamp=100)
+    w.write_table_map(11, "db", "t", types, meta, [False, True])
+    w.write_rows(11, types, meta, [[1, "hello payload " * 6], [2, "two"]])
+    w.write_xid(9, timestamp=101)
+    w.write_mysql_gtid("a1b2c3d4-0000-0000-0000-000000000001", 2, timestamp=102)
+    w.write_query("BEGIN", database="db", timestamp=102)
+    w.write_table_map(11, "db", "t", types, meta, [False, True])
+    w.write_update_rows(11, types, meta, [([1, "hello payload " * 6], [1, "v2"])])
+    w.write_xid(10, timestamp=103)
+    return w.getvalue()
+
+
+class TestPayloadScalarReader:
+    @pytest.mark.parametrize("checksum", [ChecksumType.CRC32, ChecksumType.NONE])
+    @pytest.mark.parametrize("compression", ["zstd", "none"])
+    def test_wrapped_stream_decodes_like_plain(self, checksum, compression):
+        plain = _txn_binlog(checksum)
+        wrapped = wrap_transaction_payload_segment(plain, compression)
+        if compression == "zstd":
+            assert len(wrapped) < len(plain)
+        assert _events(wrapped) == _events(plain)
+
+    def test_wrapper_frames_on_disk(self):
+        wrapped = wrap_transaction_payload_segment(_txn_binlog(), "zstd")
+        types, n_frames = set(), 0
+        pos = FIRST_EVENT_POSITION
+        while pos + EVENT_HEADER_SIZE <= len(wrapped):
+            types.add(wrapped[pos + 4])
+            n_frames += 1
+            ln = struct.unpack_from("<I", wrapped, pos + 9)[0]
+            next_pos = struct.unpack_from("<I", wrapped, pos + 13)[0]
+            assert next_pos == pos + ln  # chain re-linked
+            pos += ln
+        assert pos == len(wrapped)
+        assert EventType.MYSQL_TRANSACTION_PAYLOAD in types
+        # BEGIN/table_map/rows/XID are inside the wrapper, GTIDs outside:
+        # FDE + standalone query + 2×(gtid + payload) = 6 frames
+        assert n_frames == 6
+        assert EventType.QUERY in types  # the standalone DDL stayed plain
+
+    def test_unterminated_transaction_raises(self):
+        types = [ColumnType.LONG, ColumnType.VARCHAR]
+        w = BinlogWriter("binlog.000001")
+        w.write_query("BEGIN", database="db")
+        w.write_table_map(11, "db", "t", types, [0, 400], [False, True])
+        with pytest.raises(CompressedEventError):
+            wrap_transaction_payload_segment(w.getvalue(), "none")
+
+
+class TestPayloadVectorizedPath:
+    def test_fast_path_parity_with_scalar_on_wrapped(self, tmp_path):
+        _, plain = _fixture_file(tmp_path, seed=44)
+        wrapped = wrap_transaction_payload_segment(plain, "zstd")
+        scalar = _concat(
+            _FileDecoder(TRANSCRIPTS).decode_file("binlog.000001", wrapped)
+        )
+        fast = decode_segment_fast(wrapped, "binlog.000001", TRANSCRIPTS)
+        assert fast is not None
+        fast = _concat(fast)
+        assert len(fast) == len(scalar) > 0
+        for df in (fast, scalar):
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime"):
+                    df[c] = df[c].astype("datetime64[ns]")
+        pd.testing.assert_frame_equal(
+            fast.reset_index(drop=True),
+            scalar.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_values_match_plain_stream(self, tmp_path):
+        _, plain = _fixture_file(tmp_path, seed=44)
+        wrapped = wrap_transaction_payload_segment(plain, "zstd")
+        a = _concat(decode_segment_fast(plain, "binlog.000001", TRANSCRIPTS))
+        b = _concat(decode_segment_fast(wrapped, "binlog.000001", TRANSCRIPTS))
+        # pos/next_pos are each file's own coordinates; row_in_event is
+        # per-event on the plain stream but transaction-cumulative on the
+        # spliced stream (all of a wrapper's events share one pos) —
+        # deliberately different values, same total order
+        drop = ["pos", "next_pos", "row_in_event"]
+        pd.testing.assert_frame_equal(a.drop(columns=drop), b.drop(columns=drop))
+        # the spliced row_in_event must strictly increase within a pos run
+        # (that is what keeps (gtid_seq, pos, row_in_event) a total order)
+        for _, grp in b.groupby("pos"):
+            r = grp["row_in_event"].tolist()
+            assert r == sorted(r) and len(set(r)) == len(r)
+
+    def test_positions_are_wrapper_frame_offsets(self, tmp_path):
+        _, plain = _fixture_file(tmp_path, seed=44)
+        wrapped = wrap_transaction_payload_segment(plain, "zstd")
+        fast = _concat(decode_segment_fast(wrapped, "binlog.000001", TRANSCRIPTS))
+        offsets = set()
+        pos = FIRST_EVENT_POSITION
+        while pos + EVENT_HEADER_SIZE <= len(wrapped):
+            offsets.add(pos)
+            pos += struct.unpack_from("<I", wrapped, pos + 9)[0]
+        assert set(fast["pos"].tolist()) <= offsets
+        assert (fast["next_pos"] > fast["pos"]).all()
+
+
+@pytest.mark.usefixtures("spark")
+class TestPayloadReplayE2E:
+    def test_replay_wrapped_equals_oracle_and_resumes(self, spark, tmp_path):
+        from mysql_cdc_spark.pipeline.replay import Replayer
+
+        txns = generate_changelog(
+            n_conversations=30, max_turns=6, n_extra_ops=80, seed=55
+        )
+        plain_dir = str(tmp_path / "plain")
+        paths = write_binlog_files(txns, plain_dir, txns_per_file=30)
+        assert len(paths) >= 2
+
+        wrapped_dir = tmp_path / "wrapped"
+        wrapped_dir.mkdir()
+        import os
+
+        for p in paths:
+            with open(p, "rb") as f:
+                data = wrap_transaction_payload_segment(f.read(), "zstd")
+            with open(wrapped_dir / os.path.basename(p), "wb") as f:
+                f.write(data)
+
+        oracle = apply_changelog_oracle(txns)
+        store = str(tmp_path / "store")
+        rep = Replayer(spark, str(wrapped_dir), store)
+        rep.replay()
+        state = (
+            rep.read_state()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert len(state) == len(oracle)
+        for col in ["conv_id", "turn_idx", "role", "text"]:
+            assert state[col].tolist() == oracle[col].tolist(), col
+
+        rep2 = Replayer(spark, str(wrapped_dir), store)
+        rep2.replay()
+        after = (
+            rep2.read_state()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(state, after)
