@@ -350,19 +350,27 @@ PAYLOAD_COMPRESSION_ZSTD = 0  # binlogevents/include/compression/base.h
 PAYLOAD_COMPRESSION_NONE = 255
 
 
+_ZSTD_CODEC_MEMO: list = []  # [codec_or_None] once resolved
+
+
 def _zstd_codec():
     """pyarrow ships a compiled zstd codec (standard zstd frames — the
     same ZSTD_compress output a MySQL server writes); gate behind an
     import-try so environments without it fail with a clear error, not
-    an ImportError mid-decode."""
+    an ImportError mid-decode. Resolved once per process (this is on the
+    per-transaction decode path)."""
+    if _ZSTD_CODEC_MEMO:
+        return _ZSTD_CODEC_MEMO[0]
+    codec = None
     try:
         import pyarrow as pa
 
         if pa.Codec.is_available("zstd"):
-            return pa.Codec("zstd")
+            codec = pa.Codec("zstd")
     except ImportError:
         pass
-    return None
+    _ZSTD_CODEC_MEMO.append(codec)
+    return codec
 
 
 def parse_payload_fields(body: bytes) -> tuple[int, Optional[int], bytes]:
