@@ -955,6 +955,81 @@ FROM documents
 """
 
 
+def partial_json_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL 8 ``binlog_row_value_options=PARTIAL_JSON`` end-to-end
+    (beyond-reference — the reference's event enum stops before type 39):
+    per Arrow batch, write a real PARTIAL_UPDATE_ROWS_EVENT binlog
+    segment whose after-images carry JSON *diff vectors* (REPLACE +
+    INSERT member/element + REMOVE, WL#2955 / sql/json_diff.cc wire
+    layout), then decode it through the engine's own reader — which
+    expands each diff against the before-image document
+    (binlog/partial.py) — and render the applied documents to canonical
+    JSON text.
+
+    Scale shape: one writer + reader per Arrow batch inside
+    ``mapInPandas`` — a single codegen'd scan into one Python stage,
+    zero shuffles, frame bytes never leave the task; this is exactly the
+    per-segment splice the replay pipeline runs. The oracle constructs
+    the post-diff document text directly in SQL, so any defect in path
+    parsing, diff application, or the jsonb codec breaks equality on
+    every row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def batch(it):
+        import pandas as pd
+
+        from ..binlog.constants import ColumnType
+        from ..binlog.encoder import BinlogWriter
+        from ..binlog.jsonb import encode_jsonb, jsonb_to_text
+        from ..binlog.partial import (
+            DIFF_INSERT,
+            DIFF_REMOVE,
+            DIFF_REPLACE,
+            PartialJson,
+        )
+        from ..binlog.reader import BinlogFileReader
+
+        ctypes = [ColumnType.LONGLONG, ColumnType.JSON]
+        cmeta = [0, 4]
+        for pdf in it:
+            pairs = []
+            for did, lang, n in zip(pdf["doc_id"], pdf["lang"], pdf["n_chars"]):
+                did, n = int(did), int(n)
+                before = {"rev": n, "tags": [str(lang), "x"], "keep": "drop me"}
+                diffs = [
+                    (DIFF_REPLACE, "$.rev", n + 1),
+                    (DIFF_INSERT, "$.tags[1]", "ins"),
+                    (DIFF_REMOVE, "$.keep", None),
+                    (DIFF_INSERT, "$.note", f"d{did}"),
+                ]
+                pairs.append(
+                    ([did, encode_jsonb(before)], [did, PartialJson(diffs)])
+                )
+            w = BinlogWriter("partial.000001")
+            w.write_table_map(31, "app", "docs", ctypes, cmeta, [False, True])
+            w.write_partial_update_rows(31, ctypes, cmeta, pairs)
+            ids, texts = [], []
+            for _h, _p, kind, ev in BinlogFileReader(w.getvalue(), "partial.000001"):
+                if kind == "update_rows":
+                    for _before, after in ev["rows"]:
+                        ids.append(after[0])
+                        texts.append(jsonb_to_text(after[1]))
+            yield pd.DataFrame({"doc_id": ids, "json_text": texts})
+
+    return docs.mapInPandas(batch, "doc_id long, json_text string")
+
+
+# applied doc {"rev": n+1, "tags": [lang, "ins", "x"], "note": "d<id>"};
+# MySQL storage key order sorts by (byte length, bytes) → rev, note, tags
+PARTIAL_JSON_SQL = """
+SELECT doc_id,
+       '{"rev": ' || (n_chars + 1)
+       || ', "note": "d' || doc_id
+       || '", "tags": ["' || lang || '", "ins", "x"]}' AS json_text
+FROM documents
+"""
+
+
 def jsonb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path query over decoded jsonb text: the blob → text decode
     hands off to Spark's native, codegen'd ``get_json_object`` — the
@@ -1010,6 +1085,7 @@ QUERIES = {
     "jsonb_roundtrip": jsonb_roundtrip,
     "jsonb_extract": jsonb_extract,
     "geometry_roundtrip": geometry_roundtrip,
+    "partial_json_apply": partial_json_apply,
 }
 
 ORACLES = {
@@ -1031,4 +1107,5 @@ ORACLES = {
     "jsonb_roundtrip": JSONB_SQL,
     "jsonb_extract": JSONB_EXTRACT_SQL,
     "geometry_roundtrip": GEOMETRY_SQL,
+    "partial_json_apply": PARTIAL_JSON_SQL,
 }

@@ -158,7 +158,8 @@ PLAIN_TO_COMPRESSED = {v: k for k, v in COMPRESSED_TO_PLAIN.items()}
 
 def segment_has_compressed(etypes: np.ndarray) -> bool:
     """Cheap gate for the vectorized path: any MariaDB compressed frame
-    (165..171) or MySQL TRANSACTION_PAYLOAD wrapper (40)."""
+    (165..171), MySQL TRANSACTION_PAYLOAD wrapper (40), or PARTIAL_JSON
+    update frame (39) — everything :func:`inflate_segment` rewrites."""
     return bool(
         len(etypes)
         and np.any(
@@ -167,6 +168,7 @@ def segment_has_compressed(etypes: np.ndarray) -> bool:
                 & (etypes <= EventType.MARIADB_DELETE_ROWS_COMPRESSED)
             )
             | (etypes == EventType.MYSQL_TRANSACTION_PAYLOAD)
+            | (etypes == EventType.MYSQL_PARTIAL_UPDATE_ROWS)
         )
     )
 
@@ -206,14 +208,34 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
         if ln < EVENT_HEADER_SIZE or pos + ln > n:
             break
         t = content[pos + 4]
-        if t in _COMPRESSED_TYPES or t == EventType.MYSQL_TRANSACTION_PAYLOAD:
+        if (
+            t in _COMPRESSED_TYPES
+            or t == EventType.MYSQL_TRANSACTION_PAYLOAD
+            or t == EventType.MYSQL_PARTIAL_UPDATE_ROWS
+        ):
             found = True
             break
         pos += ln
     if not found:
         return None
 
-    from .reader import parse_format_description  # lazy: avoid import cycle
+    # lazy imports: avoid module cycles
+    from .partial import expand_partial_body
+    from .reader import parse_format_description, parse_table_map
+
+    # TABLE_MAP tracking for PARTIAL_JSON expansion (type 39 needs column
+    # types + blob length sizes). Servers re-emit a byte-identical
+    # TABLE_MAP before every transaction, so the payload memo makes this
+    # one dict lookup per frame after the first parse.
+    table_map: dict[int, dict] = {}
+    tm_memo: dict[bytes, dict] = {}
+
+    def note_table_map(body: bytes) -> None:
+        tm = tm_memo.get(body)
+        if tm is None:
+            tm = parse_table_map(body)
+            tm_memo[body] = tm
+        table_map[tm["table_id"]] = tm
 
     checksum = ChecksumType.NONE
     out: list[bytes] = [MAGIC_NUMBER]
@@ -230,9 +252,15 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
                 frame[EVENT_HEADER_SIZE:], ln
             )
         trailer = 4 if checksum == ChecksumType.CRC32 else 0
-        if etype in _COMPRESSED_TYPES:
+        if etype == EventType.TABLE_MAP:
+            note_table_map(frame[EVENT_HEADER_SIZE : ln - trailer])
+        if etype in _COMPRESSED_TYPES or etype == EventType.MYSQL_PARTIAL_UPDATE_ROWS:
             body = frame[EVENT_HEADER_SIZE : ln - trailer]
-            plain_type, plain_body = inflate_event_body(etype, body)
+            if etype == EventType.MYSQL_PARTIAL_UPDATE_ROWS:
+                plain_type = EventType.MYSQL_UPDATE_ROWS_V2
+                plain_body = expand_partial_body(body, table_map)
+            else:
+                plain_type, plain_body = inflate_event_body(etype, body)
             new_len = EVENT_HEADER_SIZE + len(plain_body) + trailer
             header = bytearray(frame[:EVENT_HEADER_SIZE])
             header[4] = plain_type
@@ -258,6 +286,14 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
                     )
                 iheader = bytearray(inner[ipos : ipos + EVENT_HEADER_SIZE])
                 ibody = inner[ipos + EVENT_HEADER_SIZE : ipos + iln]
+                # embedded frames are checksum-free; PARTIAL_JSON updates
+                # may ride inside a compressed transaction — expand them
+                # here too (both options can be ON at once)
+                if iheader[4] == EventType.TABLE_MAP:
+                    note_table_map(ibody)
+                elif iheader[4] == EventType.MYSQL_PARTIAL_UPDATE_ROWS:
+                    ibody = expand_partial_body(ibody, table_map)
+                    iheader[4] = EventType.MYSQL_UPDATE_ROWS_V2
                 iheader[9:13] = struct.pack(
                     "<I", EVENT_HEADER_SIZE + len(ibody) + trailer
                 )

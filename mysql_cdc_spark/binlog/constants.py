@@ -35,6 +35,10 @@ class EventType:
     MYSQL_GTID = 33
     MYSQL_PREVIOUS_GTIDS = 35
     MYSQL_XA_PREPARE = 38
+    # MySQL 8.0 binlog_row_value_options=PARTIAL_JSON update frames
+    # (beyond-reference): after-images carry JSON diff vectors instead of
+    # full documents — WL#2955, sql/json_diff.cc (binlog/partial.py)
+    MYSQL_PARTIAL_UPDATE_ROWS = 39
     # MySQL 8.0.20+ binlog_transaction_compression=ON wrapper (beyond-
     # reference): one frame carrying a whole transaction's events as a
     # zstd (or uncompressed) payload — libbinlogevents

@@ -357,6 +357,63 @@ class BinlogWriter:
             out += self._encode_rows([after], column_types, column_metadata, ap)
         self._append_event(EventType.MYSQL_UPDATE_ROWS_V2, out, timestamp=timestamp)
 
+    def write_partial_update_rows(
+        self,
+        table_id: int,
+        column_types: list[int],
+        column_metadata: list[int],
+        row_pairs: list[tuple[list, list]],
+        before_present: list[bool] | None = None,
+        after_present: list[bool] | None = None,
+        timestamp: int = 0,
+    ) -> None:
+        """PARTIAL_UPDATE_ROWS (type 39; binlog_row_value_options=
+        PARTIAL_JSON). After-image JSON cells passed as
+        ``partial.PartialJson`` markers are written as diff vectors;
+        everything else is written full. Rows with no marker get
+        ``value_options=0`` (no partial_bits), exercising both row shapes.
+        Layout per WL#2955 / sql/json_diff.cc — binlog/partial.py."""
+        from .partial import (
+            PARTIAL_JSON_UPDATES,
+            PartialJson,
+            json_ordinals,
+            write_diff_vector,
+        )
+
+        n = len(column_types)
+        bp = before_present or [True] * n
+        ap = after_present or [True] * n
+        jord = json_ordinals(column_types)
+        pb_len = (len(jord) + 7) // 8
+        out = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
+        out += struct.pack("<H", 2)
+        out += K.write_len_enc_num(n)
+        out += K.pack_bitmap_little_endian(bp)
+        out += K.pack_bitmap_little_endian(ap)
+        ap_idx = [i for i, p in enumerate(ap) if p]
+        for before, after in row_pairs:
+            out += self._encode_rows([before], column_types, column_metadata, bp)
+            partial_cols = [i for i in ap_idx if isinstance(after[i], PartialJson)]
+            out += K.write_len_enc_num(PARTIAL_JSON_UPDATES if partial_cols else 0)
+            if partial_cols:
+                bits = bytearray(pb_len)
+                for i in partial_cols:
+                    o = jord[i]  # KeyError = marker on a non-JSON column
+                    bits[o >> 3] |= 1 << (o & 7)
+                out += bytes(bits)
+            out += K.pack_bitmap_little_endian([after[i] is None for i in ap_idx])
+            for i in ap_idx:
+                v = after[i]
+                if v is None:
+                    continue
+                if isinstance(v, PartialJson):
+                    out += write_diff_vector(v.diffs)
+                else:
+                    out += encode_cell(v, column_types[i], column_metadata[i])
+        self._append_event(
+            EventType.MYSQL_PARTIAL_UPDATE_ROWS, out, timestamp=timestamp
+        )
+
     def write_intvar(self, intvar_type: int, value: int, timestamp: int = 0) -> None:
         """intvar_event.rs layout: type u8 + value u64 LE."""
         self._append_event(

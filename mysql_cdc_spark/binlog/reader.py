@@ -627,6 +627,15 @@ class BinlogFileReader:
             from .compressed import inflate_event_body
 
             etype, payload = inflate_event_body(etype, payload)
+        if etype == E.MYSQL_PARTIAL_UPDATE_ROWS:
+            # MySQL 8 binlog_row_value_options=PARTIAL_JSON (beyond-
+            # reference): apply the after-image JSON diff vectors to the
+            # before-image documents and dispatch as the plain V2 twin —
+            # binlog/partial.py
+            from .partial import expand_partial_body
+
+            payload = expand_partial_body(payload, self.table_map)
+            etype = E.MYSQL_UPDATE_ROWS_V2
         if etype == E.FORMAT_DESCRIPTION:
             binlog_version, server_version, checksum = parse_format_description(
                 payload, event_length
