@@ -222,6 +222,73 @@ def cdc_replay_payload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_e2e(spark, provider="mysql", row_image="full", compress="payload")
 
 
+# v2: corpus plan is server-legal (plan_xa_modes) — the suffix invalidates
+# any surviving v1 cache written by the earlier planner
+_E2E_XA_ORACLE_PARQUET = os.path.join(
+    tempfile.gettempdir(), "cdc_replay_xa_e2e_changelog_v2.parquet"
+)
+_E2E_XA_BINLOG_DIR = os.path.join(tempfile.gettempdir(), "cdc_e2e_binlog_xa_v2")
+
+
+_E2E_XA_TXNS_PER_FILE = 40
+
+
+def _ensure_xa_e2e() -> None:
+    """Generate the XA variant's binlog bytes AND its own dual-written
+    logical changelog — rolled-back transactions are excluded from the
+    oracle stream (their rows must never reach the final state)."""
+    from mysql_cdc_spark.fixtures import (
+        generate_changelog,
+        plan_xa_modes,
+        write_binlog_files,
+        write_changelog_parquet,
+    )
+
+    done_marker = _E2E_XA_BINLOG_DIR + ".complete"
+    if os.path.exists(done_marker) and os.path.exists(_E2E_XA_ORACLE_PARQUET):
+        return
+    import shutil
+
+    shutil.rmtree(_E2E_XA_BINLOG_DIR, ignore_errors=True)
+    txns = generate_changelog(**_E2E_KNOBS)
+    plan = plan_xa_modes(txns, _E2E_XA_TXNS_PER_FILE)
+    write_binlog_files(
+        txns, _E2E_XA_BINLOG_DIR, txns_per_file=_E2E_XA_TXNS_PER_FILE,
+        xa_plan=plan,
+    )
+    applied = [t for t in txns if plan.get(t.seq) != "rollback"]
+    write_changelog_parquet(applied, _E2E_XA_ORACLE_PARQUET)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def cdc_replay_xa_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XA (two-phase) end-to-end (beyond-reference — the reference drops
+    every XA transaction's rows, binlog_client.rs:88-95): a slice of the
+    changelog is logged as XA transactions whose COMMIT/ROLLBACK verdicts
+    land in the NEXT binlog file, replayed one file per batch with
+    Replayer(xa="batch") — so prepared transactions are held back, an XA
+    floor is checkpointed, and the next batch rewinds and applies each
+    transaction exactly once when its verdict arrives (binlog/xa.py).
+    The oracle replays the logical changelog minus rolled-back
+    transactions; a leaked rollback, lost prepare, or double-applied
+    rewind range all hash-mismatch."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_xa_e2e()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_xa_")
+    rep = Replayer(
+        spark, _E2E_XA_BINLOG_DIR, os.path.join(tmp, "store"),
+        salt_buckets=4, xa="batch",
+    )
+    rep.replay(files_per_batch=1)  # one batch per file → real floor cycles
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 # Sequential replay of the dual-written logical changelog: at-most-once per
 # transaction seq (uuid_set.rs:46-48 idempotence — first delivery wins),
 # then per-key last-writer over the (seq, op_ord) total order, deletes
@@ -262,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_ddl_e2e"] = cdc_replay_ddl_e2e
     out["cdc_replay_compressed_e2e"] = cdc_replay_compressed_e2e
     out["cdc_replay_payload_e2e"] = cdc_replay_payload_e2e
+    out["cdc_replay_xa_e2e"] = cdc_replay_xa_e2e
     return out
 
 
@@ -285,4 +353,11 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_replay_compressed_e2e"] = CDC_REPLAY_E2E_SQL
     # zstd TRANSACTION_PAYLOAD wrappers likewise change only the byte form
     out["cdc_replay_payload_e2e"] = CDC_REPLAY_E2E_SQL
+    # XA: the logical stream differs — rolled-back transactions are
+    # excluded from the dual-written changelog, so the oracle pins that
+    # their rows never land while every resolved prepare's rows do
+    _ensure_xa_e2e()
+    out["cdc_replay_xa_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
+        src=f"read_parquet('{_E2E_XA_ORACLE_PARQUET}')"
+    )
     return out

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from .constants import ChecksumType, ColumnType, EventType
 from .geometry import geometry_to_wkt as _geometry_to_wkt
 from .jsonb import jsonb_to_text as _jsonb_to_text
+from .xa import parse_xa_statement
 from .reader import (
     BinlogFileReader,
     parse_event_header,
@@ -225,8 +226,11 @@ class _FileDecoder:
         "row_in_event",
     )
 
-    def __init__(self, spec: TableSpec):
+    def __init__(self, spec: TableSpec, xa_outcomes: Optional[dict] = None):
         self.spec = spec
+        # batch-wide XA verdict map {xid_key: bool} — resolves two-phase
+        # prepares whose XA COMMIT/ROLLBACK lives in another file
+        self.xa_outcomes = xa_outcomes
         self.canonical = [c[0] for c in spec.columns]
         self.kinds = {c[0]: c[2] for c in spec.columns}
         # canonical column index maps, memoized per table-map identity
@@ -320,6 +324,17 @@ class _FileDecoder:
         spec = self.spec
         n_canon = len(self.canonical)
         nulls = (None,) * n_canon
+
+        # XA verdicts: segment-local scan (commit/rollback later in this
+        # file) merged under any batch-wide map the Replayer collected —
+        # resolved at the *prepare* position so output stays in positional
+        # order, matching the vectorized path exactly (binlog/xa.py)
+        from .xa import scan_xa
+
+        local_xa = scan_xa(content, src_file)
+        xa_verdicts = dict(self.xa_outcomes or {})
+        if local_xa:
+            xa_verdicts.update(local_xa["verdicts"])
 
         # transaction state (ST2): gtid seen at group start, rows buffered
         # until xid; binlog_client.rs:69-99. Buffered rows are the final
@@ -421,13 +436,62 @@ class _FileDecoder:
                 cur_gtid_seq = None
                 if self.n_rows >= batch_rows:
                     yield self._flush_frame()
+            elif kind == "xa_prepare":
+                # two-phase prepare closes the row-carrying group; the
+                # verdict (XA COMMIT/ROLLBACK, own GTID, possibly another
+                # file) decides the rows' fate (binlog/xa.py module doc)
+                if event["one_phase"]:
+                    emit_txn(-1)
+                else:
+                    verdict = xa_verdicts.get(event["xid_key"])
+                    if verdict is True:
+                        emit_txn(-1)
+                    elif verdict is None:
+                        emit_txn(None)  # pending — committed-only gate drops
+                txn_buffer = []
+                cur_gtid_source = None
+                cur_gtid_seq = None
+                if self.n_rows >= batch_rows:
+                    yield self._flush_frame()
             elif kind == "query":
                 # transaction-boundary predicate over sql_statement
                 # (binlog_client.rs:88-95): BEGIN opens, COMMIT closes,
                 # ROLLBACK discards, anything else is autocommit DDL which
                 # also closes the group.
                 sql = event["sql_statement"].strip()
-                if sql == "BEGIN":
+                xa_stmt = (
+                    parse_xa_statement(sql)
+                    if len(sql) > 2 and sql[:2].upper() == "XA"
+                    else None
+                )
+                if xa_stmt is not None:
+                    verb, key, one_phase = xa_stmt
+                    if verb in ("start", "end"):
+                        pass  # group stays open, like BEGIN
+                    elif verb == "commit" and one_phase:
+                        emit_txn(-1)  # inline commit, like COMMIT
+                        txn_buffer = []
+                        cur_gtid_source = None
+                        cur_gtid_seq = None
+                        if self.n_rows >= batch_rows:
+                            yield self._flush_frame()
+                    elif verb == "prepare" and key is not None:
+                        # statement-form prepare: same policy as the event
+                        verdict = xa_verdicts.get(key)
+                        if verdict is True:
+                            emit_txn(-1)
+                        elif verdict is None:
+                            emit_txn(None)
+                        txn_buffer = []
+                        cur_gtid_source = None
+                        cur_gtid_seq = None
+                    else:
+                        # commit/rollback verdict groups carry no rows —
+                        # the prepare position already resolved them
+                        txn_buffer = []
+                        cur_gtid_source = None
+                        cur_gtid_seq = None
+                elif sql == "BEGIN":
                     pass
                 elif sql == "COMMIT":
                     emit_txn(-1)  # committed without XID event
@@ -461,6 +525,7 @@ def decode_binlog_dir(
     path_filter: Optional[str] = None,
     vectorized: Optional[bool] = None,
     before_values: str = "full",
+    xa_outcomes: Optional[dict] = None,
 ) -> DataFrame:
     """binlog directory → change-event DataFrame (distributed decode).
 
@@ -507,14 +572,15 @@ def decode_binlog_dir(
                     from .vector import decode_segment_fast
 
                     frames = decode_segment_fast(
-                        content, name, spec, before_values=before_values
+                        content, name, spec, before_values=before_values,
+                        xa_outcomes=xa_outcomes,
                     )
                 if frames is not None:
                     yield from frames
                 else:
                     # scalar fallback: constructs the fast path can't
                     # express (rare types, partial images, wide tables)
-                    decoder = _FileDecoder(spec)
+                    decoder = _FileDecoder(spec, xa_outcomes=xa_outcomes)
                     yield from decoder.decode_file(path, content)
 
     return pdf_paths.mapInPandas(decode, schema=schema)

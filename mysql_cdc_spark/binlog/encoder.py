@@ -436,6 +436,23 @@ class BinlogWriter:
     def write_xid(self, xid: int, timestamp: int = 0) -> None:
         self._append_event(EventType.XID, struct.pack("<Q", xid), timestamp=timestamp)
 
+    def write_xa_prepare(
+        self,
+        gtrid: bytes,
+        bqual: bytes = b"",
+        format_id: int = 1,
+        one_phase: bool = False,
+        timestamp: int = 0,
+    ) -> None:
+        """XA_PREPARE_LOG_EVENT (type 38): one_phase u8, formatID i32,
+        gtrid_length u32, bqual_length u32, gtrid+bqual (binlog/xa.py)."""
+        body = (
+            struct.pack("<BiII", int(one_phase), format_id, len(gtrid), len(bqual))
+            + gtrid
+            + bqual
+        )
+        self._append_event(EventType.MYSQL_XA_PREPARE, body, timestamp=timestamp)
+
     def write_rotate(self, next_filename: str, position: int = 4) -> None:
         payload = struct.pack("<Q", position) + next_filename.encode("utf-8")
         self._append_event(EventType.ROTATE, payload)

@@ -576,7 +576,9 @@ class BinlogFileReader:
         'update_rows', 'delete_rows', 'mysql_gtid', 'mariadb_gtid', 'xid',
         'query', 'rotate', 'heartbeat', 'prev_gtids', 'uservar',
         'rows_query', 'intvar', 'mariadb_gtid_list', 'unknown' — all 17
-        typed BinlogEvent variants of binlog_event.rs:20-39.
+        typed BinlogEvent variants of binlog_event.rs:20-39 — plus
+        'xa_prepare' (type 38, enumerated but never decoded by the
+        reference; binlog/xa.py).
         """
         content = self.content
         n = len(content)
@@ -668,6 +670,12 @@ class BinlogFileReader:
             return "mariadb_gtid", parse_mariadb_gtid(payload, server_id)
         if etype == E.XID:
             return "xid", {"xid": parse_xid(payload)}
+        if etype == E.MYSQL_XA_PREPARE:
+            # typed decode is beyond-reference: event_type.rs:67-68 names
+            # type 38 but the reference never parses it (binlog/xa.py)
+            from .xa import parse_xa_prepare
+
+            return "xa_prepare", parse_xa_prepare(payload)
         if etype == E.QUERY:
             return "query", parse_query(payload)
         if etype == E.ROTATE:

@@ -184,8 +184,15 @@ def _unique_pairs(a: np.ndarray, b: np.ndarray):
     return order[new], inv
 
 
-def _control_arrays(fr: dict, content: bytes):
-    """GTID / marker index arrays for the searchsorted transaction gate."""
+def _control_arrays(fr: dict, content: bytes, xa_outcomes=None):
+    """GTID / marker index arrays for the searchsorted transaction gate.
+
+    Markers carry a state: 0 = abort, 1 = commit, 2 = pending (an XA
+    prepare with no verdict in this batch — rows emit with xid NULL so
+    the committed-only gate holds them back; binlog/xa.py module doc).
+    ``xa_outcomes`` is the batch-wide {xid_key: bool} verdict map; the
+    segment's own XA COMMIT/ROLLBACK statements are merged over it.
+    """
     from ..gtid import Uuid
 
     data, etype, ps, pe = fr["data"], fr["etype"], fr["p_start"], fr["p_end"]
@@ -231,14 +238,17 @@ def _control_arrays(fr: dict, content: bytes):
         gsrc = np.zeros(0, dtype=np.int64)
         gseq = np.zeros(0, dtype=np.int64)
 
-    # markers: XID commits; QUERY COMMIT commits (xid -1); ROLLBACK/DDL abort
+    # markers: XID commits; QUERY COMMIT commits (xid -1); ROLLBACK/DDL
+    # abort; XA statements and XA_PREPARE frames per binlog/xa.py
     xid_mask = etype == EventType.XID
     q_mask = etype == EventType.QUERY
-    midx_list, mcommit_list, mxid_list = [], [], []
+    xa38_mask = etype == EventType.MYSQL_XA_PREPARE
+    midx_list, mstate_list, mxid_list = [], [], []
+    verdicts = dict(xa_outcomes) if xa_outcomes else {}
     if xid_mask.any():
         xi = np.nonzero(xid_mask)[0]
         midx_list.append(xi)
-        mcommit_list.append(np.ones(len(xi), dtype=bool))
+        mstate_list.append(np.ones(len(xi), dtype=np.int8))
         mxid_list.append(_gather_le(data, ps[xi], 8).astype(np.int64))
     if q_mask.any():
         qi = np.nonzero(q_mask)[0]
@@ -260,7 +270,13 @@ def _control_arrays(fr: dict, content: bytes):
         is_begin = _starts_with(b"BEGIN") & (sql_len == 5)
         is_commit = _starts_with(b"COMMIT") & (sql_len == 6)
         is_rollback = _starts_with(b"ROLLBACK")
-        clean = is_begin | is_commit | is_rollback
+        is_xa = _starts_with(b"XA ")
+        clean = is_begin | is_commit | is_rollback | is_xa
+        # per-query marker state; -1 = not a marker (BEGIN, XA START/END)
+        state = np.zeros(len(qi), dtype=np.int8)  # default: DDL → abort
+        state[is_commit] = 1
+        state[is_begin] = -1
+        xa_j = list(np.nonzero(is_xa)[0])
         if not clean.all():
             # rare path: whitespace-padded statements — classify exactly
             # like the scalar decoder (strip + compare), per odd event only
@@ -268,33 +284,83 @@ def _control_arrays(fr: dict, content: bytes):
                 ev = parse_query(bytes(content[ps[qi[j]] : pe[qi[j]]]))
                 sql = ev["sql_statement"].strip()
                 if sql == "BEGIN":
-                    is_begin[j] = True
+                    state[j] = -1
                 elif sql == "COMMIT":
-                    is_commit[j] = True
+                    state[j] = 1
                 elif sql.startswith("ROLLBACK"):
-                    is_rollback[j] = True
+                    state[j] = 0
+                elif sql[:2].upper() == "XA":
+                    xa_j.append(j)
                 # else: autocommit DDL → abort marker (default)
-        marker = ~is_begin  # BEGIN is not a marker
+        xa_stmts = []
+        if xa_j:
+            from .xa import parse_xa_statement
+
+            for j in sorted(xa_j):
+                ev = parse_query(bytes(content[ps[qi[j]] : pe[qi[j]]]))
+                xa_stmts.append((j, parse_xa_statement(ev["sql_statement"])))
+            # verdict statements first: a prepare earlier in the segment
+            # resolves against a commit/rollback later in it
+            for _j, parsed in xa_stmts:
+                if parsed is not None and parsed[1] is not None:
+                    verb, key, one_phase = parsed
+                    if verb == "commit" and not one_phase:
+                        verdicts[key] = True
+                    elif verb == "rollback":
+                        verdicts[key] = False
+            for j, parsed in xa_stmts:
+                if parsed is None:
+                    state[j] = 0  # unparseable XA text → abort, like DDL
+                    continue
+                verb, key, one_phase = parsed
+                if verb in ("start", "end"):
+                    state[j] = -1  # group stays open, like BEGIN
+                elif verb == "commit" and one_phase:
+                    state[j] = 1  # inline commit
+                elif verb == "prepare" and key is not None:
+                    v = verdicts.get(key)
+                    state[j] = 1 if v is True else (0 if v is False else 2)
+                else:
+                    # two-phase verdict groups carry no rows of their own
+                    state[j] = 0
+        marker = state >= 0
         mi = qi[marker]
         midx_list.append(mi)
-        mcommit_list.append(is_commit[marker])
+        mstate_list.append(state[marker])
         mxid_list.append(np.full(len(mi), -1, dtype=np.int64))
+    if xa38_mask.any():
+        from .xa import parse_xa_prepare
+
+        xi = np.nonzero(xa38_mask)[0]
+        st = np.empty(len(xi), dtype=np.int8)
+        for k, i in enumerate(xi):
+            ev = parse_xa_prepare(bytes(content[ps[i] : pe[i]]))
+            if ev["one_phase"]:
+                st[k] = 1
+            else:
+                v = verdicts.get(ev["xid_key"])
+                st[k] = 1 if v is True else (0 if v is False else 2)
+        midx_list.append(xi)
+        mstate_list.append(st)
+        mxid_list.append(np.full(len(xi), -1, dtype=np.int64))
     if midx_list:
         midx = np.concatenate(midx_list)
         order = np.argsort(midx, kind="stable")
         midx = midx[order]
-        mcommit = np.concatenate(mcommit_list)[order]
+        mstate = np.concatenate(mstate_list)[order]
         mxid = np.concatenate(mxid_list)[order]
     else:
         midx = np.zeros(0, dtype=np.int64)
-        mcommit = np.zeros(0, dtype=bool)
+        mstate = np.zeros(0, dtype=np.int8)
         mxid = np.zeros(0, dtype=np.int64)
-    return sources, gidx, gsrc, gseq, midx, mcommit, mxid
+    return sources, gidx, gsrc, gseq, midx, mstate, mxid
 
 
-def _gate_row_events(ridx, gidx, gsrc, gseq, midx, mcommit, mxid, m_total):
+def _gate_row_events(ridx, gidx, gsrc, gseq, midx, mstate, mxid, m_total):
     """Vectorized ST2 gate. Returns per-row-event arrays:
-    (src_idx [-1 none], seq, xid, has_xid, keep)."""
+    (src_idx [-1 none], seq, xid, has_xid, keep). Marker states: 0 abort,
+    1 commit, 2 pending (unresolved XA prepare → kept with xid NULL, the
+    same shape as a transaction cut by end-of-file)."""
     nr = len(ridx)
     g = np.searchsorted(gidx, ridx) - 1
     src_idx = np.where(g >= 0, gsrc[np.maximum(g, 0)], -1)
@@ -313,13 +379,12 @@ def _gate_row_events(ridx, gidx, gsrc, gseq, midx, mcommit, mxid, m_total):
     has_m = j < len(midx)
     jj = np.minimum(j, max(len(midx) - 1, 0))
     in_group = has_m & (len(midx) > 0) & (midx[jj] < group_end) if len(midx) else np.zeros(nr, dtype=bool)
-    committed = in_group & (mcommit[jj] if len(midx) else False)
-    aborted = in_group & ~committed
+    committed = in_group & (mstate[jj] == 1 if len(midx) else False)
+    pending = in_group & (mstate[jj] == 2 if len(midx) else False)
     tail = ~in_group & (group_end == m_total)
-    keep = committed | tail
+    keep = committed | pending | tail
     xid = np.where(committed, mxid[jj] if len(midx) else 0, 0)
     has_xid = committed
-    _ = aborted
     return src_idx, seq, xid, has_xid, keep
 
 
@@ -1469,7 +1534,7 @@ class _Prep:
     )
 
 
-def _prepare_segment(content: bytes, spec) -> _Prep:
+def _prepare_segment(content: bytes, spec, xa_outcomes=None) -> _Prep:
     prep = _Prep()
     fr = _frame_chain(content)
     fr["pos_out"] = fr["off"]
@@ -1548,9 +1613,11 @@ def _prepare_segment(content: bytes, spec) -> _Prep:
     keep_target = tm_is_target[gov]
 
     # transaction gate
-    sources, gidx, gsrc, gseq, midx, mcommit, mxid = _control_arrays(fr, content)
+    sources, gidx, gsrc, gseq, midx, mstate, mxid = _control_arrays(
+        fr, content, xa_outcomes
+    )
     src_idx, seq, xid, has_xid, keep_txn = _gate_row_events(
-        ridx, gidx, gsrc, gseq, midx, mcommit, mxid, m
+        ridx, gidx, gsrc, gseq, midx, mstate, mxid, m
     )
     keep = keep_target & keep_txn
     ridx_k = ridx[keep]
@@ -1569,7 +1636,7 @@ def _prepare_segment(content: bytes, spec) -> _Prep:
 
 def decode_segment_fast(
     content: bytes, src_file: str, spec, batch_rows: int = 262144,
-    before_values: str = "full",
+    before_values: str = "full", xa_outcomes=None,
 ) -> Optional[list[pd.DataFrame]]:
     """Decode one segment fully vectorized; None → caller falls back.
 
@@ -1587,7 +1654,7 @@ def decode_segment_fast(
             "decimal", "datetime", "time", "json", "geometry",
         ):
             return None
-    prep = _prepare_segment(content, spec)
+    prep = _prepare_segment(content, spec, xa_outcomes)
     if prep.empty:
         return []
     fr = prep.fr
@@ -1774,6 +1841,7 @@ def segment_row_stats(
     spec,
     covered: Optional[list] = None,
     min_pos_exclusive: Optional[int] = None,
+    xa_outcomes: Optional[dict] = None,
 ) -> Optional[pd.DataFrame]:
     """Stats-only decode: per-(file, gtid_source) committed-row counts,
     position bounds, and collapsed GTID-seq islands — the ledger/lineage
@@ -1786,7 +1854,7 @@ def segment_row_stats(
     tuples), and the resume position predicate (``min_pos_exclusive``).
     Returns None when the segment needs the scalar fallback.
     """
-    prep = _prepare_segment(content, spec)
+    prep = _prepare_segment(content, spec, xa_outcomes)
     empty = pd.DataFrame(
         {
             "src_file": pd.Series([], dtype=object),

@@ -261,6 +261,52 @@ def apply_changelog_oracle(txns: list[Txn]) -> pd.DataFrame:
     )
 
 
+def plan_xa_modes(txns: list[Txn], txns_per_file: int) -> dict:
+    """Deterministic, *server-legal* XA mode per transaction for
+    :func:`write_binlog_files` ``xa_plan``: a rotating slice of the
+    changelog is logged two-phase — some committing in the NEXT file
+    (cross-batch floor resolution), some rolled back there, some one-phase
+    inline. Duplicated seqs stay plain BEGIN..XID groups so redelivery
+    semantics are tested orthogonally.
+
+    Legality: on a real server ``XA PREPARE`` holds the transaction's row
+    locks until its verdict, so no later transaction can write the same
+    rows before the ``XA COMMIT`` lands — a binlog where one does cannot
+    exist. Deferred commits therefore only go to transactions whose keys
+    no later transaction in the same file touches (the verdict is emitted
+    at the head of the next file, before that file's transactions, so
+    cross-file writers always serialize after it). Rollback needs no such
+    guard: its rows are dropped in every ordering, and later full row
+    images are identical with or without them.
+    """
+    from collections import Counter
+
+    counts = Counter(t.seq for t in txns)
+
+    def keys(t: Txn) -> set:
+        return {
+            ((op.after or op.before)[0], (op.after or op.before)[1])
+            for op in t.ops
+        }
+
+    plan: dict[int, str] = {}
+    for i, t in enumerate(txns):
+        if counts[t.seq] != 1:
+            continue
+        if i % 10 == 6:
+            plan[t.seq] = "rollback"
+        elif i % 5 == 1:
+            chunk_end = (i // txns_per_file + 1) * txns_per_file
+            tk = keys(t)
+            if any(tk & keys(u) for u in txns[i + 1 : chunk_end]):
+                plan[t.seq] = "one_phase"  # locked keys rewritten in-file
+            else:
+                plan[t.seq] = "next_file"
+        elif i % 5 == 3:
+            plan[t.seq] = "one_phase"
+    return plan
+
+
 def write_binlog_files(
     txns: list[Txn],
     outdir: str,
@@ -273,8 +319,19 @@ def write_binlog_files(
     provider: str = "mysql",
     row_image: str = "full",
     row_metadata: str = "full",
+    xa_plan: dict | None = None,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
+
+    ``xa_plan``: optional {txn.seq: mode} logging selected transactions as
+    XA (two-phase) transactions instead of BEGIN..XID groups — GTID →
+    ``XA START`` → TABLE_MAP/rows → ``XA END`` → XA_PREPARE event, with
+    the verdict query under its own GTID (seq + 1_000_000). Modes:
+    ``"next_file"`` / ``"rollback"`` put ``XA COMMIT`` / ``XA ROLLBACK``
+    at the START of the following file (cross-segment resolution — last
+    file's land at its own end), ``"one_phase"`` logs
+    ``XA COMMIT ... ONE PHASE`` inline. MySQL provider only
+    (binlog/xa.py).
 
     Each file re-emits the TABLE_MAP before its first row event (required:
     per-file decode state resets, mirroring the reference's atomicity rule
@@ -300,6 +357,23 @@ def write_binlog_files(
     if row_metadata == "minimal":
         alter_before_seq = next((t.seq for t in txns if t.evolved), None)
     n_files = max(1, (len(txns) + txns_per_file - 1) // txns_per_file)
+    # XA verdict placement is static (chunking is deterministic), so the
+    # per-file jobs stay independent and parallel-safe
+    head_verdicts: list[list] = [[] for _ in range(n_files)]
+    tail_verdicts: list[list] = [[] for _ in range(n_files)]
+    if xa_plan:
+        if provider != "mysql":
+            raise ValueError("xa_plan requires the mysql provider")
+        for fidx in range(n_files):
+            for txn in txns[fidx * txns_per_file : (fidx + 1) * txns_per_file]:
+                mode = xa_plan.get(txn.seq)
+                if mode in ("next_file", "rollback"):
+                    v = (txn.seq + 1_000_000, f"e2e-{txn.seq}".encode(),
+                         mode != "rollback")
+                    if fidx + 1 < n_files:
+                        head_verdicts[fidx + 1].append(v)
+                    else:
+                        tail_verdicts[fidx].append(v)
     if workers and workers > 1 and n_files > 1:
         from concurrent.futures import ProcessPoolExecutor
 
@@ -309,6 +383,7 @@ def write_binlog_files(
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
                 row_metadata, alter_before_seq,
+                xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
         ]
@@ -322,7 +397,8 @@ def write_binlog_files(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
-                 row_metadata, alter_before_seq)
+                 row_metadata, alter_before_seq,
+                 xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
     return paths
@@ -331,12 +407,25 @@ def write_binlog_files(
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
-     row_metadata, alter_before_seq) = job
+     row_metadata, alter_before_seq, *xa_extra) = job
+    xa_plan, head_verdicts, tail_verdicts = (
+        xa_extra if xa_extra else (None, [], [])
+    )
     minimal_meta = row_metadata == "minimal"
     import os
 
     fname = f"{file_prefix}.{fidx + 1:06d}"
     writer = BinlogWriter(fname, server_id=server_id)
+
+    def _emit_verdicts(verdicts):
+        for vseq, gtrid, commit in verdicts:
+            writer.write_mysql_gtid(source_uuid, vseq)
+            verb = "COMMIT" if commit else "ROLLBACK"
+            writer.write_query(
+                f"XA {verb} X'{gtrid.hex()}'", database="chat"
+            )
+
+    _emit_verdicts(head_verdicts)
     for txn in chunk:
         cols = POST_COLUMNS if txn.evolved else PRE_COLUMNS
         table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
@@ -347,11 +436,17 @@ def _write_one_file(job) -> str:
             # global first evolved one and lives in exactly one chunk)
             writer.write_query(EVOLUTION_DDL, database="chat",
                                timestamp=txn.timestamp)
+        xa_mode = xa_plan.get(txn.seq) if xa_plan else None
+        xa_xid_sql = f"X'{f'e2e-{txn.seq}'.encode().hex()}'" if xa_mode else None
         if provider == "mariadb":
             writer.write_mariadb_gtid(0, txn.seq, timestamp=txn.timestamp)
         else:
             writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
-        if write_begin_query:
+        if xa_mode:
+            writer.write_query(
+                f"XA START {xa_xid_sql}", database="chat", timestamp=txn.timestamp
+            )
+        elif write_begin_query:
             writer.write_query("BEGIN", database="chat", timestamp=txn.timestamp)
         writer.write_table_map(
             table_id,
@@ -423,7 +518,22 @@ def _write_one_file(job) -> str:
             run_kind = op.kind
             run.append(op)
         flush_run(run_kind, run)
-        writer.write_xid(txn.seq, timestamp=txn.timestamp)
+        if xa_mode:
+            writer.write_query(
+                f"XA END {xa_xid_sql}", database="chat", timestamp=txn.timestamp
+            )
+            if xa_mode == "one_phase":
+                writer.write_query(
+                    f"XA COMMIT {xa_xid_sql} ONE PHASE",
+                    database="chat", timestamp=txn.timestamp,
+                )
+            else:
+                writer.write_xa_prepare(
+                    f"e2e-{txn.seq}".encode(), timestamp=txn.timestamp
+                )
+        else:
+            writer.write_xid(txn.seq, timestamp=txn.timestamp)
+    _emit_verdicts(tail_verdicts)
     if fidx + 1 < n_files:
         writer.write_rotate(f"{file_prefix}.{fidx + 2:06d}")
     path = os.path.join(outdir, fname)

@@ -90,6 +90,41 @@ class Ledger:
         last = self.last()
         return (last.max_file, last.max_pos) if last else ("", 0)
 
+    def seed_position(self) -> tuple[str, int] | None:
+        """Position of the batch-0 seed entry (start strategy / bootstrap),
+        or None when replay started from the beginning. Events at or before
+        it must never (re-)apply — the seed snapshot already contains them."""
+        entries = self.entries()
+        if entries and entries[0].batch_id == 0:
+            return (entries[0].max_file, entries[0].max_pos)
+        return None
+
+    def resume_position(self) -> tuple[str, int]:
+        """Where the next batch starts reading. Normally ``max_position``;
+        when the last batch recorded an **XA floor** (an XA prepare whose
+        COMMIT/ROLLBACK verdict had not arrived by batch end —
+        binlog/xa.py), resume rewinds to the floor so the prepared
+        transaction re-decodes once its verdict lands. Everything else in
+        the rewound range is dropped by the covered-GtidSet anti-join."""
+        last = self.last()
+        if not last:
+            return ("", 0)
+        m = last.metrics or {}
+        ff, fp = m.get("xa_floor_file"), m.get("xa_floor_pos")
+        if ff:
+            from ..binlog.decoder import _segment_sort_key
+
+            floor = (_segment_sort_key(ff), int(fp))
+            cur = (_segment_sort_key(last.max_file), last.max_pos)
+            if floor < cur:
+                # the resume predicate is strict (pos > anchor) and a
+                # TRANSACTION_PAYLOAD-wrapped transaction reports its rows
+                # AT the wrapper position == floor, so anchor one byte
+                # earlier to keep them (no event can sit at floor - 1: it
+                # would overlap the floor frame)
+                return (ff, int(fp) - 1)
+        return (last.max_file, last.max_pos)
+
     def append(self, entry: LedgerEntry) -> None:
         """Atomic append: write tmp, fsync, rename (the commit point)."""
         path = os.path.join(self.dir, f"{entry.batch_id:08d}.json")

@@ -67,7 +67,8 @@ def _after_position_predicate(max_file: str, max_pos: int):
     )
 
 
-def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl):
+def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl,
+                          xa_outcomes=None):
     """Fallback stats for segments outside the vectorized fast path:
     scalar decode, then the same filters/aggregation in pandas."""
     import numpy as np
@@ -76,7 +77,7 @@ def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl):
     from ..binlog.decoder import _FileDecoder
 
     cols = ["src_file", "gtid_source", "gtid_seq", "pos", "xid", "ts"]
-    d = _FileDecoder(spec)
+    d = _FileDecoder(spec, xa_outcomes=xa_outcomes)
     frames = [f[cols] for f in d.decode_file(name, content)]
     pdf = (
         pd.concat(frames, ignore_index=True)
@@ -177,6 +178,7 @@ class Replayer:
         discover_ddl: bool = False,
         order_cols: list[str] | None = None,
         history: object | None = None,
+        xa: str = "local",
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -224,7 +226,19 @@ class Replayer:
         BEFORE the ledger append and idempotent under batch replay, so a
         crash between the two re-applies as a no-op. Requires
         ``row_image="full"`` (MINIMAL images carry only changed columns;
-        a faithful history needs whole rows)."""
+        a faithful history needs whole rows).
+
+        ``xa``: XA (two-phase) transaction handling (binlog/xa.py).
+        ``"local"`` (default, zero cost): prepares resolve against
+        XA COMMIT/ROLLBACK verdicts *within the same segment*; a verdict
+        in a later file leaves the prepare pending (rows held back, GTID
+        uncovered). ``"batch"`` adds a cheap header-walk pre-scan over the
+        batch's files: verdicts resolve across files, and any prepare
+        still unresolved at batch end records an **XA floor** in the
+        ledger — the next batch rewinds to it (covered transactions
+        drop via the GTID anti-join) and applies the transaction once its
+        verdict arrives, however many batches later. Streams without XA
+        pay one C-level substring scan per segment."""
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
@@ -263,6 +277,9 @@ class Replayer:
                 "hold NULLs for untouched columns"
             )
         self.history = history
+        if xa not in ("local", "batch"):
+            raise ValueError("xa must be 'local' or 'batch'")
+        self.xa = xa
         if start is not None:
             from .start import seed_ledger
 
@@ -279,7 +296,7 @@ class Replayer:
         mysql-bin.1000000)."""
         from ..binlog.decoder import _segment_sort_key, list_dir_entries
 
-        max_file, _ = self.ledger.max_position()
+        max_file, _ = self.ledger.resume_position()
         names = sorted(list_dir_entries(self.binlog_dir), key=_segment_sort_key)
         if not max_file:
             return names
@@ -366,13 +383,19 @@ class Replayer:
         batch_id = self.ledger.next_batch_id()
 
         glob = "{" + ",".join(files) + "}" if len(files) > 1 else files[0]
+        # XA pre-scan (xa="batch"): cross-file verdict map broadcast into
+        # both decode passes + the pending floor for the ledger. Runs as
+        # one header-walk task per segment; non-XA segments reject on a
+        # C-level substring scan.
+        xa_info = self._xa_scan_job(files) if self.xa == "batch" else None
+        xa_verdicts = (xa_info or {}).get("verdicts") or None
         # before_values="keys": the merge pipeline reads only keys + after
         # images (before_* are dropped right after with_change_key), so
         # the decoder skips the non-key before-image value builds —
         # column pruning pushed into the byte decoder
         changes = decode_binlog_dir(
             spark, self.binlog_dir, spec, path_filter=glob,
-            before_values="keys",
+            before_values="keys", xa_outcomes=xa_verdicts,
         )
         changes = gate_complete_transactions(changes)
 
@@ -390,8 +413,12 @@ class Replayer:
         # without this predicate a re-read of the seed segment would replay
         # those pre-seed transactions and regress merged state (the
         # GTID-only filter cannot see them). Redelivered duplicates at
-        # *later* positions are still caught by the anti-join.
-        max_file, max_pos = self.ledger.max_position()
+        # *later* positions are still caught by the anti-join. With an
+        # active XA floor the anchor rewinds (ledger.resume_position) and
+        # the rewound range relies on the anti-join alone — safe, because
+        # everything in it was committed+covered except the floor's own
+        # pending transaction (binlog/xa.py module doc).
+        max_file, max_pos = self.ledger.resume_position()
         if max_file:
             changes = changes.filter(
                 _after_position_predicate(max_file, max_pos)
@@ -458,7 +485,9 @@ class Replayer:
         def _run_stats():
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "cdc-stats")
             try:
-                stats_out["rows"] = self._stats_job(files, covered, max_file, max_pos)
+                stats_out["rows"] = self._stats_job(
+                    files, covered, max_file, max_pos, xa_verdicts
+                )
             except BaseException as e:  # surfaced on the main thread
                 stats_out["err"] = e
             finally:
@@ -519,6 +548,7 @@ class Replayer:
                     self.target.snapshot_path(current_version + 1),
                     ignore_errors=True,
                 )
+            self._commit_empty_batch(batch_id, files, covered, xa_info, t0)
             return BatchMetrics(
                 batch_id, files, 0, 0, time.time() - t0, 0.0,
                 str(covered), [],
@@ -578,6 +608,7 @@ class Replayer:
         if max_event_ts > 0:
             metrics["max_event_ts"] = int(max_event_ts)
             metrics["lag_s"] = round(time.time() - max_event_ts, 1)
+        metrics.update(self._xa_metrics(xa_info))
         self.ledger.append(
             LedgerEntry(
                 batch_id=batch_id,
@@ -597,7 +628,123 @@ class Replayer:
             metrics["events_per_sec"], str(merged_set), lineage,
         )
 
-    def _stats_job(self, files: list[str], covered, max_file: str, max_pos: int) -> list[dict]:
+    def _commit_empty_batch(
+        self, batch_id: int, files: list[str], covered, xa_info, t0: float
+    ) -> None:
+        """Ledger entry for a batch whose rows were ALL filtered out
+        (covered duplicates, pre-seed events, or still-pending XA
+        prepares). The read high-water mark must still advance — without
+        an entry the planner would re-read these files forever (e.g. a
+        trailing segment holding only redelivered transactions), and an XA
+        floor discovered here would be lost. The entry reuses the current
+        snapshot version (no state change to commit) and the unchanged
+        covered set; its position is the end of the last batch file
+        (byte length — the tail event's end), so a later tail-append still
+        replays (pos > length only matches genuinely new bytes). Skipped
+        when it would not advance the mark and carries no floor: an idle
+        tail poll stays entry-free instead of growing the ledger."""
+        from ..binlog.decoder import _join_dir, _segment_sort_key
+
+        def _size(name: str) -> int:
+            path = _join_dir(self.binlog_dir, name)
+            if "://" not in path:
+                return os.path.getsize(path)
+            from pyarrow import fs as pafs
+
+            filesystem, p = pafs.FileSystem.from_uri(path)
+            return filesystem.get_file_info(p).size
+
+        last_name = max(files, key=_segment_sort_key)
+        cand = (_segment_sort_key(last_name), _size(last_name))
+        cur_file, cur_pos = self.ledger.max_position()
+        cur = (_segment_sort_key(cur_file), cur_pos) if cur_file else None
+        has_floor = bool(xa_info and xa_info["pending"])
+        if cur is not None and cand <= cur and not has_floor:
+            return
+        if cur is not None and cand < cur:
+            cand_name, cand_pos = cur_file, cur_pos
+        else:
+            cand_name, cand_pos = last_name, cand[1]
+        metrics = {"events": 0, "seconds": round(time.time() - t0, 3),
+                   "events_per_sec": 0.0}
+        metrics.update(self._xa_metrics(xa_info))
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=batch_id,
+                gtid_set_text=str(covered),
+                max_file=cand_name,
+                max_pos=int(cand_pos),
+                snapshot_version=self.ledger.current_snapshot_version(),
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics=metrics,
+            )
+        )
+
+    def _xa_metrics(self, xa_info) -> dict:
+        """Ledger-metric fields for unresolved two-phase prepares: the
+        floor the next batch rewinds to and the exact files holding
+        pending prepares (replay() re-reads only those)."""
+        if not (xa_info and xa_info["pending"]):
+            return {}
+        from ..binlog.decoder import _segment_sort_key
+
+        (floor_file, floor_pos) = xa_info["floor"]
+        return {
+            "xa_pending": len(xa_info["pending"]),
+            "xa_floor_file": floor_file,
+            "xa_floor_pos": int(floor_pos),
+            "xa_pending_files": sorted(
+                {f for (f, _p) in xa_info["pending"].values()},
+                key=_segment_sort_key,
+            ),
+        }
+
+    def _xa_scan_job(self, files: list[str]) -> dict:
+        """Distributed XA control scan (xa="batch"): one header-walk task
+        per segment (row payloads untouched, non-XA segments reject on a
+        substring scan), collected driver-side — the result is O(#XA
+        transactions), never O(rows). Pending prepares at or before a
+        batch-0 seed position are discarded: the seed snapshot already
+        reflects them, and replaying a pre-seed transaction would regress
+        state the position predicate normally protects."""
+        from ..binlog.decoder import _join_dir, _read_bytes, _segment_sort_key
+        from ..binlog.xa import merge_xa_scans, scan_xa
+
+        paths = [_join_dir(self.binlog_dir, n) for n in files]
+
+        def _scan(path: str):
+            import os as _os
+
+            return scan_xa(_read_bytes(path), _os.path.basename(path))
+
+        sc = self.spark.sparkContext
+        scans = sc.parallelize(paths, len(paths)).map(_scan).collect()
+        merged = merge_xa_scans(scans)
+        seed = self.ledger.seed_position()
+        if seed is not None and merged["pending"]:
+            seed_key = (_segment_sort_key(seed[0]), seed[1])
+            merged["pending"] = {
+                k: (f, p)
+                for k, (f, p) in merged["pending"].items()
+                if (_segment_sort_key(f), p) > seed_key
+            }
+        # floor under binlog rotation order (mysql-bin.999999 <
+        # mysql-bin.1000000), not lexical order
+        merged["floor"] = (
+            min(
+                merged["pending"].values(),
+                key=lambda v: (_segment_sort_key(v[0]), v[1]),
+            )
+            if merged["pending"]
+            else None
+        )
+        return merged
+
+    def _stats_job(
+        self, files: list[str], covered, max_file: str, max_pos: int,
+        xa_verdicts: dict | None = None,
+    ) -> list[dict]:
         """Per-(file, source) lineage stats + collapsed GTID seq islands via
         a dedicated stats-only decode pass: one task per segment, values
         skipped (only length prefixes read), zero shuffle, collect is one
@@ -639,11 +786,13 @@ class Replayer:
                     frame = None
                     if not scalar_mode:
                         frame = segment_row_stats(
-                            content, name, spec, intervals, min_pos_excl
+                            content, name, spec, intervals, min_pos_excl,
+                            xa_outcomes=xa_verdicts,
                         )
                     if frame is None:
                         frame = _scalar_segment_stats(
-                            content, name, spec, intervals, min_pos_excl
+                            content, name, spec, intervals, min_pos_excl,
+                            xa_outcomes=xa_verdicts,
                         )
                     if len(frame):
                         yield frame
@@ -678,12 +827,47 @@ class Replayer:
     # -- full replay ---------------------------------------------------------
 
     def replay(self, files_per_batch: int | None = None) -> ReplayResult:
-        files = self.pending_files()
-        files_per_batch = files_per_batch or max(1, len(files))
+        """Drain all pending files, ``files_per_batch`` *new* segments per
+        batch. The plan is recomputed after every batch because a batch can
+        change it: an XA floor recorded mid-replay (xa="batch") rewinds the
+        resume position, so the next batch must re-read the files holding
+        the still-pending prepares alongside its new segments — a static
+        up-front slicing would never revisit them and their transactions
+        would be lost when the verdict arrives in a later file. Rewound
+        files ride along for free (covered rows drop via the position
+        predicate + GTID anti-join); only genuinely new segments count
+        toward ``files_per_batch``, and the loop ends when none remain."""
+        from ..binlog.decoder import _segment_sort_key
+
         result = ReplayResult()
-        for i in range(0, len(files), files_per_batch):
-            batch_files = files[i : i + files_per_batch]
-            result.batches.append(self.run_batch(batch_files))
+        first = True
+        while True:
+            files = self.pending_files()
+            if not files:
+                break
+            max_file, _ = self.ledger.max_position()
+            max_key = _segment_sort_key(max_file) if max_file else None
+            new = [
+                n
+                for n in files
+                if max_key is None
+                or _segment_sort_key(n) > max_key
+                or (first and _segment_sort_key(n) == max_key)
+            ]
+            if not new:
+                break  # only a stuck rewind remains — verdict not on disk
+            rewound = [n for n in files if n not in set(new)]
+            if rewound:
+                # only files actually holding pending prepares re-read;
+                # with no active floor nothing is rewound (pending_files
+                # then starts at max_file, which is not new work)
+                last = self.ledger.last()
+                pend = (last.metrics or {}).get("xa_pending_files", []) if last else []
+                keep = set(pend)
+                rewound = [n for n in rewound if n in keep]
+            fpb = files_per_batch or max(1, len(new))
+            result.batches.append(self.run_batch(rewound + new[:fpb]))
+            first = False
         return result
 
     def read_state(self, version: int | None = None) -> DataFrame:

@@ -1,0 +1,407 @@
+"""XA (two-phase / distributed) transaction support — binlog/xa.py.
+
+Beyond-reference: the reference enumerates MySqlXaPrepare = 38
+(event_type.rs:67-68) but never decodes it, and its boundary predicate
+(binlog_client.rs:88-95) treats every ``XA ...`` statement as autocommit
+DDL, silently dropping the transaction's rows. These tests pin the full
+policy: same-segment verdict resolution (both decode paths, identical
+output), batch-wide cross-file resolution, pending-prepare hold-back via
+the committed-only gate, one-phase inline commit, and the Replayer's XA
+floor (ledger rewind so a verdict arriving batches later still applies
+its transaction exactly once).
+"""
+
+import pandas as pd
+import pytest
+
+from mysql_cdc_spark.binlog.decoder import decode_binlog_dir
+from mysql_cdc_spark.binlog.encoder import BinlogWriter
+from mysql_cdc_spark.binlog.reader import BinlogFileReader
+from mysql_cdc_spark.binlog.xa import (
+    merge_xa_scans,
+    parse_xa_prepare,
+    parse_xa_statement,
+    scan_xa,
+    xid_key,
+)
+from mysql_cdc_spark.fixtures import (
+    COLUMN_TYPES,
+    PRE_COLUMNS,
+    SOURCE_UUID,
+    TABLE_ID_PRE,
+)
+from mysql_cdc_spark.pipeline.order import gate_complete_transactions
+from mysql_cdc_spark.pipeline.replay import Replayer
+
+CTYPES = [COLUMN_TYPES[c][0] for c in PRE_COLUMNS]
+CMETA = [COLUMN_TYPES[c][1] for c in PRE_COLUMNS]
+TS0 = 1_700_000_000
+
+
+def _row(conv, turn, role, text, ts_ms):
+    return [conv, turn, role, text, ts_ms]
+
+
+def _table_map(w, ts=TS0):
+    w.write_table_map(
+        TABLE_ID_PRE, "chat", "transcripts", CTYPES, CMETA,
+        nullability=[False] * 5, column_names=PRE_COLUMNS,
+        simple_primary_keys=[0, 1], signedness=[False], timestamp=ts,
+    )
+
+
+def _plain_txn(w, seq, rows):
+    w.write_mysql_gtid(SOURCE_UUID, seq, timestamp=TS0 + seq)
+    w.write_query("BEGIN", database="chat", timestamp=TS0 + seq)
+    _table_map(w, TS0 + seq)
+    w.write_rows(TABLE_ID_PRE, CTYPES, CMETA, rows, timestamp=TS0 + seq)
+    w.write_xid(seq, timestamp=TS0 + seq)
+
+
+def _xa_txn(w, seq, rows, gtrid: bytes, mode: str):
+    """mode: prepare_event | prepare_query | one_phase_query |
+    one_phase_event — the server-logged shapes of an XA transaction."""
+    x = f"X'{gtrid.hex()}'"
+    w.write_mysql_gtid(SOURCE_UUID, seq, timestamp=TS0 + seq)
+    w.write_query(f"XA START {x}", database="chat", timestamp=TS0 + seq)
+    _table_map(w, TS0 + seq)
+    w.write_rows(TABLE_ID_PRE, CTYPES, CMETA, rows, timestamp=TS0 + seq)
+    w.write_query(f"XA END {x}", database="chat", timestamp=TS0 + seq)
+    if mode == "prepare_event":
+        w.write_xa_prepare(gtrid, timestamp=TS0 + seq)
+    elif mode == "prepare_query":
+        w.write_query(f"XA PREPARE {x}", database="chat", timestamp=TS0 + seq)
+    elif mode == "one_phase_query":
+        w.write_query(
+            f"XA COMMIT {x} ONE PHASE", database="chat", timestamp=TS0 + seq
+        )
+    elif mode == "one_phase_event":
+        w.write_xa_prepare(gtrid, one_phase=True, timestamp=TS0 + seq)
+    else:  # pragma: no cover
+        raise ValueError(mode)
+
+
+def _xa_verdict(w, seq, gtrid: bytes, commit: bool):
+    verb = "COMMIT" if commit else "ROLLBACK"
+    w.write_mysql_gtid(SOURCE_UUID, seq, timestamp=TS0 + seq)
+    w.write_query(
+        f"XA {verb} X'{gtrid.hex()}'", database="chat", timestamp=TS0 + seq
+    )
+
+
+class TestParse:
+    def test_statement_forms(self):
+        k = xid_key(1, b"t1", b"")
+        assert parse_xa_statement("XA START X'7431'") == ("start", k, False)
+        assert parse_xa_statement("xa end 't1'") == ("end", k, False)
+        assert parse_xa_statement("XA PREPARE X'7431'") == ("prepare", k, False)
+        assert parse_xa_statement("XA COMMIT 't1'") == ("commit", k, False)
+        assert parse_xa_statement("XA ROLLBACK X'7431'") == ("rollback", k, False)
+        assert parse_xa_statement("XA COMMIT X'7431' ONE PHASE") == (
+            "commit", k, True,
+        )
+
+    def test_statement_bqual_and_format_id(self):
+        got = parse_xa_statement("XA COMMIT X'6774', X'6271', 7")
+        assert got == ("commit", xid_key(7, b"gt", b"bq"), False)
+        got = parse_xa_statement("XA START 'gt','bq',7")
+        assert got == ("start", xid_key(7, b"gt", b"bq"), False)
+
+    def test_non_xa_and_oddballs(self):
+        assert parse_xa_statement("BEGIN") is None
+        assert parse_xa_statement("XAVIER SELECT 1") is None
+        assert parse_xa_statement("UPDATE XA SET x=1") is None
+        # RECOVER is XA but carries no xid
+        assert parse_xa_statement("XA RECOVER") == ("recover", None, False)
+        # unparseable xid literal → verb with no key
+        assert parse_xa_statement("XA COMMIT banana") == ("commit", None, False)
+
+    def test_prepare_event_roundtrip(self, tmp_path):
+        w = BinlogWriter("binlog.000001")
+        w.write_xa_prepare(b"gtrid-bytes", b"bq", format_id=77, one_phase=False)
+        w.write_xa_prepare(b"one", one_phase=True)
+        path = str(tmp_path / "binlog.000001")
+        w.save(path)
+        with open(path, "rb") as f:
+            content = f.read()
+        events = [
+            (kind, ev)
+            for _h, _p, kind, ev in BinlogFileReader(content)
+            if kind == "xa_prepare"
+        ]
+        assert len(events) == 2
+        ev = events[0][1]
+        assert ev["gtrid"] == b"gtrid-bytes"
+        assert ev["bqual"] == b"bq"
+        assert ev["format_id"] == 77
+        assert not ev["one_phase"]
+        assert ev["xid_key"] == xid_key(77, b"gtrid-bytes", b"bq")
+        assert events[1][1]["one_phase"]
+
+    def test_parse_xa_prepare_unit(self):
+        import struct
+
+        body = struct.pack("<BiII", 0, 3, 2, 1) + b"ab" + b"q"
+        ev = parse_xa_prepare(body)
+        assert (ev["format_id"], ev["gtrid"], ev["bqual"]) == (3, b"ab", b"q")
+
+
+class TestScan:
+    def _write(self, tmp_path, name, build):
+        w = BinlogWriter(name)
+        build(w)
+        path = str(tmp_path / name)
+        w.save(path)
+        with open(path, "rb") as f:
+            return f.read()
+
+    def test_scan_rejects_non_xa(self, tmp_path):
+        content = self._write(
+            tmp_path, "binlog.000001",
+            lambda w: _plain_txn(w, 1, [_row("c1", 0, "user", "hi", 1000)]),
+        )
+        assert scan_xa(content, "binlog.000001") is None
+
+    def test_scan_same_file_verdict(self, tmp_path):
+        def build(w):
+            _xa_txn(w, 1, [_row("c1", 0, "user", "hi", 1000)], b"t1",
+                    "prepare_event")
+            _xa_verdict(w, 2, b"t1", commit=True)
+            _xa_txn(w, 3, [_row("c2", 0, "user", "yo", 2000)], b"t2",
+                    "prepare_query")
+
+        content = self._write(tmp_path, "binlog.000001", build)
+        got = scan_xa(content, "binlog.000001")
+        k1, k2 = xid_key(1, b"t1", b""), xid_key(1, b"t2", b"")
+        assert got["verdicts"] == {k1: True}
+        assert set(got["prepares"]) == {k1, k2}
+        merged = merge_xa_scans([got])
+        assert set(merged["pending"]) == {k2}
+        assert merged["floor"] == got["prepares"][k2]
+
+    def test_merge_cross_file(self, tmp_path):
+        c1 = self._write(
+            tmp_path, "binlog.000001",
+            lambda w: _xa_txn(w, 1, [_row("c1", 0, "user", "hi", 1000)],
+                              b"t1", "prepare_event"),
+        )
+        c2 = self._write(
+            tmp_path, "binlog.000002",
+            lambda w: _xa_verdict(w, 2, b"t1", commit=True),
+        )
+        merged = merge_xa_scans([
+            scan_xa(c1, "binlog.000001"), scan_xa(c2, "binlog.000002"),
+        ])
+        assert merged["pending"] == {} and merged["floor"] is None
+        assert merged["verdicts"] == {xid_key(1, b"t1", b""): True}
+
+
+@pytest.fixture(scope="module")
+def xa_mix_dir(tmp_path_factory):
+    """One segment exercising every same-segment XA outcome alongside a
+    plain transaction: committed 2-phase (event + query prepare forms),
+    rolled-back, pending (no verdict), one-phase (query + event forms)."""
+    outdir = tmp_path_factory.mktemp("xa_binlog")
+    w = BinlogWriter("binlog.000001")
+    _plain_txn(w, 1, [_row("p1", 0, "user", "plain", 1000)])
+    _xa_txn(w, 2, [_row("cm1", 0, "user", "commit-ev", 2000)], b"t1",
+            "prepare_event")
+    _xa_txn(w, 3, [_row("cm2", 0, "user", "commit-q", 3000)], b"t2",
+            "prepare_query")
+    _xa_txn(w, 4, [_row("rb1", 0, "user", "rollback", 4000)], b"t3",
+            "prepare_event")
+    _xa_txn(w, 5, [_row("pd1", 0, "user", "pending", 5000)], b"t4",
+            "prepare_event")
+    _xa_verdict(w, 6, b"t1", commit=True)
+    _xa_verdict(w, 7, b"t2", commit=True)
+    _xa_verdict(w, 8, b"t3", commit=False)
+    _xa_txn(w, 9, [_row("op1", 0, "user", "one-phase-q", 9000)], b"t5",
+            "one_phase_query")
+    _xa_txn(w, 10, [_row("op2", 0, "user", "one-phase-ev", 10000)], b"t6",
+            "one_phase_event")
+    _plain_txn(w, 11, [_row("p2", 0, "user", "plain2", 11000)])
+    w.save(str(outdir / "binlog.000001"))
+    return str(outdir)
+
+
+class TestDecodePolicy:
+    @pytest.mark.parametrize("vectorized", [True, False])
+    def test_same_segment_resolution(self, spark, xa_mix_dir, vectorized):
+        changes = decode_binlog_dir(spark, xa_mix_dir, vectorized=vectorized)
+        pdf = (
+            changes.select("after_conv_id", "xid", "gtid_seq")
+            .toPandas()
+            .sort_values("after_conv_id")
+            .reset_index(drop=True)
+        )
+        # rolled-back rows never emit
+        assert "rb1" not in set(pdf["after_conv_id"])
+        # committed XA rows emit with the -1 "committed without XID" xid
+        by_conv = pdf.set_index("after_conv_id")["xid"]
+        for conv in ["cm1", "cm2", "op1", "op2"]:
+            assert by_conv[conv] == -1, conv
+        # plain txns keep their XID
+        assert by_conv["p1"] == 1 and by_conv["p2"] == 11
+        # pending prepare emits with xid NULL → held back by the gate
+        assert pd.isna(by_conv["pd1"])
+        gated = gate_complete_transactions(changes)
+        kept = {r[0] for r in gated.select("after_conv_id").collect()}
+        assert kept == {"p1", "cm1", "cm2", "op1", "op2", "p2"}
+
+    def test_paths_agree_exactly(self, spark, xa_mix_dir):
+        cols = ["after_conv_id", "gtid_seq", "pos", "row_in_event", "xid"]
+        fast = (
+            decode_binlog_dir(spark, xa_mix_dir, vectorized=True)
+            .select(cols).toPandas().sort_values(cols[:3])
+            .reset_index(drop=True)
+        )
+        slow = (
+            decode_binlog_dir(spark, xa_mix_dir, vectorized=False)
+            .select(cols).toPandas().sort_values(cols[:3])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, slow)
+
+    @pytest.mark.parametrize("vectorized", [True, False])
+    def test_batch_verdict_map_resolves_pending(
+        self, spark, xa_mix_dir, vectorized
+    ):
+        # the xa_outcomes broadcast (what Replayer(xa="batch") collects)
+        # flips the pending prepare to committed / rolled back
+        commit = decode_binlog_dir(
+            spark, xa_mix_dir, vectorized=vectorized,
+            xa_outcomes={xid_key(1, b"t4", b""): True},
+        )
+        pdf = commit.filter("after_conv_id = 'pd1'").toPandas()
+        assert len(pdf) == 1 and pdf["xid"].iloc[0] == -1
+        rollback = decode_binlog_dir(
+            spark, xa_mix_dir, vectorized=vectorized,
+            xa_outcomes={xid_key(1, b"t4", b""): False},
+        )
+        assert rollback.filter("after_conv_id = 'pd1'").count() == 0
+
+
+def _write_two_file_xa_stream(outdir):
+    """file 1: plain txn, XA update prepared (no verdict yet), then a
+    LATER committed plain txn — so the batch's max position advances past
+    the pending prepare and resume genuinely has to rewind to the floor;
+    file 2: the XA COMMIT verdict + another plain txn."""
+    w1 = BinlogWriter("binlog.000001")
+    _plain_txn(w1, 1, [_row("c1", 0, "user", "v1", 1000)])
+    w1.write_mysql_gtid(SOURCE_UUID, 2, timestamp=TS0 + 2)
+    w1.write_query("XA START X'7431'", database="chat", timestamp=TS0 + 2)
+    _table_map(w1, TS0 + 2)
+    w1.write_update_rows(
+        TABLE_ID_PRE, CTYPES, CMETA,
+        [(_row("c1", 0, "user", "v1", 1000), _row("c1", 0, "user", "v2-xa", 2000))],
+        timestamp=TS0 + 2,
+    )
+    w1.write_query("XA END X'7431'", database="chat", timestamp=TS0 + 2)
+    w1.write_xa_prepare(b"t1", timestamp=TS0 + 2)
+    _plain_txn(w1, 5, [_row("c3", 0, "user", "after-prepare", 5000)])
+    w1.write_rotate("binlog.000002")
+    w1.save(f"{outdir}/binlog.000001")
+    w2 = BinlogWriter("binlog.000002")
+    _xa_verdict(w2, 3, b"t1", commit=True)
+    _plain_txn(w2, 4, [_row("c2", 0, "user", "plain", 4000)])
+    w2.save(f"{outdir}/binlog.000002")
+
+
+class TestReplayerXa:
+    def test_cross_batch_floor_rewind(self, spark, tmp_path):
+        """The headline XA case: prepare in batch 1, verdict in batch 2.
+        Batch 1 must hold the transaction back and record an XA floor;
+        batch 2 must rewind, apply it exactly once, and clear the floor."""
+        outdir = str(tmp_path / "binlog")
+        import os
+
+        os.makedirs(outdir)
+        _write_two_file_xa_stream(outdir)
+        r = Replayer(spark, outdir, str(tmp_path / "store"), xa="batch")
+        m1 = r.run_batch(["binlog.000001"])
+        state1 = r.read_state().toPandas().set_index("conv_id")
+        assert state1.loc["c1", "text"] == "v1"  # XA update held back
+        assert state1.loc["c3", "text"] == "after-prepare"
+        e1 = r.ledger.last()
+        assert e1.metrics["xa_pending"] == 1
+        assert e1.metrics["xa_floor_file"] == "binlog.000001"
+        # the committed txn after the prepare advanced max_pos past the
+        # floor → resume genuinely rewinds to just before the floor
+        assert e1.max_pos > e1.metrics["xa_floor_pos"]
+        rf, rp = r.ledger.resume_position()
+        assert rf == "binlog.000001" and rp == e1.metrics["xa_floor_pos"] - 1
+        # next batch re-lists the floor file
+        assert r.pending_files() == ["binlog.000001", "binlog.000002"]
+        m2 = r.run_batch(r.pending_files())
+        state2 = (
+            r.read_state().toPandas().set_index("conv_id").sort_index()
+        )
+        assert state2.loc["c1", "text"] == "v2-xa"  # verdict applied it
+        assert state2.loc["c2", "text"] == "plain"
+        assert state2.loc["c3", "text"] == "after-prepare"
+        assert len(state2) == 3  # rewound range not double-applied
+        e2 = r.ledger.last()
+        assert "xa_floor_file" not in (e2.metrics or {})
+        # covered set now includes the XA transaction's GTID (seq 2) and
+        # the batch-2 rows (seq 3 is the verdict-only group — row-less
+        # GTIDs are never covered, like autocommit DDL groups)
+        assert ":1-2:4-5" in e2.gtid_set_text
+        assert m1.events == 2 and m2.events >= 2
+
+    def test_local_mode_leaves_cross_file_pending(self, spark, tmp_path):
+        """xa='local' (default): no cross-file scan — the prepared update
+        stays pending forever, everything else applies normally."""
+        outdir = str(tmp_path / "binlog")
+        import os
+
+        os.makedirs(outdir)
+        _write_two_file_xa_stream(outdir)
+        r = Replayer(spark, outdir, str(tmp_path / "store"))
+        r.run_batch(["binlog.000001"])
+        r.run_batch(["binlog.000002"])
+        state = r.read_state().toPandas().set_index("conv_id")
+        assert state.loc["c1", "text"] == "v1"
+        assert state.loc["c2", "text"] == "plain"
+        assert "xa_floor_file" not in (r.ledger.last().metrics or {})
+
+    def test_single_batch_same_files(self, spark, tmp_path):
+        """Both files in ONE batch with xa='batch': verdict resolves via
+        the broadcast map, no floor ever recorded."""
+        outdir = str(tmp_path / "binlog")
+        import os
+
+        os.makedirs(outdir)
+        _write_two_file_xa_stream(outdir)
+        r = Replayer(spark, outdir, str(tmp_path / "store"), xa="batch")
+        r.replay()  # one batch over both files
+        state = r.read_state().toPandas().set_index("conv_id")
+        assert state.loc["c1", "text"] == "v2-xa"
+        assert state.loc["c2", "text"] == "plain"
+        assert "xa_floor_file" not in (r.ledger.last().metrics or {})
+
+    def test_rollback_verdict_cross_batch(self, spark, tmp_path):
+        outdir = str(tmp_path / "binlog")
+        import os
+
+        os.makedirs(outdir)
+        w1 = BinlogWriter("binlog.000001")
+        _plain_txn(w1, 1, [_row("c1", 0, "user", "v1", 1000)])
+        _xa_txn(w1, 2, [_row("c9", 0, "user", "ghost", 2000)], b"t1",
+                "prepare_event")
+        w1.write_rotate("binlog.000002")
+        w1.save(f"{outdir}/binlog.000001")
+        w2 = BinlogWriter("binlog.000002")
+        _xa_verdict(w2, 3, b"t1", commit=False)
+        _plain_txn(w2, 4, [_row("c2", 0, "user", "v2", 4000)])
+        w2.save(f"{outdir}/binlog.000002")
+        r = Replayer(spark, outdir, str(tmp_path / "store"), xa="batch")
+        r.run_batch(["binlog.000001"])
+        assert r.ledger.last().metrics["xa_pending"] == 1
+        r.run_batch(r.pending_files())
+        state = r.read_state().toPandas()
+        assert set(state["conv_id"]) == {"c1", "c2"}  # ghost never lands
+        assert "xa_floor_file" not in (r.ledger.last().metrics or {})
+
+    def test_xa_arg_validation(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            Replayer(spark, str(tmp_path), str(tmp_path / "s"), xa="nope")
