@@ -698,7 +698,24 @@ class Replayer:
                 {f for (f, _p) in xa_info["pending"].values()},
                 key=_segment_sort_key,
             ),
+            # XA RECOVER analog: the xids awaiting a verdict, with the
+            # position of the GTID group that opened each prepare
+            "xa_pending_xids": {
+                k: [f, int(p)] for k, (f, p) in xa_info["pending"].items()
+            },
         }
+
+    def xa_pending(self) -> dict:
+        """Prepared-but-unresolved XA transactions as of the last committed
+        batch — the ``XA RECOVER`` analog (the server command lists xids
+        awaiting a coordinator verdict; here the ledger is the durable
+        record). Returns {xid_key: (src_file, group_pos)} where group_pos
+        is the prepare transaction's GTID-event position (the replay
+        floor). Empty when every two-phase transaction has resolved or
+        ``xa="local"`` (no batch-wide scan runs)."""
+        last = self.ledger.last()
+        pend = (last.metrics or {}).get("xa_pending_xids", {}) if last else {}
+        return {k: (f, p) for k, (f, p) in pend.items()}
 
     def _xa_scan_job(self, files: list[str]) -> dict:
         """Distributed XA control scan (xa="batch"): one header-walk task

@@ -405,3 +405,64 @@ class TestReplayerXa:
     def test_xa_arg_validation(self, spark, tmp_path):
         with pytest.raises(ValueError):
             Replayer(spark, str(tmp_path), str(tmp_path / "s"), xa="nope")
+
+    def test_xa_pending_introspection(self, spark, tmp_path):
+        """XA RECOVER analog: pending xids visible after the prepare
+        batch, empty once the verdict batch resolves them."""
+        outdir = str(tmp_path / "binlog")
+        import os
+
+        os.makedirs(outdir)
+        _write_two_file_xa_stream(outdir)
+        r = Replayer(spark, outdir, str(tmp_path / "store"), xa="batch")
+        r.run_batch(["binlog.000001"])
+        pend = r.xa_pending()
+        assert list(pend) == [xid_key(1, b"t1", b"")]
+        f, p = pend[xid_key(1, b"t1", b"")]
+        assert f == "binlog.000001" and p == r.ledger.last().metrics["xa_floor_pos"]
+        r.run_batch(r.pending_files())
+        assert r.xa_pending() == {}
+
+    def test_tail_applies_late_verdict(self, spark, tmp_path):
+        """Streaming tail (ST6) over an XA stream: poll 1 sees only the
+        prepare (rows held, floor recorded); the verdict file then lands
+        in the directory and poll 2 rewinds and applies the transaction —
+        the replay()-driven tail inherits the floor machinery unchanged."""
+        from mysql_cdc_spark.streaming.tail import tail
+
+        outdir = str(tmp_path / "binlog")
+        import os
+
+        os.makedirs(outdir)
+        w1 = BinlogWriter("binlog.000001")
+        _plain_txn(w1, 1, [_row("c1", 0, "user", "v1", 1000)])
+        w1.write_mysql_gtid(SOURCE_UUID, 2, timestamp=TS0 + 2)
+        w1.write_query("XA START X'7431'", database="chat", timestamp=TS0 + 2)
+        _table_map(w1, TS0 + 2)
+        w1.write_update_rows(
+            TABLE_ID_PRE, CTYPES, CMETA,
+            [(_row("c1", 0, "user", "v1", 1000),
+              _row("c1", 0, "user", "v2-xa", 2000))],
+            timestamp=TS0 + 2,
+        )
+        w1.write_query("XA END X'7431'", database="chat", timestamp=TS0 + 2)
+        w1.write_xa_prepare(b"t1", timestamp=TS0 + 2)
+        w1.write_rotate("binlog.000002")
+        w1.save(f"{outdir}/binlog.000001")
+
+        r = Replayer(spark, outdir, str(tmp_path / "store"), xa="batch")
+        res1 = tail(r, blocking=False)
+        assert res1.events >= 1  # the plain txn landed
+        assert r.read_state().toPandas().set_index("conv_id").loc["c1", "text"] == "v1"
+        assert r.xa_pending()  # prepare awaiting its verdict
+
+        w2 = BinlogWriter("binlog.000002")
+        _xa_verdict(w2, 3, b"t1", commit=True)
+        _plain_txn(w2, 4, [_row("c2", 0, "user", "plain", 4000)])
+        w2.save(f"{outdir}/binlog.000002")
+        res2 = tail(r, blocking=False)
+        assert res2.events >= 2
+        state = r.read_state().toPandas().set_index("conv_id").sort_index()
+        assert state.loc["c1", "text"] == "v2-xa"
+        assert state.loc["c2", "text"] == "plain"
+        assert r.xa_pending() == {}
