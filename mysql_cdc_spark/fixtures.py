@@ -325,12 +325,15 @@ def write_binlog_files(
 
     ``xa_plan``: optional {txn.seq: mode} logging selected transactions as
     XA (two-phase) transactions instead of BEGIN..XID groups — GTID →
-    ``XA START`` → TABLE_MAP/rows → ``XA END`` → XA_PREPARE event, with
-    the verdict query under its own GTID (seq + 1_000_000). Modes:
-    ``"next_file"`` / ``"rollback"`` put ``XA COMMIT`` / ``XA ROLLBACK``
-    at the START of the following file (cross-segment resolution — last
-    file's land at its own end), ``"one_phase"`` logs
-    ``XA COMMIT ... ONE PHASE`` inline. MySQL provider only
+    ``XA START`` → TABLE_MAP/rows → ``XA END`` → prepare, with the
+    verdict query under its own GTID (seq + 1_000_000). The prepare
+    takes each server's real shape: MySQL 5.7+ logs the
+    XA_PREPARE_LOG_EVENT (type 38), MariaDB 10.5+ logs an
+    ``XA PREPARE <xid>`` QUERY event (MDEV-742 — MariaDB never adopted
+    MySQL's event type). Modes: ``"next_file"`` / ``"rollback"`` put
+    ``XA COMMIT`` / ``XA ROLLBACK`` at the START of the following file
+    (cross-segment resolution — last file's land at its own end),
+    ``"one_phase"`` logs ``XA COMMIT ... ONE PHASE`` inline
     (binlog/xa.py).
 
     Each file re-emits the TABLE_MAP before its first row event (required:
@@ -362,8 +365,6 @@ def write_binlog_files(
     head_verdicts: list[list] = [[] for _ in range(n_files)]
     tail_verdicts: list[list] = [[] for _ in range(n_files)]
     if xa_plan:
-        if provider != "mysql":
-            raise ValueError("xa_plan requires the mysql provider")
         for fidx in range(n_files):
             for txn in txns[fidx * txns_per_file : (fidx + 1) * txns_per_file]:
                 mode = xa_plan.get(txn.seq)
@@ -419,7 +420,10 @@ def _write_one_file(job) -> str:
 
     def _emit_verdicts(verdicts):
         for vseq, gtrid, commit in verdicts:
-            writer.write_mysql_gtid(source_uuid, vseq)
+            if provider == "mariadb":
+                writer.write_mariadb_gtid(0, vseq)
+            else:
+                writer.write_mysql_gtid(source_uuid, vseq)
             verb = "COMMIT" if commit else "ROLLBACK"
             writer.write_query(
                 f"XA {verb} X'{gtrid.hex()}'", database="chat"
@@ -525,6 +529,13 @@ def _write_one_file(job) -> str:
             if xa_mode == "one_phase":
                 writer.write_query(
                     f"XA COMMIT {xa_xid_sql} ONE PHASE",
+                    database="chat", timestamp=txn.timestamp,
+                )
+            elif provider == "mariadb":
+                # MariaDB 10.5+ (MDEV-742) logs XA PREPARE as a QUERY
+                # event; it never adopted MySQL's type-38 event
+                writer.write_query(
+                    f"XA PREPARE {xa_xid_sql}",
                     database="chat", timestamp=txn.timestamp,
                 )
             else:

@@ -406,6 +406,40 @@ class TestReplayerXa:
         with pytest.raises(ValueError):
             Replayer(spark, str(tmp_path), str(tmp_path / "s"), xa="nope")
 
+    def test_mariadb_statement_form_xa_replay(self, spark, tmp_path):
+        """MariaDB 10.5+ logs XA PREPARE as a QUERY event (MDEV-742), not
+        MySQL's type-38 event. A mixed-mode MariaDB XA changelog with
+        next-file verdicts must replay to the rollback-filtered oracle —
+        pinning the statement-form prepare on the whole pipeline
+        (statement classification, floor rewind, GtidList coverage)."""
+        from mysql_cdc_spark.fixtures import (
+            apply_changelog_oracle,
+            generate_changelog,
+            plan_xa_modes,
+            write_binlog_files,
+        )
+
+        txns = generate_changelog(
+            n_conversations=10, max_turns=4, n_extra_ops=25, seed=17,
+            duplicate_txns=2, evolve_after_frac=None,
+        )
+        plan = plan_xa_modes(txns, 12)
+        assert "next_file" in plan.values()  # cross-file verdicts exercised
+        outdir = str(tmp_path / "binlog")
+        write_binlog_files(
+            txns, outdir, txns_per_file=12, provider="mariadb", xa_plan=plan
+        )
+        r = Replayer(spark, outdir, str(tmp_path / "store"), xa="batch")
+        r.replay(files_per_batch=1)
+        got = (
+            r.read_state().orderBy("conv_id", "turn_idx").toPandas()
+        )
+        want = apply_changelog_oracle(
+            [t for t in txns if plan.get(t.seq) != "rollback"]
+        )
+        assert got["text"].tolist() == want["text"].tolist()
+        assert r.xa_pending() == {}
+
     def test_xa_pending_introspection(self, spark, tmp_path):
         """XA RECOVER analog: pending xids visible after the prepare
         batch, empty once the verdict batch resolves them."""
