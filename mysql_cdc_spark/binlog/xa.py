@@ -227,7 +227,11 @@ def scan_xa(content: bytes, src_file: str = "") -> Optional[dict]:
 def merge_xa_scans(scans: list[Optional[dict]]) -> dict:
     """Fold per-file :func:`scan_xa` results into the batch-wide picture:
     the verdict map to broadcast into decode, the unresolved prepares, and
-    the replay floor (min unresolved prepare group position)."""
+    the replay floor (min unresolved prepare group position, ordered by
+    the numeric segment suffix — lexical order breaks when binlog
+    numbering grows a digit, mysql-bin.999999 → mysql-bin.1000000)."""
+    from .decoder import _segment_sort_key
+
     verdicts: dict[str, bool] = {}
     prepares: dict[str, tuple[str, int]] = {}
     for s in scans:
@@ -237,5 +241,9 @@ def merge_xa_scans(scans: list[Optional[dict]]) -> dict:
         for k, v in s["prepares"].items():
             prepares.setdefault(k, v)
     pending = {k: v for k, v in prepares.items() if k not in verdicts}
-    floor = min(pending.values()) if pending else None
+    floor = (
+        min(pending.values(), key=lambda v: (_segment_sort_key(v[0]), v[1]))
+        if pending
+        else None
+    )
     return {"verdicts": verdicts, "pending": pending, "floor": floor}

@@ -179,6 +179,17 @@ class TestScan:
         assert set(merged["pending"]) == {k2}
         assert merged["floor"] == got["prepares"][k2]
 
+    def test_floor_orders_segments_numerically(self):
+        # mysql-bin.1000000 sorts lexically BEFORE mysql-bin.999999; the
+        # floor must use the numeric suffix so the rewind lands on the
+        # truly-oldest pending prepare.
+        ka, kb = xid_key(1, b"old", b""), xid_key(1, b"new", b"")
+        merged = merge_xa_scans([
+            {"verdicts": {}, "prepares": {ka: ("mysql-bin.999999", 400)}},
+            {"verdicts": {}, "prepares": {kb: ("mysql-bin.1000000", 120)}},
+        ])
+        assert merged["floor"] == ("mysql-bin.999999", 400)
+
     def test_merge_cross_file(self, tmp_path):
         c1 = self._write(
             tmp_path, "binlog.000001",
