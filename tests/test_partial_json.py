@@ -403,3 +403,117 @@ class TestExpandBody:
         assert len(got) == len(want) == 1
         expanded = expand_partial_body(got[0][0], got[0][1])
         assert expanded == want[0][0]
+
+
+# ------------------------------------------------------- PARTIAL_JSON × XA
+
+
+def _xa_partial_streams() -> tuple[bytes, bytes]:
+    """(partial, plain) twins where the JSON update rides inside an XA
+    transaction whose verdict is NOT in this segment: insert txn, then
+    XA START → type-39 (or plain) update → XA END → XA PREPARE."""
+    gtrid = b"txa1"
+    x = f"X'{gtrid.hex()}'"
+    out = []
+    for partial in (True, False):
+        w = BinlogWriter("binlog.000001")
+        w.write_mysql_gtid(UUID, 1, timestamp=100)
+        w.write_query("BEGIN", database="app", timestamp=100)
+        w.write_table_map(
+            31, "app", "docs", CTYPES, CMETA,
+            nullability=[False, True, True],
+            column_names=["id", "meta", "txt"], simple_primary_keys=[0],
+        )
+        w.write_rows(
+            31, CTYPES, CMETA,
+            [[i, encode_jsonb(_doc(i)), f"text-{i}"] for i in range(2)],
+        )
+        w.write_xid(1, timestamp=101)
+
+        w.write_mysql_gtid(UUID, 2, timestamp=102)
+        w.write_query(f"XA START {x}", database="app", timestamp=102)
+        w.write_table_map(
+            31, "app", "docs", CTYPES, CMETA,
+            nullability=[False, True, True],
+            column_names=["id", "meta", "txt"], simple_primary_keys=[0],
+        )
+        before = [1, encode_jsonb(_doc(1)), "text-1"]
+        after_cell = (
+            PartialJson(_diffs(1)) if partial
+            else encode_jsonb(apply_json_diffs(_doc(1), _diffs(1)))
+        )
+        pairs = [(before, [1, after_cell, "text-1-xa"])]
+        if partial:
+            w.write_partial_update_rows(31, CTYPES, CMETA, pairs)
+        else:
+            w.write_update_rows(31, CTYPES, CMETA, pairs)
+        w.write_query(f"XA END {x}", database="app", timestamp=102)
+        w.write_xa_prepare(gtrid, timestamp=102)
+        out.append(w.getvalue())
+    return out[0], out[1]
+
+
+class TestPartialInsideXa:
+    """Type-39 diff vectors inside a two-phase XA transaction: the diff
+    must expand correctly AND obey the XA hold-back / verdict policy —
+    the two features compose, not just coexist."""
+
+    def _key(self):
+        from mysql_cdc_spark.binlog.xa import xid_key
+
+        return xid_key(1, b"txa1", b"")
+
+    def test_scan_sees_pending_prepare(self):
+        from mysql_cdc_spark.binlog.xa import merge_xa_scans, scan_xa
+
+        partial, _ = _xa_partial_streams()
+        merged = merge_xa_scans([scan_xa(partial, "binlog.000001")])
+        assert set(merged["pending"]) == {self._key()}
+        assert merged["floor"] is not None
+
+    def test_pending_holds_back_then_commit_applies(self):
+        partial, plain = _xa_partial_streams()
+        pending = _concat(decode_segment_fast(partial, "binlog.000001", DOCS))
+        xa_rows = pending[pending["gtid_seq"] == 2]
+        assert len(xa_rows) == 1 and pd.isna(xa_rows["xid"]).all()
+
+        outcomes = {self._key(): True}
+        a = _concat(decode_segment_fast(
+            plain, "binlog.000001", DOCS, xa_outcomes=outcomes))
+        b = _concat(decode_segment_fast(
+            partial, "binlog.000001", DOCS, xa_outcomes=outcomes))
+        drop = ["pos", "next_pos"]
+        pd.testing.assert_frame_equal(
+            a.drop(columns=drop), b.drop(columns=drop), check_dtype=True
+        )
+        row = b[b["gtid_seq"] == 2].iloc[0]
+        assert row["xid"] == -1  # committed-without-XID marker
+        assert row["after_meta"] == jsonb_to_text(
+            encode_jsonb(apply_json_diffs(_doc(1), _diffs(1)))
+        )
+
+    def test_rollback_drops_diffed_rows(self):
+        partial, _ = _xa_partial_streams()
+        got = _concat(decode_segment_fast(
+            partial, "binlog.000001", DOCS,
+            xa_outcomes={self._key(): False},
+        ))
+        assert (got["gtid_seq"] == 2).sum() == 0
+        assert (got["gtid_seq"] == 1).sum() == 2  # plain txn untouched
+
+    def test_scalar_path_agrees(self):
+        partial, _ = _xa_partial_streams()
+        outcomes = {self._key(): True}
+        fast = _concat(decode_segment_fast(
+            partial, "binlog.000001", DOCS, xa_outcomes=outcomes))
+        slow = _concat(
+            _FileDecoder(DOCS, xa_outcomes=outcomes)
+            .decode_file("binlog.000001", partial)
+        )
+        cols = ["gtid_seq", "row_in_event", "xid", "after_id",
+                "after_meta", "after_txt"]
+        pd.testing.assert_frame_equal(
+            fast[cols].reset_index(drop=True),
+            slow[cols].reset_index(drop=True),
+            check_dtype=False,
+        )
