@@ -27,6 +27,12 @@ class EventType:
     WRITE_ROWS_V1 = 23
     UPDATE_ROWS_V1 = 24
     DELETE_ROWS_V1 = 25
+    # Server-side "an incident occurred that may have corrupted or lost
+    # events" marker — LOST_EVENTS (beyond-reference: the reference's
+    # event_type.rs skips code 26 entirely, silently dropping the signal).
+    # A replica stops with ER_REPLICA_INCIDENT here; we raise the same way
+    # (libbinlogevents Incident_event, public format docs).
+    INCIDENT = 26
     HEARTBEAT = 27
     MYSQL_ROWS_QUERY = 29
     MYSQL_WRITE_ROWS_V2 = 30

@@ -508,6 +508,17 @@ class _FileDecoder:
                     txn_buffer = []
                     cur_gtid_source = None
                     cur_gtid_seq = None
+            elif kind == "incident":
+                # LOST_EVENTS marker — refuse to decode past it, exactly
+                # like a replica's SQL thread (ER_REPLICA_INCIDENT); the
+                # error carries (file, pos) so an operator can re-snapshot
+                # or deliberately restart past the position
+                if event["incident_number"] != 0:
+                    from .reader import BinlogIncidentError
+
+                    raise BinlogIncidentError(
+                        src_file, pos, event["incident_number"], event["message"]
+                    )
             # rotate / heartbeat / format_description / prev_gtids / unknown:
             # no row output
 

@@ -453,6 +453,18 @@ class BinlogWriter:
         )
         self._append_event(EventType.MYSQL_XA_PREPARE, body, timestamp=timestamp)
 
+    def write_incident(
+        self, incident_number: int = 1, message: str = "", timestamp: int = 0
+    ) -> None:
+        """INCIDENT_EVENT (type 26) — libbinlogevents Incident_event: u16 LE
+        incident number (1 = LOST_EVENTS) + 1-byte message length + message
+        (binlog/reader.py parse_incident)."""
+        msg = message.encode("utf-8")
+        if len(msg) > 255:
+            raise ValueError("incident message exceeds 255 bytes")
+        body = struct.pack("<HB", incident_number, len(msg)) + msg
+        self._append_event(EventType.INCIDENT, body, timestamp=timestamp)
+
     def write_rotate(self, next_filename: str, position: int = 4) -> None:
         payload = struct.pack("<Q", position) + next_filename.encode("utf-8")
         self._append_event(EventType.ROTATE, payload)

@@ -545,6 +545,41 @@ def parse_heartbeat(payload: bytes) -> dict:
     return {"binlog_filename": bytes(payload).decode("utf-8")}
 
 
+class BinlogIncidentError(RuntimeError):
+    """An INCIDENT event (type 26, LOST_EVENTS) was found in the stream.
+
+    The server wrote this marker because events may have been lost or
+    corrupted upstream (e.g. a failed non-transactional statement during
+    replication). A MySQL replica stops with ER_REPLICA_INCIDENT at this
+    point; decoding likewise refuses to continue past it — resolve by
+    re-bootstrapping from a snapshot, or deliberately restart the
+    Replayer with a position start strategy past ``(src_file, pos)``.
+    """
+
+    def __init__(self, src_file: str, pos: int, incident_number: int, message: str):
+        self.src_file = src_file
+        self.pos = pos
+        self.incident_number = incident_number
+        self.message = message
+        super().__init__(
+            f"INCIDENT (LOST_EVENTS) at {src_file}@{pos}: "
+            f"number={incident_number} message={message!r} — events may be "
+            f"missing; re-snapshot, or start past this position explicitly"
+        )
+
+
+def parse_incident(payload: bytes) -> dict:
+    """INCIDENT_EVENT (type 26) — libbinlogevents Incident_event: u16 LE
+    incident number (0 = NONE, 1 = LOST_EVENTS), then 1-byte message
+    length + message. Beyond-reference: event_type.rs omits code 26."""
+    number = struct.unpack_from("<H", payload, 0)[0]
+    message = ""
+    if len(payload) > 2:
+        mlen = payload[2]
+        message = bytes(payload[3 : 3 + mlen]).decode("utf-8", "replace")
+    return {"incident_number": number, "message": message}
+
+
 def parse_xid(payload: bytes) -> int:
     """xid_event.rs:17-21."""
     return struct.unpack_from("<Q", payload, 0)[0]
@@ -691,6 +726,8 @@ class BinlogFileReader:
             # rows_query_event.rs: mysql variant skips a leading length byte
             text = payload[1:] if etype == E.MYSQL_ROWS_QUERY else payload
             return "rows_query", {"query": bytes(text).decode("utf-8", "replace")}
+        if etype == E.INCIDENT:
+            return "incident", parse_incident(payload)
         if etype == E.INTVAR:
             return "intvar", parse_intvar(payload)
         if etype == E.MARIADB_GTID_LIST:

@@ -1534,7 +1534,9 @@ class _Prep:
     )
 
 
-def _prepare_segment(content: bytes, spec, xa_outcomes=None) -> _Prep:
+def _prepare_segment(
+    content: bytes, spec, xa_outcomes=None, src_file: str = ""
+) -> _Prep:
     prep = _Prep()
     fr = _frame_chain(content)
     fr["pos_out"] = fr["off"]
@@ -1548,6 +1550,18 @@ def _prepare_segment(content: bytes, spec, xa_outcomes=None) -> _Prep:
             fr = _frame_chain(content)
             fr["pos_out"] = orig_offs[: fr["n"]]
     prep.fr = fr
+    # INCIDENT (LOST_EVENTS) halts decode before any rows emit — same
+    # policy as the scalar path / a replica's ER_REPLICA_INCIDENT stop
+    inc = np.nonzero(fr["etype"] == EventType.INCIDENT)[0]
+    for i in inc:
+        from .reader import BinlogIncidentError, parse_incident
+
+        ev = parse_incident(bytes(content[fr["p_start"][i] : fr["p_end"][i]]))
+        if ev["incident_number"] != 0:
+            raise BinlogIncidentError(
+                src_file, int(fr["pos_out"][i]),
+                ev["incident_number"], ev["message"],
+            )
     data, m = fr["data"], fr["n"]
     etype, ps, pe = fr["etype"], fr["p_start"], fr["p_end"]
     prep.empty = True
@@ -1654,7 +1668,7 @@ def decode_segment_fast(
             "decimal", "datetime", "time", "json", "geometry",
         ):
             return None
-    prep = _prepare_segment(content, spec, xa_outcomes)
+    prep = _prepare_segment(content, spec, xa_outcomes, src_file)
     if prep.empty:
         return []
     fr = prep.fr
@@ -1854,7 +1868,7 @@ def segment_row_stats(
     tuples), and the resume position predicate (``min_pos_exclusive``).
     Returns None when the segment needs the scalar fallback.
     """
-    prep = _prepare_segment(content, spec, xa_outcomes)
+    prep = _prepare_segment(content, spec, xa_outcomes, src_file)
     empty = pd.DataFrame(
         {
             "src_file": pd.Series([], dtype=object),

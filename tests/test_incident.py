@@ -1,0 +1,126 @@
+"""INCIDENT_EVENT (type 26, LOST_EVENTS) — binlog/reader.py parse_incident.
+
+Beyond-reference safety: the reference's event_type.rs skips code 26
+entirely, so a LOST_EVENTS marker — the server's own "events may be
+missing here" signal — would flow through silently. A MySQL replica
+stops with ER_REPLICA_INCIDENT at this point; these tests pin the same
+stop-don't-skip policy on both decode paths, with (file, pos) in the
+error so an operator can re-snapshot or restart past it deliberately.
+"""
+
+import pytest
+
+from mysql_cdc_spark.binlog.decoder import _FileDecoder
+from mysql_cdc_spark.binlog.encoder import BinlogWriter
+from mysql_cdc_spark.binlog.reader import (
+    BinlogFileReader,
+    BinlogIncidentError,
+    parse_incident,
+)
+from mysql_cdc_spark.binlog.vector import decode_segment_fast
+from mysql_cdc_spark.fixtures import (
+    COLUMN_TYPES,
+    PRE_COLUMNS,
+    SOURCE_UUID,
+    TABLE_ID_PRE,
+    transcripts_pre_spec,
+)
+
+CTYPES = [COLUMN_TYPES[c][0] for c in PRE_COLUMNS]
+CMETA = [COLUMN_TYPES[c][1] for c in PRE_COLUMNS]
+SPEC = transcripts_pre_spec()
+
+
+def _txn(w, seq, conv, text):
+    w.write_mysql_gtid(SOURCE_UUID, seq, timestamp=1000 + seq)
+    w.write_query("BEGIN", database="chat", timestamp=1000 + seq)
+    w.write_table_map(
+        TABLE_ID_PRE, "chat", "transcripts", CTYPES, CMETA,
+        nullability=[False] * 5, column_names=PRE_COLUMNS,
+        simple_primary_keys=[0, 1], signedness=[False],
+        timestamp=1000 + seq,
+    )
+    w.write_rows(
+        TABLE_ID_PRE, CTYPES, CMETA,
+        [[conv, 0, "user", text, 1000 + seq]], timestamp=1000 + seq,
+    )
+    w.write_xid(seq, timestamp=1000 + seq)
+
+
+def _stream(incident_number=1, message="lost events on master"):
+    w = BinlogWriter("binlog.000001")
+    _txn(w, 1, "c1", "before-incident")
+    w.write_incident(incident_number, message, timestamp=1500)
+    _txn(w, 2, "c2", "after-incident")
+    return w.getvalue()
+
+
+class TestParse:
+    def test_roundtrip(self):
+        content = _stream(1, "disk full on master")
+        events = {k: ev for _h, _p, k, ev in BinlogFileReader(content, "f")}
+        assert events["incident"] == {
+            "incident_number": 1,
+            "message": "disk full on master",
+        }
+
+    def test_empty_message(self):
+        w = BinlogWriter("binlog.000001")
+        w.write_incident(1, "")
+        events = [
+            ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")
+            if k == "incident"
+        ]
+        assert events == [{"incident_number": 1, "message": ""}]
+
+    def test_parse_unit(self):
+        assert parse_incident(b"\x01\x00\x02hi") == {
+            "incident_number": 1, "message": "hi",
+        }
+        # bare post-header (no message body) is legal
+        assert parse_incident(b"\x00\x00") == {
+            "incident_number": 0, "message": "",
+        }
+
+
+class TestDecodeStops:
+    def test_scalar_raises_with_position(self):
+        content = _stream()
+        dec = _FileDecoder(SPEC)
+        with pytest.raises(BinlogIncidentError) as ei:
+            list(dec.decode_file("binlog.000001", content))
+        err = ei.value
+        assert err.src_file == "binlog.000001"
+        assert err.incident_number == 1
+        assert err.message == "lost events on master"
+        assert content[err.pos + 4] == 26  # pos is the frame's own offset
+
+    def test_vectorized_raises_with_position(self):
+        content = _stream()
+        with pytest.raises(BinlogIncidentError) as ei:
+            decode_segment_fast(content, "binlog.000001", SPEC)
+        err = ei.value
+        assert err.src_file == "binlog.000001"
+        assert content[err.pos + 4] == 26
+
+    def test_paths_agree_on_position(self):
+        content = _stream()
+        with pytest.raises(BinlogIncidentError) as fast:
+            decode_segment_fast(content, "binlog.000001", SPEC)
+        with pytest.raises(BinlogIncidentError) as slow:
+            list(_FileDecoder(SPEC).decode_file("binlog.000001", content))
+        assert fast.value.pos == slow.value.pos
+
+    def test_incident_none_is_ignored(self):
+        # INCIDENT_NONE (number 0) carries no loss signal — decode proceeds
+        content = _stream(incident_number=0, message="")
+        fast = decode_segment_fast(content, "binlog.000001", SPEC)
+        import pandas as pd
+
+        rows = pd.concat(fast, ignore_index=True)
+        assert sorted(rows["after_conv_id"]) == ["c1", "c2"]
+        slow = pd.concat(
+            _FileDecoder(SPEC).decode_file("binlog.000001", content),
+            ignore_index=True,
+        )
+        assert sorted(slow["after_conv_id"]) == ["c1", "c2"]
