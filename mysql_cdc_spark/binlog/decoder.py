@@ -111,7 +111,9 @@ TRANSCRIPTS = TableSpec(
 )
 
 
-def change_event_schema(spec: TableSpec = TRANSCRIPTS) -> T.StructType:
+def change_event_schema(
+    spec: TableSpec = TRANSCRIPTS, attach_origin_query: bool = False
+) -> T.StructType:
     fields = [
         T.StructField("src_file", T.StringType()),
         T.StructField("pos", T.LongType()),
@@ -139,6 +141,11 @@ def change_event_schema(spec: TableSpec = TRANSCRIPTS) -> T.StructType:
             fields.append(
                 T.StructField(prefix + name, _ddl_to_type(ddl), nullable=True)
             )
+    if attach_origin_query:
+        # the originating SQL statement from ROWS_QUERY / ANNOTATE_ROWS
+        # (binlog_rows_query_log_events=ON); NULL when the statement's
+        # transaction carried none
+        fields.append(T.StructField("origin_query", T.StringType()))
     return T.StructType(fields)
 
 
@@ -226,11 +233,21 @@ class _FileDecoder:
         "row_in_event",
     )
 
-    def __init__(self, spec: TableSpec, xa_outcomes: Optional[dict] = None):
+    def __init__(
+        self,
+        spec: TableSpec,
+        xa_outcomes: Optional[dict] = None,
+        attach_origin_query: bool = False,
+    ):
         self.spec = spec
         # batch-wide XA verdict map {xid_key: bool} — resolves two-phase
         # prepares whose XA COMMIT/ROLLBACK lives in another file
         self.xa_outcomes = xa_outcomes
+        # attach the originating SQL from ROWS_QUERY/ANNOTATE_ROWS events
+        # per statement (Debezium's `query` field analog). Row tuples
+        # always carry the value in their last slot; the column is only
+        # exposed when opted in.
+        self.attach_origin_query = attach_origin_query
         self.canonical = [c[0] for c in spec.columns]
         self.kinds = {c[0]: c[2] for c in spec.columns}
         # canonical column index maps, memoized per table-map identity
@@ -242,6 +259,7 @@ class _FileDecoder:
             list(self._META_COLS)
             + ["before_present", "after_present"]
             + [p + n for p in ("before_", "after_") for n in self.canonical]
+            + (["origin_query"] if attach_origin_query else [])
         )
         # flat row tuples (everything except src_file/xid) + per-row xid;
         # one C-level zip(*) transpose per Arrow batch beats 25 list
@@ -341,6 +359,9 @@ class _FileDecoder:
         # flat tuples (minus src_file/xid, filled at flush/commit).
         cur_gtid_source: Optional[str] = None
         cur_gtid_seq: Optional[int] = None
+        # originating SQL from the statement's ROWS_QUERY/ANNOTATE_ROWS
+        # event (overwritten per statement, cleared at txn boundaries)
+        cur_origin: Optional[str] = None
         txn_buffer: list[tuple] = []
 
         def map_image(image, colmap):
@@ -379,10 +400,12 @@ class _FileDecoder:
             if kind == "mysql_gtid":
                 cur_gtid_source = event["source_uuid"]
                 cur_gtid_seq = event["transaction_id"]
+                cur_origin = None
                 txn_buffer = []
             elif kind == "mariadb_gtid":
                 cur_gtid_source = f"{event['domain_id']}-{event['server_id']}"
                 cur_gtid_seq = event["sequence"]
+                cur_origin = None
                 txn_buffer = []
             elif kind in ("write_rows", "delete_rows"):
                 table = reader.table_map[event["table_id"]]
@@ -397,17 +420,20 @@ class _FileDecoder:
                 meta = (pos, header[4], ts, header[2], op, cur_gtid_source,
                         cur_gtid_seq, tid, db, tbl)
                 base = _base(pos, len(event["rows"]))
+                org = (cur_origin,)
                 if op == "insert":
                     masks = (0, img_mask)
                     for i, row in enumerate(event["rows"]):
                         txn_buffer.append(
-                            meta + (base + i,) + masks + nulls + map_image(row, colmap)
+                            meta + (base + i,) + masks + nulls
+                            + map_image(row, colmap) + org
                         )
                 else:
                     masks = (img_mask, 0)
                     for i, row in enumerate(event["rows"]):
                         txn_buffer.append(
-                            meta + (base + i,) + masks + map_image(row, colmap) + nulls
+                            meta + (base + i,) + masks
+                            + map_image(row, colmap) + nulls + org
                         )
             elif kind == "update_rows":
                 table = reader.table_map[event["table_id"]]
@@ -424,16 +450,19 @@ class _FileDecoder:
                 meta = (pos, header[4], ts, header[2], "update", cur_gtid_source,
                         cur_gtid_seq, tid, db, tbl)
                 base = _base(pos, len(event["rows"]))
+                org = (cur_origin,)
                 for i, (before, after) in enumerate(event["rows"]):
                     txn_buffer.append(
                         meta + (base + i,) + masks
                         + map_image(before, colmap) + map_image(after, colmap)
+                        + org
                     )
             elif kind == "xid":
                 emit_txn(event["xid"])
                 txn_buffer = []
                 cur_gtid_source = None
                 cur_gtid_seq = None
+                cur_origin = None
                 if self.n_rows >= batch_rows:
                     yield self._flush_frame()
             elif kind == "xa_prepare":
@@ -451,6 +480,7 @@ class _FileDecoder:
                 txn_buffer = []
                 cur_gtid_source = None
                 cur_gtid_seq = None
+                cur_origin = None
                 if self.n_rows >= batch_rows:
                     yield self._flush_frame()
             elif kind == "query":
@@ -473,6 +503,7 @@ class _FileDecoder:
                         txn_buffer = []
                         cur_gtid_source = None
                         cur_gtid_seq = None
+                        cur_origin = None
                         if self.n_rows >= batch_rows:
                             yield self._flush_frame()
                     elif verb == "prepare" and key is not None:
@@ -485,12 +516,14 @@ class _FileDecoder:
                         txn_buffer = []
                         cur_gtid_source = None
                         cur_gtid_seq = None
+                        cur_origin = None
                     else:
                         # commit/rollback verdict groups carry no rows —
                         # the prepare position already resolved them
                         txn_buffer = []
                         cur_gtid_source = None
                         cur_gtid_seq = None
+                        cur_origin = None
                 elif sql == "BEGIN":
                     pass
                 elif sql == "COMMIT":
@@ -498,16 +531,21 @@ class _FileDecoder:
                     txn_buffer = []
                     cur_gtid_source = None
                     cur_gtid_seq = None
+                    cur_origin = None
                     if self.n_rows >= batch_rows:
                         yield self._flush_frame()
                 elif sql.startswith("ROLLBACK"):
                     txn_buffer = []
                     cur_gtid_source = None
                     cur_gtid_seq = None
+                    cur_origin = None
                 else:  # autocommit DDL
                     txn_buffer = []
                     cur_gtid_source = None
                     cur_gtid_seq = None
+                    cur_origin = None
+            elif kind == "rows_query":
+                cur_origin = event["query"]
             elif kind == "incident":
                 # LOST_EVENTS marker — refuse to decode past it, exactly
                 # like a replica's SQL thread (ER_REPLICA_INCIDENT); the
@@ -537,6 +575,7 @@ def decode_binlog_dir(
     vectorized: Optional[bool] = None,
     before_values: str = "full",
     xa_outcomes: Optional[dict] = None,
+    attach_origin_query: bool = False,
 ) -> DataFrame:
     """binlog directory → change-event DataFrame (distributed decode).
 
@@ -560,7 +599,9 @@ def decode_binlog_dir(
     # segment bytes never cross the network as shuffle data.
     paths = _list_segments(binlog_dir, path_filter)
     if not paths:
-        return spark.createDataFrame([], change_event_schema(spec))
+        return spark.createDataFrame(
+            [], change_event_schema(spec, attach_origin_query)
+        )
     # parallelize with numSlices=len(paths): exactly one path per partition,
     # deterministic, zero shuffle (round-robin repartition leaves collision
     # gaps; hash repartition is worse)
@@ -569,7 +610,7 @@ def decode_binlog_dir(
         "path string",
     )
 
-    schema = change_event_schema(spec)
+    schema = change_event_schema(spec, attach_origin_query)
     if vectorized is None:
         vectorized = os.environ.get("SPARK_CDC_SCALAR_DECODE", "") != "1"
 
@@ -585,13 +626,17 @@ def decode_binlog_dir(
                     frames = decode_segment_fast(
                         content, name, spec, before_values=before_values,
                         xa_outcomes=xa_outcomes,
+                        attach_origin_query=attach_origin_query,
                     )
                 if frames is not None:
                     yield from frames
                 else:
                     # scalar fallback: constructs the fast path can't
                     # express (rare types, partial images, wide tables)
-                    decoder = _FileDecoder(spec, xa_outcomes=xa_outcomes)
+                    decoder = _FileDecoder(
+                        spec, xa_outcomes=xa_outcomes,
+                        attach_origin_query=attach_origin_query,
+                    )
                     yield from decoder.decode_file(path, content)
 
     return pdf_paths.mapInPandas(decode, schema=schema)

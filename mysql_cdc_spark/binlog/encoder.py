@@ -453,6 +453,26 @@ class BinlogWriter:
         )
         self._append_event(EventType.MYSQL_XA_PREPARE, body, timestamp=timestamp)
 
+    def write_rows_query(self, sql: str, timestamp: int = 0) -> None:
+        """ROWS_QUERY_EVENT (type 29, binlog_rows_query_log_events=ON):
+        1-byte length prefix (capped at 255 like the server's) + query
+        text to event end — readers skip the byte and read to the end
+        (rows_query_event.rs / binlog/reader.py)."""
+        q = sql.encode("utf-8")
+        self._append_event(
+            EventType.MYSQL_ROWS_QUERY,
+            bytes([min(len(q), 255)]) + q,
+            timestamp=timestamp,
+        )
+
+    def write_annotate_rows(self, sql: str, timestamp: int = 0) -> None:
+        """MariaDB ANNOTATE_ROWS_EVENT (type 160, binlog_annotate_row_events
+        =ON): the payload is the bare statement text."""
+        self._append_event(
+            EventType.MARIADB_ANNOTATE_ROWS, sql.encode("utf-8"),
+            timestamp=timestamp,
+        )
+
     def write_incident(
         self, incident_number: int = 1, message: str = "", timestamp: int = 0
     ) -> None:

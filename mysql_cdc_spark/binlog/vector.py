@@ -1531,6 +1531,7 @@ class _Prep:
     __slots__ = (
         "fr", "uniq_tms", "tm_uids", "ridx_k", "gov_k",
         "src_k", "seq_k", "xid_k", "hx_k", "sources", "empty",
+        "gidx", "midx",
     )
 
 
@@ -1538,6 +1539,7 @@ def _prepare_segment(
     content: bytes, spec, xa_outcomes=None, src_file: str = ""
 ) -> _Prep:
     prep = _Prep()
+    prep.gidx = prep.midx = None
     fr = _frame_chain(content)
     fr["pos_out"] = fr["off"]
     if segment_has_compressed(fr["etype"]):
@@ -1630,6 +1632,7 @@ def _prepare_segment(
     sources, gidx, gsrc, gseq, midx, mstate, mxid = _control_arrays(
         fr, content, xa_outcomes
     )
+    prep.gidx, prep.midx = gidx, midx
     src_idx, seq, xid, has_xid, keep_txn = _gate_row_events(
         ridx, gidx, gsrc, gseq, midx, mstate, mxid, m
     )
@@ -1648,9 +1651,47 @@ def _prepare_segment(
     return prep
 
 
+def _origin_for_rows(prep, fr, data) -> np.ndarray:
+    """Per kept-row-event origin SQL: last ROWS_QUERY (type 29, leading
+    length byte skipped) or ANNOTATE_ROWS (type 160, raw text) frame
+    strictly inside the row's transaction — i.e. after the latest GTID
+    open or close marker preceding the row. None where the statement
+    logged no query."""
+    etype, ps, pe = fr["etype"], fr["p_start"], fr["p_end"]
+    ridx_k = prep.ridx_k
+    origin = np.full(len(ridx_k), None, dtype=object)
+    rq_mask = (etype == EventType.MYSQL_ROWS_QUERY) | (
+        etype == EventType.MARIADB_ANNOTATE_ROWS
+    )
+    rq_idx = np.nonzero(rq_mask)[0]
+    if len(rq_idx) == 0:
+        return origin
+    texts = np.empty(len(rq_idx), dtype=object)
+    for k, i in enumerate(rq_idx):
+        payload = bytes(data[ps[i] : pe[i]])
+        if etype[i] == EventType.MYSQL_ROWS_QUERY:
+            payload = payload[1:]
+        texts[k] = payload.decode("utf-8", "replace")
+
+    def _last_before(arr):
+        if arr is None or len(arr) == 0:
+            return np.full(len(ridx_k), -1, dtype=np.int64)
+        j = np.searchsorted(arr, ridx_k) - 1
+        return np.where(j >= 0, arr[np.maximum(j, 0)], -1)
+
+    boundary = np.maximum(_last_before(prep.gidx), _last_before(prep.midx))
+    j_rq = np.searchsorted(rq_idx, ridx_k) - 1
+    last_rq = np.where(j_rq >= 0, rq_idx[np.maximum(j_rq, 0)], -1)
+    valid = (last_rq >= 0) & (last_rq > boundary)
+    if valid.any():
+        origin[valid] = texts[j_rq[valid]]
+    return origin
+
+
 def decode_segment_fast(
     content: bytes, src_file: str, spec, batch_rows: int = 262144,
     before_values: str = "full", xa_outcomes=None,
+    attach_origin_query: bool = False,
 ) -> Optional[list[pd.DataFrame]]:
     """Decode one segment fully vectorized; None → caller falls back.
 
@@ -1682,6 +1723,14 @@ def decode_segment_fast(
 
     canonical = [c[0] for c in spec.columns]
     kinds = {c[0]: c[2] for c in spec.columns}
+
+    # origin-query attribution (opt-in): each row event inherits the text
+    # of the last ROWS_QUERY/ANNOTATE_ROWS frame after its transaction
+    # boundary — the vector twin of the scalar decoder's cur_origin state
+    # (set per statement, cleared at GTID opens and txn-close markers)
+    origin_k = None
+    if attach_origin_query:
+        origin_k = _origin_for_rows(prep, fr, data=fr["data"])
 
     # subgroup by (unique table-map payload, op kind, presence pattern) —
     # partial row images decode as their own subgroups with a constant
@@ -1791,6 +1840,8 @@ def decode_segment_fast(
                     return None  # kind/type mismatch → fallback
                 out[prefix + name] = col
 
+        if origin_k is not None:
+            out["origin_query"] = ("obj", origin_k[l_abs])
         out["_evt"] = ("i64", e_abs)
         frames.append(out)
 
