@@ -222,6 +222,78 @@ def cdc_replay_payload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_e2e(spark, provider="mysql", row_image="full", compress="payload")
 
 
+_E2E_RQ_BINLOG_DIR = os.path.join(tempfile.gettempdir(), "cdc_e2e_binlog_rq")
+
+
+def _ensure_rows_query_e2e() -> None:
+    """Binlog bytes for the origin-attribution entry: the same logical
+    changelog, written with binlog_rows_query_log_events=ON (a ROWS_QUERY
+    event with deterministic text precedes each rows event)."""
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+
+    done_marker = _E2E_RQ_BINLOG_DIR + ".complete"
+    if os.path.exists(done_marker):
+        return
+    import shutil
+
+    shutil.rmtree(_E2E_RQ_BINLOG_DIR, ignore_errors=True)
+    txns = generate_changelog(**_E2E_KNOBS)
+    write_binlog_files(
+        txns, _E2E_RQ_BINLOG_DIR, txns_per_file=40, rows_query=True
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def origin_query_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-change-event origin-SQL attribution (beyond-reference): decode
+    a binlog_rows_query_log_events=ON stream with
+    ``attach_origin_query=True`` and emit every change row with the
+    statement text that produced it. The oracle rebuilds the same texts
+    from the logical changelog by reconstructing each transaction's
+    consecutive-same-kind op runs (gaps-and-islands over op_ord) — any
+    row attributed to the wrong statement, or leaked across transaction
+    boundaries, hash-mismatches."""
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS, decode_binlog_dir
+
+    _ensure_e2e_oracle_parquet()
+    _ensure_rows_query_e2e()
+    df = decode_binlog_dir(
+        spark, _E2E_RQ_BINLOG_DIR, spec=TRANSCRIPTS, attach_origin_query=True
+    )
+    return df.select(
+        F.col("gtid_seq").alias("seq"),
+        F.coalesce(F.col("after_conv_id"), F.col("before_conv_id")).alias("conv_id"),
+        F.coalesce(F.col("after_turn_idx"), F.col("before_turn_idx")).alias("turn_idx"),
+        "op",
+        "origin_query",
+    )
+
+
+# The run ordinal (which consecutive-same-kind op run of the transaction a
+# row belongs to) is reconstructed with gaps-and-islands over the logical
+# changelog, then the deterministic statement text is rebuilt from it —
+# matching fixtures._write_one_file's ROWS_QUERY emission exactly.
+ORIGIN_QUERY_SQL_TEMPLATE = """
+WITH ops AS (
+  SELECT * FROM {src}
+), marks AS (
+  SELECT *, CASE WHEN lag(kind) OVER (PARTITION BY txn_ord ORDER BY op_ord)
+                      IS DISTINCT FROM kind THEN 1 ELSE 0 END AS new_run
+  FROM ops
+), runs AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY txn_ord ORDER BY op_ord
+                               ROWS UNBOUNDED PRECEDING) - 1 AS run_ord
+  FROM marks
+)
+SELECT seq, conv_id, turn_idx, kind AS op,
+       '/* seq=' || CAST(seq AS VARCHAR) || ' run=' ||
+       CAST(run_ord AS VARCHAR) || ' */ ' || upper(kind) ||
+       ' chat.transcripts' AS origin_query
+FROM runs
+"""
+
+
 # v2: corpus plan is server-legal (plan_xa_modes) — the suffix invalidates
 # any surviving v1 cache written by the earlier planner
 _E2E_XA_ORACLE_PARQUET = os.path.join(
@@ -330,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_compressed_e2e"] = cdc_replay_compressed_e2e
     out["cdc_replay_payload_e2e"] = cdc_replay_payload_e2e
     out["cdc_replay_xa_e2e"] = cdc_replay_xa_e2e
+    out["origin_query_attribution"] = origin_query_attribution
     return out
 
 
@@ -359,5 +432,9 @@ def oracle_sql() -> dict[str, str]:
     _ensure_xa_e2e()
     out["cdc_replay_xa_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
         src=f"read_parquet('{_E2E_XA_ORACLE_PARQUET}')"
+    )
+    # origin attribution reuses the base corpus's dual-written changelog
+    out["origin_query_attribution"] = ORIGIN_QUERY_SQL_TEMPLATE.format(
+        src=f"read_parquet('{_E2E_ORACLE_PARQUET}')"
     )
     return out

@@ -320,6 +320,7 @@ def write_binlog_files(
     row_image: str = "full",
     row_metadata: str = "full",
     xa_plan: dict | None = None,
+    rows_query: bool = False,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -352,6 +353,13 @@ def write_binlog_files(
     records it — an autocommit ``ALTER TABLE`` QUERY event written once,
     immediately before the first post-evolution transaction
     (``EVOLUTION_DDL``; consumed by binlog/ddl.py schema discovery).
+
+    ``rows_query=True`` mirrors ``binlog_rows_query_log_events=ON``: a
+    ROWS_QUERY event with a deterministic statement text
+    (``/* seq=<seq> run=<run_ord> */ <KIND> chat.transcripts``) precedes
+    each rows event, so origin attribution is reconstructible from the
+    logical changelog (run_ord = ordinal of the consecutive-same-kind op
+    run within the transaction).
     """
     import os
 
@@ -383,7 +391,7 @@ def write_binlog_files(
                 txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
-                row_metadata, alter_before_seq,
+                row_metadata, alter_before_seq, rows_query,
                 xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
@@ -398,7 +406,7 @@ def write_binlog_files(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
-                 row_metadata, alter_before_seq,
+                 row_metadata, alter_before_seq, rows_query,
                  xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
@@ -408,7 +416,7 @@ def write_binlog_files(
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
-     row_metadata, alter_before_seq, *xa_extra) = job
+     row_metadata, alter_before_seq, rows_query, *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -474,13 +482,25 @@ def _write_one_file(job) -> str:
         # exactly like a server batching rows of one statement
         run_kind = None
         run: list = []
+        run_ord = 0
 
         minimal = row_image == "minimal"
         pk_idx = (0, 1)  # (conv_id, turn_idx)
 
         def flush_run(kind, ops):
+            nonlocal run_ord
             if not ops:
                 return
+            if rows_query:
+                # binlog_rows_query_log_events=ON: the statement's SQL is
+                # logged ahead of its rows event; text is deterministic so
+                # the DuckDB oracle can rebuild it from the changelog
+                writer.write_rows_query(
+                    f"/* seq={txn.seq} run={run_ord} */ "
+                    f"{kind.upper()} chat.transcripts",
+                    timestamp=txn.timestamp,
+                )
+            run_ord += 1
             n = len(cols)
             if kind == "insert":
                 # inserts always carry full images, even under MINIMAL

@@ -173,6 +173,62 @@ class TestAttribution:
         assert slow["origin_query"].iloc[0] == sql
 
 
+class TestFixtureCorpus:
+    def test_attribution_matches_changelog_runs(self, tmp_path):
+        """fixtures.write_binlog_files(rows_query=True) emits one
+        ROWS_QUERY per consecutive-same-kind op run; decode attribution
+        must equal a changelog-side run reconstruction (the harness
+        oracle's gaps-and-islands logic, computed here in pandas)."""
+        import glob
+
+        from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+        from mysql_cdc_spark.fixtures import (
+            changelog_to_pandas,
+            generate_changelog,
+            write_binlog_files,
+        )
+
+        txns = generate_changelog(
+            n_conversations=5, n_extra_ops=15, seed=3, duplicate_txns=1
+        )
+        write_binlog_files(txns, str(tmp_path), txns_per_file=6, rows_query=True)
+        frames = []
+        for p in sorted(glob.glob(str(tmp_path / "binlog.*"))):
+            with open(p, "rb") as f:
+                frames.extend(
+                    decode_segment_fast(
+                        f.read(), p.rsplit("/", 1)[-1], TRANSCRIPTS,
+                        attach_origin_query=True,
+                    )
+                )
+        got = pd.concat(frames, ignore_index=True)
+        got_set = sorted(
+            zip(
+                got["gtid_seq"],
+                got["after_conv_id"].where(got["after_conv_id"].notna(),
+                                           got["before_conv_id"]),
+                got["op"],
+                got["origin_query"],
+            )
+        )
+        log = changelog_to_pandas(txns)
+        new_run = (
+            log.groupby("txn_ord")["kind"].shift() != log["kind"]
+        )
+        log["run_ord"] = new_run.astype(int).groupby(log["txn_ord"]).cumsum() - 1
+        want_set = sorted(
+            zip(
+                log["seq"],
+                log["conv_id"],
+                log["kind"],
+                "/* seq=" + log["seq"].astype(str) + " run="
+                + log["run_ord"].astype(str) + " */ "
+                + log["kind"].str.upper() + " chat.transcripts",
+            )
+        )
+        assert got_set == want_set
+
+
 class TestSparkDecode:
     def test_decode_binlog_dir_roundtrip(self, spark, tmp_path):
         outdir = tmp_path / "binlog"
