@@ -473,6 +473,21 @@ class BinlogWriter:
             timestamp=timestamp,
         )
 
+    def write_start_encryption(
+        self, key_version: int = 1, nonce: bytes = b"\x00" * 12,
+        timestamp: int = 0,
+    ) -> None:
+        """MariaDB START_ENCRYPTION (type 164, encrypt_binlog=ON): u8
+        crypto scheme (1 = AES_CBC), u32 LE key version, 12-byte nonce.
+        Events written AFTER this marker would be ciphertext on a real
+        server — the fixture writer emits them in plaintext purely so
+        tests can pin that decode refuses at the marker itself."""
+        self._append_event(
+            EventType.MARIADB_START_ENCRYPTION,
+            struct.pack("<BI", 1, key_version) + nonce[:12].ljust(12, b"\x00"),
+            timestamp=timestamp,
+        )
+
     def write_incident(
         self, incident_number: int = 1, message: str = "", timestamp: int = 0
     ) -> None:

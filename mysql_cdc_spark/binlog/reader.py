@@ -568,6 +568,33 @@ class BinlogIncidentError(RuntimeError):
         )
 
 
+class BinlogEncryptionError(RuntimeError):
+    """A MariaDB START_ENCRYPTION event (type 164, encrypt_binlog=ON) was
+    found: every subsequent event body in the segment is AES-encrypted
+    with a key this engine does not hold, so decoding past it would
+    produce garbage. Decrypt upstream (the server's key management /
+    `mariadb-binlog --read-from-remote-server` emit plaintext) or
+    disable binlog encryption for the replication stream."""
+
+    def __init__(self, src_file: str, key_version: int):
+        self.src_file = src_file
+        self.key_version = key_version
+        super().__init__(
+            f"encrypted binlog {src_file or '<stream>'} (START_ENCRYPTION, "
+            f"key_version={key_version}): events past this point are "
+            "AES-encrypted — supply a decrypted stream"
+        )
+
+
+def parse_start_encryption(payload: bytes) -> dict:
+    """MariaDB START_ENCRYPTION (type 164): u8 crypto scheme, u32 LE key
+    version, 12-byte nonce (public MariaDB binlog-encryption docs)."""
+    scheme = payload[0] if payload else 0
+    key_version = struct.unpack_from("<I", payload, 1)[0] if len(payload) >= 5 else 0
+    nonce = bytes(payload[5:17])
+    return {"scheme": scheme, "key_version": key_version, "nonce": nonce}
+
+
 def parse_incident(payload: bytes) -> dict:
     """INCIDENT_EVENT (type 26) — libbinlogevents Incident_event: u16 LE
     incident number (0 = NONE, 1 = LOST_EVENTS), then 1-byte message
@@ -728,6 +755,10 @@ class BinlogFileReader:
             return "rows_query", {"query": bytes(text).decode("utf-8", "replace")}
         if etype == E.INCIDENT:
             return "incident", parse_incident(payload)
+        if etype == E.MARIADB_START_ENCRYPTION:
+            # refuse loudly: everything after this frame is ciphertext
+            ev = parse_start_encryption(payload)
+            raise BinlogEncryptionError(self.filename, ev["key_version"])
         if etype == E.INTVAR:
             return "intvar", parse_intvar(payload)
         if etype == E.MARIADB_GTID_LIST:

@@ -1552,6 +1552,17 @@ def _prepare_segment(
             fr = _frame_chain(content)
             fr["pos_out"] = orig_offs[: fr["n"]]
     prep.fr = fr
+    # START_ENCRYPTION: everything after the frame is AES ciphertext —
+    # refuse loudly rather than decode garbage (same policy as scalar)
+    enc = np.nonzero(fr["etype"] == EventType.MARIADB_START_ENCRYPTION)[0]
+    if len(enc):
+        from .reader import BinlogEncryptionError, parse_start_encryption
+
+        i = int(enc[0])
+        ev = parse_start_encryption(
+            bytes(fr["data"][fr["p_start"][i] : fr["p_end"][i]])
+        )
+        raise BinlogEncryptionError(src_file, ev["key_version"])
     # INCIDENT (LOST_EVENTS) halts decode before any rows emit — same
     # policy as the scalar path / a replica's ER_REPLICA_INCIDENT stop
     inc = np.nonzero(fr["etype"] == EventType.INCIDENT)[0]

@@ -124,3 +124,39 @@ class TestDecodeStops:
             ignore_index=True,
         )
         assert sorted(slow["after_conv_id"]) == ["c1", "c2"]
+
+
+class TestStartEncryption:
+    """MariaDB encrypt_binlog=ON — decode must refuse at the
+    START_ENCRYPTION marker (type 164) instead of reading ciphertext."""
+
+    def _stream(self):
+        from mysql_cdc_spark.binlog.encoder import BinlogWriter as W
+
+        w = W("binlog.000001")
+        _txn(w, 1, "c1", "plaintext prefix")
+        w.write_start_encryption(key_version=3)
+        _txn(w, 2, "c2", "would be ciphertext")
+        return w.getvalue()
+
+    def test_scalar_raises(self):
+        from mysql_cdc_spark.binlog.reader import BinlogEncryptionError
+
+        with pytest.raises(BinlogEncryptionError) as ei:
+            list(_FileDecoder(SPEC).decode_file("binlog.000001", self._stream()))
+        assert ei.value.key_version == 3
+        assert "decrypted stream" in str(ei.value)
+
+    def test_vectorized_raises(self):
+        from mysql_cdc_spark.binlog.reader import BinlogEncryptionError
+
+        with pytest.raises(BinlogEncryptionError) as ei:
+            decode_segment_fast(self._stream(), "binlog.000001", SPEC)
+        assert ei.value.src_file == "binlog.000001"
+        assert ei.value.key_version == 3
+
+    def test_parse_unit(self):
+        from mysql_cdc_spark.binlog.reader import parse_start_encryption
+
+        got = parse_start_encryption(b"\x01\x07\x00\x00\x00" + b"\xab" * 12)
+        assert got == {"scheme": 1, "key_version": 7, "nonce": b"\xab" * 12}
