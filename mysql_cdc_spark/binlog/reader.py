@@ -545,6 +545,29 @@ def parse_heartbeat(payload: bytes) -> dict:
     return {"binlog_filename": bytes(payload).decode("utf-8")}
 
 
+def parse_heartbeat_v2(payload: bytes) -> dict:
+    """HEARTBEAT_LOG_EVENT_V2 (type 41, MySQL 8.0.26+; beyond-reference —
+    absent from the reference enum): TLV fields like TRANSACTION_PAYLOAD
+    (libbinlogevents Heartbeat_event_v2): type 0 = log filename (string),
+    type 1 = log position (LE int); 0 also doubles as the OTW end marker
+    when its length is 0 at the tail."""
+    filename, position = "", 0
+    off = 0
+    n = len(payload)
+    while off < n:
+        ftype, off = K.read_len_enc_num(payload, off)
+        if off >= n:
+            break
+        flen, off = K.read_len_enc_num(payload, off)
+        val = payload[off : off + flen]
+        off += flen
+        if ftype == 0 and flen:
+            filename = bytes(val).decode("utf-8", "replace")
+        elif ftype == 1:
+            position = int.from_bytes(val, "little")
+    return {"binlog_filename": filename, "binlog_position": position}
+
+
 class BinlogIncidentError(RuntimeError):
     """An INCIDENT event (type 26, LOST_EVENTS) was found in the stream.
 
@@ -744,6 +767,8 @@ class BinlogFileReader:
             return "rotate", parse_rotate(payload)
         if etype == E.HEARTBEAT:
             return "heartbeat", parse_heartbeat(payload)
+        if etype == E.MYSQL_HEARTBEAT_V2:
+            return "heartbeat", parse_heartbeat_v2(payload)
         if etype == E.MYSQL_PREVIOUS_GTIDS:
             return "prev_gtids", {"gtid_set": str(K.parse_prev_gtids(payload))}
         if etype == E.USER_VAR:

@@ -160,3 +160,49 @@ class TestStartEncryption:
 
         got = parse_start_encryption(b"\x01\x07\x00\x00\x00" + b"\xab" * 12)
         assert got == {"scheme": 1, "key_version": 7, "nonce": b"\xab" * 12}
+
+
+class TestHeartbeatV2:
+    """HEARTBEAT_LOG_EVENT_V2 (type 41, MySQL 8.0.26+) — TLV filename +
+    position; dispatched as the same 'heartbeat' kind as v1 so the tail's
+    keepalive path is version-agnostic."""
+
+    def test_parse_tlv(self):
+        from mysql_cdc_spark.binlog.reader import parse_heartbeat_v2
+
+        name = b"binlog.000042"
+        payload = (
+            bytes([0, len(name)]) + name
+            + bytes([1, 8]) + (987654).to_bytes(8, "little")
+        )
+        assert parse_heartbeat_v2(payload) == {
+            "binlog_filename": "binlog.000042",
+            "binlog_position": 987654,
+        }
+
+    def test_dispatch_and_no_row_output(self):
+        from mysql_cdc_spark.binlog.constants import EventType
+        from mysql_cdc_spark.binlog.encoder import BinlogWriter as W
+
+        w = W("binlog.000001")
+        _txn(w, 1, "c1", "hello")
+        name = b"binlog.000001"
+        w._append_event(
+            EventType.MYSQL_HEARTBEAT_V2,
+            bytes([0, len(name)]) + name
+            + bytes([1, 8]) + (4096).to_bytes(8, "little"),
+        )
+        content = w.getvalue()
+        kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(content, "f")}
+        assert kinds["heartbeat"]["binlog_position"] == 4096
+        import pandas as pd
+
+        fast = pd.concat(
+            decode_segment_fast(content, "binlog.000001", SPEC),
+            ignore_index=True,
+        )
+        slow = pd.concat(
+            _FileDecoder(SPEC).decode_file("binlog.000001", content),
+            ignore_index=True,
+        )
+        assert len(fast) == len(slow) == 1  # heartbeat contributes no rows
