@@ -174,6 +174,12 @@ class BinlogWriter:
         out = struct.pack("<Q", len(gtid_set.uuid_sets))
         for uuid in sorted(gtid_set.uuid_sets):
             us = gtid_set.uuid_sets[uuid]
+            if getattr(us, "tag", ""):
+                raise ValueError(
+                    "PREVIOUS_GTIDS binary form is untagged-only; MySQL 8.4 "
+                    "tagged sets use a format this fixture writer does not "
+                    "emit"
+                )
             out += us.source_id.data
             out += struct.pack("<Q", len(us.intervals))
             for iv in us.intervals:

@@ -303,6 +303,13 @@ def encode_dump_binlog_gtid_command(
     out += fn
     out += struct.pack("<Q", position)
     uuid_sets = list(gtid_set.uuid_sets.values())
+    if any(getattr(us, "tag", "") for us in uuid_sets):
+        # tagged GTIDs (MySQL 8.4) use a different dump payload encoding;
+        # refuse rather than silently dropping the tags
+        raise ValueError(
+            "COM_BINLOG_DUMP_GTID payload encoding does not support tagged "
+            "GTID sets; seed the ledger with the untagged subset"
+        )
     data_length = 8 + sum(16 + 8 + len(us.intervals) * 16 for us in uuid_sets)
     out += struct.pack("<IQ", data_length, len(uuid_sets))
     for us in uuid_sets:

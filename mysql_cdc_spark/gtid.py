@@ -23,7 +23,14 @@ module per row.
 
 from __future__ import annotations
 
+import re
+
 UUID_LENGTH = 36  # gtid_set.rs:9
+
+# MySQL 8.4 tagged-GTID tag (WL#15294, public docs): up to 32 chars,
+# starts with a letter or underscore, case-insensitive (stored lowercase)
+TAG_RE = re.compile(r"^[a-z_][a-z0-9_]{0,31}$")
+_INTERVAL_RE = re.compile(r"^\d+(-\d+)?$")
 
 
 class GtidError(ValueError):
@@ -101,21 +108,39 @@ class Interval:
 
 
 class Gtid:
-    """MySQL 5.6+ GTID; gtid.rs:6-29."""
+    """MySQL 5.6+ GTID; gtid.rs:6-29. ``tag`` carries the MySQL 8.4
+    tagged-GTID tag (``uuid:tag:txid``; beyond-reference) — empty for the
+    classic untagged form."""
 
-    __slots__ = ("source_id", "transaction_id")
+    __slots__ = ("source_id", "transaction_id", "tag")
 
-    def __init__(self, source_id: Uuid, transaction_id: int):
+    def __init__(self, source_id: Uuid, transaction_id: int, tag: str = ""):
         self.source_id = source_id
         self.transaction_id = transaction_id
+        self.tag = _normalize_tag(tag)
 
     @classmethod
     def parse(cls, text: str) -> "Gtid":
-        uuid, _, txid = text.partition(":")
-        return cls(Uuid.parse(uuid), int(txid))
+        parts = text.split(":")
+        if len(parts) == 2:
+            return cls(Uuid.parse(parts[0]), int(parts[1]))
+        if len(parts) == 3:
+            return cls(Uuid.parse(parts[0]), int(parts[2]), tag=parts[1])
+        raise GtidError(f"Invalid GTID format {text}")
 
     def __str__(self) -> str:
+        if self.tag:
+            return f"{self.source_id}:{self.tag}:{self.transaction_id}"
         return f"{self.source_id}:{self.transaction_id}"
+
+
+def _normalize_tag(tag: str) -> str:
+    if not tag:
+        return ""
+    low = tag.lower()
+    if not TAG_RE.match(low):
+        raise GtidError(f"Invalid GTID tag {tag!r}")
+    return low
 
 
 def find_interval_index(intervals: list[Interval], transaction_id: int) -> int:
@@ -152,19 +177,29 @@ def collapse_intervals(intervals: list[Interval]) -> None:
 
 
 class UuidSet:
-    """Replication state for one server uuid; uuid_set.rs:8-58."""
+    """Replication state for one server uuid; uuid_set.rs:8-58. ``tag``
+    scopes the set to one MySQL 8.4 GTID tag (tagged and untagged
+    intervals of the same uuid are disjoint sequences)."""
 
-    __slots__ = ("source_id", "intervals")
+    __slots__ = ("source_id", "intervals", "tag")
 
-    def __init__(self, source_id: Uuid, intervals: list[Interval]):
+    def __init__(
+        self, source_id: Uuid, intervals: list[Interval], tag: str = ""
+    ):
         if len(intervals) > 1:
             collapse_intervals(intervals)
         self.source_id = source_id
         self.intervals = intervals
+        self.tag = _normalize_tag(tag)
+
+    @property
+    def key(self) -> str:
+        """Ledger dict key; matches decode's gtid_source text form."""
+        return f"{self.source_id}:{self.tag}" if self.tag else self.source_id.uuid
 
     def add_gtid(self, gtid: Gtid) -> bool:
         """Insert txid; returns False if already covered; uuid_set.rs:29-58."""
-        if self.source_id.data != gtid.source_id.data:
+        if self.source_id.data != gtid.source_id.data or self.tag != gtid.tag:
             raise GtidError("SourceId of the passed gtid doesn't belong to the UuidSet")
 
         txid = gtid.transaction_id
@@ -195,7 +230,7 @@ class UuidSet:
         return False
 
     def __str__(self) -> str:
-        return f"{self.source_id}:" + ":".join(str(x) for x in self.intervals)
+        return f"{self.key}:" + ":".join(str(x) for x in self.intervals)
 
 
 class GtidSet:
@@ -208,7 +243,11 @@ class GtidSet:
 
     @classmethod
     def parse(cls, gtid_set: str) -> "GtidSet":
-        """Parse canonical text form; gtid_set.rs:27-57."""
+        """Parse canonical text form; gtid_set.rs:27-57. Accepts MySQL 8.4
+        tagged sets (beyond-reference): interval tokens after the uuid may
+        be interleaved with tag tokens, each tag scoping the intervals
+        that follow it (``uuid:1-5:tag_a:1-3:tag_b:7``); the same uuid may
+        also repeat across comma parts."""
         if not gtid_set:
             return cls()
         gtid_set = gtid_set.replace("\n", "")
@@ -218,24 +257,46 @@ class GtidSet:
             # or a MariaDB domain-server key (neither contains ':')
             source_text, _, interval_text = part.partition(":")
             source_id = Uuid.parse_lenient(source_text)
-            intervals = []
+            tag = ""
+            saw_interval = False
             for token in interval_text.split(":"):
-                rng = token.split("-")
-                if len(rng) == 1:
-                    intervals.append(Interval(int(rng[0]), int(rng[0])))
-                elif len(rng) == 2:
-                    intervals.append(Interval(int(rng[0]), int(rng[1])))
+                if _INTERVAL_RE.match(token):
+                    rng = token.split("-")
+                    iv = (
+                        Interval(int(rng[0]), int(rng[0]))
+                        if len(rng) == 1
+                        else Interval(int(rng[0]), int(rng[1]))
+                    )
+                    key = f"{source_id.uuid}:{tag}" if tag else source_id.uuid
+                    us = result.get(key)
+                    if us is None:
+                        us = UuidSet(
+                            Uuid(source_id.data, source_id.uuid), [], tag=tag
+                        )
+                        result[key] = us
+                    _splice_interval(us, iv.start, iv.end)
+                    saw_interval = True
+                elif TAG_RE.match(token.lower()):
+                    tag = token.lower()  # scopes the intervals that follow
                 else:
                     raise GtidError(f"Invalid interval format {token}")
-            result[source_id.uuid] = UuidSet(source_id, intervals)
+            if not saw_interval:
+                raise GtidError(f"GTID set part has no intervals: {part}")
         return cls(result)
 
     def add_gtid(self, gtid: Gtid) -> bool:
         """gtid_set.rs:60-67."""
-        uuid_set = self.uuid_sets.get(gtid.source_id.uuid)
+        key = (
+            f"{gtid.source_id.uuid}:{gtid.tag}" if gtid.tag
+            else gtid.source_id.uuid
+        )
+        uuid_set = self.uuid_sets.get(key)
         if uuid_set is None:
-            uuid_set = UuidSet(Uuid(gtid.source_id.data, gtid.source_id.uuid), [])
-            self.uuid_sets[gtid.source_id.uuid] = uuid_set
+            uuid_set = UuidSet(
+                Uuid(gtid.source_id.data, gtid.source_id.uuid), [],
+                tag=gtid.tag,
+            )
+            self.uuid_sets[key] = uuid_set
         return uuid_set.add_gtid(gtid)
 
     def contains(self, source_uuid: str, transaction_id: int) -> bool:
@@ -246,25 +307,45 @@ class GtidSet:
         """Ledger merge across micro-batches (engine addition, not in ref)."""
         merged = GtidSet.parse(str(self))
         for us in other.uuid_sets.values():
-            target = merged.uuid_sets.get(us.source_id.uuid)
+            target = merged.uuid_sets.get(us.key)
             if target is None:
-                target = UuidSet(Uuid(us.source_id.data, us.source_id.uuid), [])
-                merged.uuid_sets[us.source_id.uuid] = target
+                target = UuidSet(
+                    Uuid(us.source_id.data, us.source_id.uuid), [], tag=us.tag
+                )
+                merged.uuid_sets[us.key] = target
             for iv in us.intervals:
                 _splice_interval(target, iv.start, iv.end)
         return merged
 
     def to_intervals(self) -> list[tuple[str, int, int]]:
-        """Flatten to (uuid, start, end) rows for the distributed anti-join."""
+        """Flatten to (source_key, start, end) rows for the distributed
+        anti-join; tagged sets key as ``uuid:tag``, matching the decode's
+        gtid_source text for a tagged stream."""
         out = []
-        for uuid in sorted(self.uuid_sets):
-            for iv in self.uuid_sets[uuid].intervals:
-                out.append((uuid, iv.start, iv.end))
+        for key in sorted(self.uuid_sets):
+            for iv in self.uuid_sets[key].intervals:
+                out.append((key, iv.start, iv.end))
         return out
 
     def __str__(self) -> str:
-        """Canonical text (uuid-sorted); gtid_set.rs:70-82."""
-        return ",".join(str(x) for x in sorted(self.uuid_sets.values(), key=str))
+        """Canonical text (uuid-sorted); gtid_set.rs:70-82. Tagged sets
+        group under their uuid the way the 8.4 server prints
+        gtid_executed: untagged intervals first, then each tag's
+        intervals, tags sorted (``uuid:1-5:tag_a:1-3``)."""
+        by_uuid: dict[str, dict[str, UuidSet]] = {}
+        for us in self.uuid_sets.values():
+            by_uuid.setdefault(us.source_id.uuid, {})[us.tag] = us
+        parts = []
+        for uuid in sorted(by_uuid):
+            groups = by_uuid[uuid]
+            tokens = [uuid]
+            for tag in sorted(groups, key=lambda t: (t != "", t)):
+                us = groups[tag]
+                if tag:
+                    tokens.append(tag)
+                tokens.extend(str(iv) for iv in us.intervals)
+            parts.append(":".join(tokens))
+        return ",".join(parts)
 
 
 def _splice_interval(uuid_set: UuidSet, start: int, end: int) -> None:

@@ -170,3 +170,72 @@ class TestGtidList:
         gtid_list.add_gtid(MariaGtid(2, 4, 250))
         assert len(gtid_list.gtids) == 3
         assert str(gtid_list) == "1-2-120,2-4-250,3-4-50"
+
+
+class TestTaggedGtids:
+    """MySQL 8.4 tagged GTIDs (WL#15294; beyond-reference — the reference
+    predates them): text parse/format/union/containment over
+    ``uuid:tag:interval`` sets, keyed ``uuid:tag`` so the ledger anti-join
+    and decode gtid_source text compose unchanged."""
+
+    U = "24bc7850-2c16-11e6-a073-0242ac110002"
+    V = "11111111-2222-3333-4444-555555555555"
+
+    def test_parse_and_canonical_grouping(self):
+        from mysql_cdc_spark.gtid import GtidSet
+
+        s = GtidSet.parse(f"{self.U}:1-5:tag_a:1-3:TAG_B:7,{self.U}:8")
+        # server-style grouping: untagged first, tags sorted, lowercase
+        assert str(s) == f"{self.U}:1-5:8:tag_a:1-3:tag_b:7"
+        assert str(GtidSet.parse(str(s))) == str(s)  # round-trip
+
+    def test_tag_only_uuid(self):
+        from mysql_cdc_spark.gtid import GtidSet
+
+        s = GtidSet.parse(f"{self.V}:ops:1-9")
+        assert str(s) == f"{self.V}:ops:1-9"
+        assert s.contains(f"{self.V}:ops", 5)
+        assert not s.contains(self.V, 5)  # untagged sequence is disjoint
+
+    def test_add_gtid_and_idempotence(self):
+        from mysql_cdc_spark.gtid import Gtid, GtidSet
+
+        s = GtidSet.parse(f"{self.U}:tag_a:1-3")
+        g = Gtid.parse(f"{self.U}:tag_a:4")
+        assert s.add_gtid(g) is True
+        assert s.add_gtid(g) is False  # uuid_set.rs:46-48 idempotence, tagged
+        assert str(s) == f"{self.U}:tag_a:1-4"
+        assert str(g) == f"{self.U}:tag_a:4"
+
+    def test_union_and_intervals(self):
+        from mysql_cdc_spark.gtid import GtidSet
+
+        a = GtidSet.parse(f"{self.U}:1-5:tag_a:1-3")
+        b = GtidSet.parse(f"{self.U}:tag_a:3-9:tag_c:1,{self.V}:2")
+        u = a.union(b)
+        assert str(u) == f"{self.V}:2,{self.U}:1-5:tag_a:1-9:tag_c:1"
+        assert (f"{self.U}:tag_a", 1, 9) in u.to_intervals()
+        assert (self.U, 1, 5) in u.to_intervals()
+
+    def test_invalid_tag_rejected(self):
+        import pytest as _pytest
+
+        from mysql_cdc_spark.gtid import GtidError, GtidSet
+
+        with _pytest.raises(GtidError):
+            GtidSet.parse(f"{self.U}:9tag:1-3")  # tags cannot start with digit
+        with _pytest.raises(GtidError):
+            GtidSet.parse(f"{self.U}:tag_a")  # tag with no intervals
+
+    def test_binary_encoders_refuse_tags(self):
+        import pytest as _pytest
+
+        from mysql_cdc_spark.binlog.encoder import BinlogWriter
+        from mysql_cdc_spark.binlog.wire import encode_dump_binlog_gtid_command
+        from mysql_cdc_spark.gtid import GtidSet
+
+        tagged = GtidSet.parse(f"{self.U}:tag_a:1-3")
+        with _pytest.raises(ValueError):
+            BinlogWriter("binlog.000001").write_prev_gtids(tagged)
+        with _pytest.raises(ValueError):
+            encode_dump_binlog_gtid_command(1, "", 4, tagged)
