@@ -780,6 +780,19 @@ class BinlogFileReader:
             return "rows_query", {"query": bytes(text).decode("utf-8", "replace")}
         if etype == E.INCIDENT:
             return "incident", parse_incident(payload)
+        if etype == E.STOP:
+            # clean server shutdown marker; empty body, no state change
+            return "stop", {}
+        if etype == E.MARIADB_BINLOG_CHECKPOINT:
+            # MariaDB crash-safety marker: binlogs BEFORE this filename are
+            # no longer needed for recovery (u32 LE name length + name) —
+            # surfaced for retention tooling, no decode-state change
+            nlen = struct.unpack_from("<I", payload, 0)[0]
+            return "binlog_checkpoint", {
+                "binlog_filename": bytes(payload[4 : 4 + nlen]).decode(
+                    "utf-8", "replace"
+                )
+            }
         if etype == E.MARIADB_START_ENCRYPTION:
             # refuse loudly: everything after this frame is ciphertext
             ev = parse_start_encryption(payload)

@@ -167,3 +167,24 @@ class TestTimeKind:
         assert fast is not None
         fgot = pd.concat(fast, ignore_index=True)
         assert fgot["after_dur"].tolist() == got["after_dur"].tolist()
+
+
+def test_stop_and_binlog_checkpoint_typed():
+    """STOP (type 3) and MariaDB BINLOG_CHECKPOINT (type 161) dispatch as
+    typed no-op events (retention tooling reads the checkpoint filename)."""
+    import struct
+
+    from mysql_cdc_spark.binlog.constants import EventType
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.binlog.reader import BinlogFileReader
+
+    w = BinlogWriter("binlog.000002")
+    name = b"binlog.000001"
+    w._append_event(
+        EventType.MARIADB_BINLOG_CHECKPOINT,
+        struct.pack("<I", len(name)) + name,
+    )
+    w._append_event(EventType.STOP, b"")
+    kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
+    assert kinds["binlog_checkpoint"] == {"binlog_filename": "binlog.000001"}
+    assert kinds["stop"] == {}
