@@ -39,6 +39,10 @@ class EventType:
     MYSQL_UPDATE_ROWS_V2 = 31
     MYSQL_DELETE_ROWS_V2 = 32
     MYSQL_GTID = 33
+    # MySQL 5.6+ "skip me if you don't understand me" marker (beyond-
+    # reference: event_type.rs skips code 34) — carries no body a replica
+    # must act on; surfaced typed so pipelines can count/observe them
+    IGNORABLE = 34
     MYSQL_PREVIOUS_GTIDS = 35
     MYSQL_XA_PREPARE = 38
     # MySQL 8.0 binlog_row_value_options=PARTIAL_JSON update frames

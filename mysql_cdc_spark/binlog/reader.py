@@ -523,6 +523,15 @@ def parse_intvar(payload: bytes) -> dict:
     return {"intvar_type": intvar_type, "value": value}
 
 
+def parse_rand(payload: bytes) -> dict:
+    """RAND (type 13): statement-based RAND() seed carrier — two u64 LE
+    seeds (libbinlogevents Rand_event; beyond-reference: event_type.rs
+    names no code 13). Row-based streams never emit it, but mixed-format
+    servers do; a row-image replica records and otherwise ignores it."""
+    seed1, seed2 = struct.unpack_from("<QQ", payload, 0)
+    return {"seed1": seed1, "seed2": seed2}
+
+
 def parse_mariadb_gtid_list(payload: bytes) -> dict:
     """mariadb/events/gtid_list_event.rs:17-33 — replication state at the
     start of a MariaDB binlog (the PREVIOUS_GTIDS analog): u32 count, then
@@ -799,6 +808,11 @@ class BinlogFileReader:
             raise BinlogEncryptionError(self.filename, ev["key_version"])
         if etype == E.INTVAR:
             return "intvar", parse_intvar(payload)
+        if etype == E.RAND:
+            return "rand", parse_rand(payload)
+        if etype == E.IGNORABLE:
+            # typed no-op: "skip if not understood" marker, empty semantics
+            return "ignorable", {}
         if etype == E.MARIADB_GTID_LIST:
             return "mariadb_gtid_list", parse_mariadb_gtid_list(payload)
         return "unknown", None

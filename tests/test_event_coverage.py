@@ -188,3 +188,20 @@ def test_stop_and_binlog_checkpoint_typed():
     kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
     assert kinds["binlog_checkpoint"] == {"binlog_filename": "binlog.000001"}
     assert kinds["stop"] == {}
+
+
+def test_rand_and_ignorable_typed():
+    """RAND (type 13) carries two u64 LE seeds; IGNORABLE (type 34) is a
+    typed empty marker — both dispatch without disturbing row decode."""
+    import struct
+
+    from mysql_cdc_spark.binlog.constants import EventType
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.binlog.reader import BinlogFileReader
+
+    w = BinlogWriter("binlog.000003")
+    w._append_event(EventType.RAND, struct.pack("<QQ", 987654321, 123456789))
+    w._append_event(EventType.IGNORABLE, b"")
+    kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
+    assert kinds["rand"] == {"seed1": 987654321, "seed2": 123456789}
+    assert kinds["ignorable"] == {}
