@@ -44,6 +44,13 @@ class EventType:
     # must act on; surfaced typed so pipelines can count/observe them
     IGNORABLE = 34
     MYSQL_PREVIOUS_GTIDS = 35
+    # Group Replication control events (beyond-reference: absent from
+    # event_type.rs). They appear in the binlog of a GR member; a CDC
+    # tail must recognize and pass over them — neither carries row data.
+    # Body layouts (certification info / write sets) are GR-internal, so
+    # they dispatch typed with the raw payload attached, not parsed.
+    MYSQL_TRANSACTION_CONTEXT = 36
+    MYSQL_VIEW_CHANGE = 37
     MYSQL_XA_PREPARE = 38
     # MySQL 8.0 binlog_row_value_options=PARTIAL_JSON update frames
     # (beyond-reference): after-images carry JSON diff vectors instead of

@@ -813,6 +813,15 @@ class BinlogFileReader:
         if etype == E.IGNORABLE:
             # typed no-op: "skip if not understood" marker, empty semantics
             return "ignorable", {}
+        if etype in (E.MYSQL_TRANSACTION_CONTEXT, E.MYSQL_VIEW_CHANGE):
+            # Group Replication control frames: recognized and passed over
+            # (no row data); raw payload kept for observability tooling
+            kind = (
+                "transaction_context"
+                if etype == E.MYSQL_TRANSACTION_CONTEXT
+                else "view_change"
+            )
+            return kind, {"payload_len": len(payload)}
         if etype == E.MARIADB_GTID_LIST:
             return "mariadb_gtid_list", parse_mariadb_gtid_list(payload)
         return "unknown", None

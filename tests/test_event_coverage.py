@@ -205,3 +205,19 @@ def test_rand_and_ignorable_typed():
     kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
     assert kinds["rand"] == {"seed1": 987654321, "seed2": 123456789}
     assert kinds["ignorable"] == {}
+
+
+def test_group_replication_control_typed():
+    """TRANSACTION_CONTEXT (36) and VIEW_CHANGE (37) — GR control frames —
+    dispatch typed (payload length only; bodies are GR-internal) instead
+    of falling through to "unknown"."""
+    from mysql_cdc_spark.binlog.constants import EventType
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.binlog.reader import BinlogFileReader
+
+    w = BinlogWriter("binlog.000004")
+    w._append_event(EventType.MYSQL_TRANSACTION_CONTEXT, b"\x01" * 24)
+    w._append_event(EventType.MYSQL_VIEW_CHANGE, b"\x02" * 64)
+    kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
+    assert kinds["transaction_context"] == {"payload_len": 24}
+    assert kinds["view_change"] == {"payload_len": 64}
