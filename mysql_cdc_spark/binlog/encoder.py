@@ -324,13 +324,19 @@ class BinlogWriter:
         event_type: int = EventType.MYSQL_WRITE_ROWS_V2,
         columns_present: list[bool] | None = None,
         timestamp: int = 0,
+        partition_id: int | None = None,
     ) -> None:
-        """WRITE_ROWS / DELETE_ROWS (same layout, different type code)."""
+        """WRITE_ROWS / DELETE_ROWS (same layout, different type code).
+        ``partition_id`` emits the WL#12168 PART extra-row-info TLV the
+        server writes for partitioned tables (MySQL 8.0.16+)."""
         n = len(column_types)
         present = columns_present or [True] * n
         out = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
         if event_type in (EventType.MYSQL_WRITE_ROWS_V2, EventType.MYSQL_DELETE_ROWS_V2):
-            out += struct.pack("<H", 2)  # extra_data_length, no extra data
+            extra = b""
+            if partition_id is not None:
+                extra = bytes([1]) + struct.pack("<H", partition_id)  # PART TLV
+            out += struct.pack("<H", 2 + len(extra)) + extra
         out += K.write_len_enc_num(n)
         out += K.pack_bitmap_little_endian(present)
         out += self._encode_rows(rows, column_types, column_metadata, present)
@@ -345,16 +351,27 @@ class BinlogWriter:
         before_present: list[bool] | None = None,
         after_present: list[bool] | None = None,
         timestamp: int = 0,
+        partition_id: int | None = None,
+        source_partition_id: int | None = None,
     ) -> None:
         """UPDATE_ROWS with independent before/after presence bitmaps —
         full images by default; pass partial bitmaps for the
         binlog_row_image=MINIMAL shape (before: PK cols, after: PK +
-        changed cols; row_parser.rs:108-111)."""
+        changed cols; row_parser.rs:108-111). ``partition_id`` /
+        ``source_partition_id`` emit the WL#12168 PART extra-row-info TLV
+        (a row migrating between partitions of a partitioned table)."""
         n = len(column_types)
         bp = before_present or [True] * n
         ap = after_present or [True] * n
         out = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
-        out += struct.pack("<H", 2)
+        extra = b""
+        if partition_id is not None:
+            # PART TLV on UPDATE carries (partition_id, source_partition_id)
+            extra = bytes([1]) + struct.pack(
+                "<HH", partition_id,
+                partition_id if source_partition_id is None else source_partition_id,
+            )
+        out += struct.pack("<H", 2 + len(extra)) + extra
         out += K.write_len_enc_num(n)
         out += K.pack_bitmap_little_endian(bp)  # before image
         out += K.pack_bitmap_little_endian(ap)  # after image

@@ -388,22 +388,58 @@ def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included
     return row, off
 
 
-def parse_rows_head(payload: bytes, row_event_version: int):
+def _parse_extra_row_info(extra: bytes, is_update: bool) -> dict:
+    """V2 rows-event extra-row-data TLVs (libbinlogevents rows_event.cpp,
+    WL#12168; beyond-reference — row_parser.rs:85-88 skips the block):
+    typecode 0 = NDB info (length-prefixed, passed over), typecode 1 =
+    PART: u16 LE partition_id, plus u16 LE source_partition_id on UPDATE
+    (a row migrating between partitions). Unknown typecodes stop the walk
+    (format grows append-only; trailing bytes are future TLVs)."""
+    info: dict = {}
+    i = 0
+    n = len(extra)
+    while i < n:
+        typecode = extra[i]
+        i += 1
+        if typecode == 0:  # NDB: u8 total length (incl. this byte), format u8
+            if i >= n:
+                break
+            ndb_len = extra[i]
+            info["ndb_info"] = bytes(extra[i + 1 : i + max(ndb_len, 1)])
+            i += max(ndb_len, 1)
+        elif typecode == 1:  # PART
+            if i + 2 > n:
+                break
+            info["partition_id"] = struct.unpack_from("<H", extra, i)[0]
+            i += 2
+            if is_update and i + 2 <= n:
+                info["source_partition_id"] = struct.unpack_from("<H", extra, i)[0]
+                i += 2
+        else:
+            break
+    return info
+
+
+def parse_rows_head(payload: bytes, row_event_version: int, is_update: bool = False):
     """Common rows-event head; row_parser.rs:79-95."""
     table_id = int.from_bytes(payload[0:6], "little")
     off = 6
     flags = struct.unpack_from("<H", payload, off)[0]
     off += 2
+    extra_info: dict = {}
     if row_event_version == 2:
         extra_data_length = struct.unpack_from("<H", payload, off)[0]
+        body = payload[off + 2 : off + extra_data_length]
+        if body:
+            extra_info = _parse_extra_row_info(body, is_update)
         off += 2 + (extra_data_length - 2)
     columns_number, off = K.read_len_enc_num(payload, off)
-    return table_id, flags, columns_number, off
+    return table_id, flags, columns_number, off, extra_info
 
 
 def parse_write_or_delete_rows(payload: bytes, table_map: dict, version: int):
     """write_rows_event.rs:31-46 / delete_rows_event.rs (same layout)."""
-    table_id, flags, ncols, off = parse_rows_head(payload, version)
+    table_id, flags, ncols, off, extra_info = parse_rows_head(payload, version)
     columns_present, off = K.read_bitmap_little_endian(payload, off, ncols)
     table = table_map.get(table_id)
     if table is None:
@@ -414,17 +450,22 @@ def parse_write_or_delete_rows(payload: bytes, table_map: dict, version: int):
     while off < n:
         row, off = parse_row(payload, off, table, columns_present, cells)
         rows.append(row)
-    return {
+    out = {
         "table_id": table_id,
         "flags": flags,
         "rows": rows,
         "columns_present": [bool(b) for b in columns_present],
     }
+    if extra_info:
+        out.update(extra_info)
+    return out
 
 
 def parse_update_rows(payload: bytes, table_map: dict, version: int):
     """update_rows_event.rs:36-64; rows are (before, after) pairs."""
-    table_id, flags, ncols, off = parse_rows_head(payload, version)
+    table_id, flags, ncols, off, extra_info = parse_rows_head(
+        payload, version, is_update=True
+    )
     before_present, off = K.read_bitmap_little_endian(payload, off, ncols)
     after_present, off = K.read_bitmap_little_endian(payload, off, ncols)
     table = table_map.get(table_id)
@@ -438,13 +479,16 @@ def parse_update_rows(payload: bytes, table_map: dict, version: int):
         before, off = parse_row(payload, off, table, before_present, cells_before)
         after, off = parse_row(payload, off, table, after_present, cells_after)
         rows.append((before, after))
-    return {
+    out = {
         "table_id": table_id,
         "flags": flags,
         "rows": rows,
         "before_present": [bool(b) for b in before_present],
         "after_present": [bool(b) for b in after_present],
     }
+    if extra_info:
+        out.update(extra_info)
+    return out
 
 
 def parse_format_description(payload: bytes, event_length: int):

@@ -221,3 +221,35 @@ def test_group_replication_control_typed():
     kinds = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
     assert kinds["transaction_context"] == {"payload_len": 24}
     assert kinds["view_change"] == {"payload_len": 64}
+
+
+def test_partition_extra_row_info():
+    """WL#12168 PART extra-row-info TLV: partition_id surfaces on v2 row
+    events of partitioned tables; UPDATE also carries the source partition
+    (row migration). The vectorized decoder's head-skip stays byte-exact."""
+    from mysql_cdc_spark.binlog.constants import ColumnType, EventType
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.binlog.reader import BinlogFileReader
+
+    ctypes = [ColumnType.LONG, ColumnType.VARCHAR]
+    cmeta = [0, 255]
+    w = BinlogWriter("binlog.000005")
+    w.write_table_map(
+        9, "db", "t", ctypes, cmeta, [False, False], column_names=["id", "v"]
+    )
+    w.write_rows(9, ctypes, cmeta, [[1, "a"]], partition_id=7)
+    w.write_update_rows(
+        9, ctypes, cmeta, [([1, "a"], [1, "b"])],
+        partition_id=3, source_partition_id=7,
+    )
+    w.write_rows(
+        9, ctypes, cmeta, [[1, "b"]],
+        event_type=EventType.MYSQL_DELETE_ROWS_V2, partition_id=3,
+    )
+    events = {k: ev for _h, _p, k, ev in BinlogFileReader(w.getvalue(), "f")}
+    assert events["write_rows"]["partition_id"] == 7
+    assert "source_partition_id" not in events["write_rows"]
+    assert events["update_rows"]["partition_id"] == 3
+    assert events["update_rows"]["source_partition_id"] == 7
+    assert events["delete_rows"]["partition_id"] == 3
+    assert events["update_rows"]["rows"] == [([1, "a"], [1, "b"])]
