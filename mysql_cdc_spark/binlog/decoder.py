@@ -112,7 +112,8 @@ TRANSCRIPTS = TableSpec(
 
 
 def change_event_schema(
-    spec: TableSpec = TRANSCRIPTS, attach_origin_query: bool = False
+    spec: TableSpec = TRANSCRIPTS, attach_origin_query: bool = False,
+    attach_partition_id: bool = False,
 ) -> T.StructType:
     fields = [
         T.StructField("src_file", T.StringType()),
@@ -146,6 +147,12 @@ def change_event_schema(
         # (binlog_rows_query_log_events=ON); NULL when the statement's
         # transaction carried none
         fields.append(T.StructField("origin_query", T.StringType()))
+    if attach_partition_id:
+        # WL#12168 PART extra-row-info provenance (MySQL 8.0.16+,
+        # partitioned source tables); source_partition_id is set only on
+        # updates that migrated a row between partitions
+        fields.append(T.StructField("partition_id", T.LongType()))
+        fields.append(T.StructField("source_partition_id", T.LongType()))
     return T.StructType(fields)
 
 
@@ -238,6 +245,7 @@ class _FileDecoder:
         spec: TableSpec,
         xa_outcomes: Optional[dict] = None,
         attach_origin_query: bool = False,
+        attach_partition_id: bool = False,
     ):
         self.spec = spec
         # batch-wide XA verdict map {xid_key: bool} — resolves two-phase
@@ -248,6 +256,7 @@ class _FileDecoder:
         # always carry the value in their last slot; the column is only
         # exposed when opted in.
         self.attach_origin_query = attach_origin_query
+        self.attach_partition_id = attach_partition_id
         self.canonical = [c[0] for c in spec.columns]
         self.kinds = {c[0]: c[2] for c in spec.columns}
         # canonical column index maps, memoized per table-map identity
@@ -260,10 +269,26 @@ class _FileDecoder:
             + ["before_present", "after_present"]
             + [p + n for p in ("before_", "after_") for n in self.canonical]
             + (["origin_query"] if attach_origin_query else [])
+            + (
+                ["partition_id", "source_partition_id"]
+                if attach_partition_id
+                else []
+            )
         )
         # flat row tuples (everything except src_file/xid) + per-row xid;
         # one C-level zip(*) transpose per Arrow batch beats 25 list
-        # appends per row by ~4×
+        # appends per row by ~4×. Tuples always carry every slot (origin,
+        # partition ids) — _slot() maps exposed column → tuple position,
+        # so opting into a later slot without an earlier one stays sound.
+        self._tuple_slots = (
+            ["pos", "next_pos", "ts", "server_id", "op", "gtid_source",
+             "gtid_seq", "table_id", "db", "tbl", "row_in_event",
+             "before_present", "after_present"]
+            + ["before_" + n for n in self.canonical]
+            + ["after_" + n for n in self.canonical]
+            + ["origin_query", "partition_id", "source_partition_id"]
+        )
+        self._slot = {n: i for i, n in enumerate(self._tuple_slots)}
         self._rows: list[tuple] = []
         self._xids: list = []
         self.src_file = ""
@@ -278,10 +303,9 @@ class _FileDecoder:
             for n, k in self.kinds.items() if k == "ts_millis"
         }
         cols = list(zip(*self._rows)) if self._rows else [
-            () for _ in range(len(self.columns) - 2)
+            () for _ in range(len(self._tuple_slots))
         ]
         data = {}
-        ci = 0
         for c in self.columns:
             if c == "src_file":
                 data[c] = self.src_file
@@ -289,8 +313,7 @@ class _FileDecoder:
             if c == "xid":
                 data[c] = self._xids
                 continue
-            values = list(cols[ci])
-            ci += 1
+            values = list(cols[self._slot[c]])
             if c == "ts":
                 data[c] = pd.to_datetime(values, unit="s").values
             elif c in millis_cols:
@@ -421,19 +444,20 @@ class _FileDecoder:
                         cur_gtid_seq, tid, db, tbl)
                 base = _base(pos, len(event["rows"]))
                 org = (cur_origin,)
+                tail = org + (event.get("partition_id"), None)
                 if op == "insert":
                     masks = (0, img_mask)
                     for i, row in enumerate(event["rows"]):
                         txn_buffer.append(
                             meta + (base + i,) + masks + nulls
-                            + map_image(row, colmap) + org
+                            + map_image(row, colmap) + tail
                         )
                 else:
                     masks = (img_mask, 0)
                     for i, row in enumerate(event["rows"]):
                         txn_buffer.append(
                             meta + (base + i,) + masks
-                            + map_image(row, colmap) + nulls + org
+                            + map_image(row, colmap) + nulls + tail
                         )
             elif kind == "update_rows":
                 table = reader.table_map[event["table_id"]]
@@ -451,11 +475,15 @@ class _FileDecoder:
                         cur_gtid_seq, tid, db, tbl)
                 base = _base(pos, len(event["rows"]))
                 org = (cur_origin,)
+                tail = org + (
+                    event.get("partition_id"),
+                    event.get("source_partition_id"),
+                )
                 for i, (before, after) in enumerate(event["rows"]):
                     txn_buffer.append(
                         meta + (base + i,) + masks
                         + map_image(before, colmap) + map_image(after, colmap)
-                        + org
+                        + tail
                     )
             elif kind == "xid":
                 emit_txn(event["xid"])
@@ -576,6 +604,7 @@ def decode_binlog_dir(
     before_values: str = "full",
     xa_outcomes: Optional[dict] = None,
     attach_origin_query: bool = False,
+    attach_partition_id: bool = False,
 ) -> DataFrame:
     """binlog directory → change-event DataFrame (distributed decode).
 
@@ -600,7 +629,7 @@ def decode_binlog_dir(
     paths = _list_segments(binlog_dir, path_filter)
     if not paths:
         return spark.createDataFrame(
-            [], change_event_schema(spec, attach_origin_query)
+            [], change_event_schema(spec, attach_origin_query, attach_partition_id)
         )
     # parallelize with numSlices=len(paths): exactly one path per partition,
     # deterministic, zero shuffle (round-robin repartition leaves collision
@@ -610,7 +639,7 @@ def decode_binlog_dir(
         "path string",
     )
 
-    schema = change_event_schema(spec, attach_origin_query)
+    schema = change_event_schema(spec, attach_origin_query, attach_partition_id)
     if vectorized is None:
         vectorized = os.environ.get("SPARK_CDC_SCALAR_DECODE", "") != "1"
 
@@ -627,6 +656,7 @@ def decode_binlog_dir(
                         content, name, spec, before_values=before_values,
                         xa_outcomes=xa_outcomes,
                         attach_origin_query=attach_origin_query,
+                        attach_partition_id=attach_partition_id,
                     )
                 if frames is not None:
                     yield from frames
@@ -636,6 +666,7 @@ def decode_binlog_dir(
                     decoder = _FileDecoder(
                         spec, xa_outcomes=xa_outcomes,
                         attach_origin_query=attach_origin_query,
+                        attach_partition_id=attach_partition_id,
                     )
                     yield from decoder.decode_file(path, content)
 

@@ -1703,6 +1703,7 @@ def decode_segment_fast(
     content: bytes, src_file: str, spec, batch_rows: int = 262144,
     before_values: str = "full", xa_outcomes=None,
     attach_origin_query: bool = False,
+    attach_partition_id: bool = False,
 ) -> Optional[list[pd.DataFrame]]:
     """Decode one segment fully vectorized; None → caller falls back.
 
@@ -1742,6 +1743,28 @@ def decode_segment_fast(
     origin_k = None
     if attach_origin_query:
         origin_k = _origin_for_rows(prep, fr, data=fr["data"])
+
+    # partitioned-source provenance (opt-in): the WL#12168 PART TLV sits
+    # at a fixed offset inside the v2 extra-row-data block, so it gathers
+    # in O(row-events) numpy reads — -1 sentinels mark rows without the
+    # TLV (non-partitioned tables, v1 events) and surface as nulls
+    part_k = srcpart_k = None
+    if attach_partition_id:
+        ev_k = ridx_k
+        v2_k = np.isin(etype[ev_k], _V2_TYPES)
+        ehead = ps[ev_k] + 8
+        extra_k = _gather_le(data, ehead, 2).astype(np.int64)
+        hi_k = len(data) - 1
+        tcode = data[np.minimum(ehead + 2, hi_k)]
+        # write/delete PART TLV: type(1)+u16 → extra_len 5; update adds
+        # the source partition u16 → extra_len 7
+        has_p = v2_k & (extra_k >= 5) & (tcode == 1)
+        pid = _gather_le(data, ehead + 3, 2).astype(np.int64)
+        part_k = np.where(has_p, pid, -1)
+        upd_k = np.isin(etype[ev_k], _ROW_UPDATE)
+        has_sp = has_p & upd_k & (extra_k >= 7)
+        spid = _gather_le(data, ehead + 5, 2).astype(np.int64)
+        srcpart_k = np.where(has_sp, spid, -1)
 
     # subgroup by (unique table-map payload, op kind, presence pattern) —
     # partial row images decode as their own subgroups with a constant
@@ -1853,6 +1876,11 @@ def decode_segment_fast(
 
         if origin_k is not None:
             out["origin_query"] = ("obj", origin_k[l_abs])
+        if part_k is not None:
+            pk = part_k[l_abs]
+            out["partition_id"] = ("int_null", pk, pk < 0)
+            spk = srcpart_k[l_abs]
+            out["source_partition_id"] = ("int_null", spk, spk < 0)
         out["_evt"] = ("i64", e_abs)
         frames.append(out)
 
