@@ -294,6 +294,79 @@ FROM runs
 """
 
 
+_E2E_PART_BINLOG_DIR = os.path.join(tempfile.gettempdir(), "cdc_e2e_binlog_part")
+_E2E_PARTS = 8
+
+
+def _ensure_partition_e2e() -> None:
+    """Binlog bytes for the partition-provenance entry: the same logical
+    changelog written as a WL#12168 partitioned-table stream — every
+    single-partition rows event carries the PART extra-row-info TLV
+    (fixtures._partition_of over the text column, {parts}=8)."""
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+
+    done_marker = _E2E_PART_BINLOG_DIR + ".complete"
+    if os.path.exists(done_marker):
+        return
+    import shutil
+
+    shutil.rmtree(_E2E_PART_BINLOG_DIR, ignore_errors=True)
+    txns = generate_changelog(**_E2E_KNOBS)
+    write_binlog_files(
+        txns, _E2E_PART_BINLOG_DIR, txns_per_file=40, partitions=_E2E_PARTS
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def partition_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-change-event partition provenance (beyond-reference — the
+    reference skips the v2 extra-row-data block wholesale,
+    row_parser.rs:85-88): decode a partitioned-table stream (WL#12168
+    PART extra-row-info, MySQL 8.0.16+) with ``attach_partition_id=True``
+    and emit each row's landing partition plus, for updates, the source
+    partition it migrated from. The writer batches one rows event per
+    consecutive same-partition group (the server's partitioned write
+    shape), so every change row carries provenance; the oracle recomputes
+    both ids from the dual-written changelog via the deterministic
+    partition function over the after/before text — a wrong TLV offset,
+    a missed migration, or a sentinel leaking as 0 hash-mismatches.
+    The TLV-absent (NULL) shape is pinned in tests/test_partition_info.py."""
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS, decode_binlog_dir
+
+    _ensure_e2e_oracle_parquet()
+    _ensure_partition_e2e()
+    df = decode_binlog_dir(
+        spark, _E2E_PART_BINLOG_DIR, spec=TRANSCRIPTS, attach_partition_id=True
+    )
+    return df.select(
+        F.col("gtid_seq").alias("seq"),
+        F.coalesce(F.col("after_conv_id"), F.col("before_conv_id")).alias("conv_id"),
+        F.coalesce(F.col("after_turn_idx"), F.col("before_turn_idx")).alias("turn_idx"),
+        "op",
+        "partition_id",
+        "source_partition_id",
+    )
+
+
+# Every rows event is single-partition (the writer splits statement runs
+# per consecutive partition, like the server), so provenance is a pure
+# per-row function of the op's own images: the landing partition from
+# the image the event carries, the source partition (updates only) from
+# the before image.
+PARTITION_SQL_TEMPLATE = """
+SELECT seq, conv_id, turn_idx, kind AS op,
+  CAST((length(CASE WHEN kind = 'delete' THEN before_text ELSE text END)
+        + ascii(CASE WHEN kind = 'delete' THEN before_text ELSE text END))
+       % {parts} AS BIGINT) AS partition_id,
+  CASE WHEN kind = 'update'
+       THEN CAST((length(before_text) + ascii(before_text)) % {parts}
+                 AS BIGINT)
+  END AS source_partition_id
+FROM {src}
+"""
+
+
 # v2: corpus plan is server-legal (plan_xa_modes) — the suffix invalidates
 # any surviving v1 cache written by the earlier planner
 _E2E_XA_ORACLE_PARQUET = os.path.join(
@@ -403,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_payload_e2e"] = cdc_replay_payload_e2e
     out["cdc_replay_xa_e2e"] = cdc_replay_xa_e2e
     out["origin_query_attribution"] = origin_query_attribution
+    out["partition_provenance"] = partition_provenance
     return out
 
 
@@ -436,5 +510,9 @@ def oracle_sql() -> dict[str, str]:
     # origin attribution reuses the base corpus's dual-written changelog
     out["origin_query_attribution"] = ORIGIN_QUERY_SQL_TEMPLATE.format(
         src=f"read_parquet('{_E2E_ORACLE_PARQUET}')"
+    )
+    # partition provenance reuses the same changelog (before_text column)
+    out["partition_provenance"] = PARTITION_SQL_TEMPLATE.format(
+        src=f"read_parquet('{_E2E_ORACLE_PARQUET}')", parts=_E2E_PARTS
     )
     return out

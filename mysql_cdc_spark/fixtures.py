@@ -307,6 +307,14 @@ def plan_xa_modes(txns: list[Txn], txns_per_file: int) -> dict:
     return plan
 
 
+def _partition_of(text: str, parts: int) -> int:
+    """Deterministic partition function for ``write_binlog_files(
+    partitions=N)`` — models ``PARTITION BY KEY`` over the text column.
+    Must stay SQL-expressible so the DuckDB oracle can recompute it:
+    ``(length(text) + ascii(text)) % N``."""
+    return (len(text) + (ord(text[0]) if text else 0)) % parts
+
+
 def write_binlog_files(
     txns: list[Txn],
     outdir: str,
@@ -321,6 +329,7 @@ def write_binlog_files(
     row_metadata: str = "full",
     xa_plan: dict | None = None,
     rows_query: bool = False,
+    partitions: int | None = None,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -360,6 +369,14 @@ def write_binlog_files(
     each rows event, so origin attribution is reconstructible from the
     logical changelog (run_ord = ordinal of the consecutive-same-kind op
     run within the transaction).
+
+    ``partitions=N`` mirrors a partitioned source table (WL#12168,
+    MySQL 8.0.16+): statement runs split into one rows event per
+    consecutive same-partition group — exactly how the server batches
+    partitioned writes — and every event carries the PART extra-row-info
+    TLV: ``_partition_of(text)`` of the after-image for insert/update,
+    of the before-image for deletes, plus the source partition on
+    updates (row migration when an edit changes the text's partition).
     """
     import os
 
@@ -391,7 +408,7 @@ def write_binlog_files(
                 txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
-                row_metadata, alter_before_seq, rows_query,
+                row_metadata, alter_before_seq, rows_query, partitions,
                 xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
@@ -406,7 +423,7 @@ def write_binlog_files(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
-                 row_metadata, alter_before_seq, rows_query,
+                 row_metadata, alter_before_seq, rows_query, partitions,
                  xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
@@ -416,7 +433,7 @@ def write_binlog_files(
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
-     row_metadata, alter_before_seq, rows_query, *xa_extra) = job
+     row_metadata, alter_before_seq, rows_query, partitions, *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -501,12 +518,38 @@ def _write_one_file(job) -> str:
                     timestamp=txn.timestamp,
                 )
             run_ord += 1
+            # WL#12168: the server writes one rows event per partition
+            # within a statement (a new event starts when the row's
+            # partition differs from the current event's), each carrying
+            # the PART extra-row-info TLV — so split the run into
+            # consecutive same-partition groups and emit one event per
+            # group. Without ``partitions`` the run stays one event.
+            groups: list[tuple[dict, list]] = []
+            if partitions:
+                for op in ops:
+                    img = op.after if kind != "delete" else op.before
+                    kw = {"partition_id": _partition_of(img[3], partitions)}
+                    if kind == "update":
+                        kw["source_partition_id"] = _partition_of(
+                            op.before[3], partitions
+                        )
+                    if groups and groups[-1][0] == kw:
+                        groups[-1][1].append(op)
+                    else:
+                        groups.append((kw, [op]))
+            else:
+                groups = [({}, ops)]
+            for part_kw, ops in groups:
+                _emit_rows_event(kind, ops, part_kw)
+
+        def _emit_rows_event(kind, ops, part_kw):
             n = len(cols)
             if kind == "insert":
                 # inserts always carry full images, even under MINIMAL
                 writer.write_rows(
                     table_id, ctypes, cmeta, [op.after for op in ops],
                     event_type=EventType.MYSQL_WRITE_ROWS_V2, timestamp=txn.timestamp,
+                    **part_kw,
                 )
             elif kind == "update":
                 bp = ap = None
@@ -524,6 +567,7 @@ def _write_one_file(job) -> str:
                 writer.write_update_rows(
                     table_id, ctypes, cmeta, [(op.before, op.after) for op in ops],
                     before_present=bp, after_present=ap, timestamp=txn.timestamp,
+                    **part_kw,
                 )
             else:
                 writer.write_rows(
@@ -533,6 +577,7 @@ def _write_one_file(job) -> str:
                         [i in pk_idx for i in range(n)] if minimal else None
                     ),
                     timestamp=txn.timestamp,
+                    **part_kw,
                 )
 
         for op in txn.ops:
@@ -587,7 +632,11 @@ def changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
     later ``txn_ord``), ``op_ord`` the within-transaction statement order —
     the SQL twin of the engine's (gtid_seq, pos, row_in_event) total order.
     Deletes carry the key from the before-image and NULL values, exactly
-    the information a DELETE_ROWS event contributes to final state."""
+    the information a DELETE_ROWS event contributes to final state.
+    ``before_text`` dual-writes the before-image text for update/delete
+    ops (NULL for inserts) — the update's source-partition provenance
+    (WL#12168) is a function of the before image, which final-state
+    replay alone doesn't expose."""
     rows = []
     for txn_ord, txn in enumerate(txns):
         for op_ord, op in enumerate(txn.ops):
@@ -605,13 +654,14 @@ def changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
                     "text": None if is_del else src[3],
                     "tool": None if is_del else (src[5] if len(src) > 5 else None),
                     "ts_ms": None if is_del else src[4],
+                    "before_text": op.before[3] if op.kind != "insert" else None,
                 }
             )
     pdf = pd.DataFrame(
         rows,
         columns=[
             "txn_ord", "seq", "op_ord", "kind", "conv_id", "turn_idx",
-            "role", "text", "tool", "ts_ms",
+            "role", "text", "tool", "ts_ms", "before_text",
         ],
     )
     pdf["ts_ms"] = pdf["ts_ms"].astype("Int64")

@@ -151,6 +151,61 @@ class TestPartitionInfo:
         ]
         assert _norm(df) == EXPECT
 
+    def test_partitioned_corpus_provenance(self, spark, tmp_path):
+        """fixtures.write_binlog_files(partitions=N) splits statement
+        runs per consecutive partition (the server's WL#12168 write
+        shape) and every decoded row's provenance equals the partition
+        function over its own logical images — the pytest twin of the
+        partition_provenance harness oracle."""
+        from mysql_cdc_spark.fixtures import (
+            _partition_of,
+            changelog_to_pandas,
+            generate_changelog,
+            write_binlog_files,
+        )
+
+        txns = generate_changelog(
+            n_conversations=6, max_turns=4, n_extra_ops=25, seed=13,
+            duplicate_txns=1,
+        )
+        d = tmp_path / "binlog"
+        write_binlog_files(txns, str(d), txns_per_file=10, partitions=8)
+        from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+
+        df = decode_binlog_dir(
+            spark, str(d), spec=TRANSCRIPTS, attach_partition_id=True
+        ).toPandas()
+        log = changelog_to_pandas(txns)
+        got = sorted(
+            (
+                int(r["gtid_seq"]),
+                r["after_conv_id"] or r["before_conv_id"],
+                int(r["after_turn_idx"] if pd.notna(r["after_turn_idx"])
+                    else r["before_turn_idx"]),
+                r["op"],
+                int(r["partition_id"]),
+                None if pd.isna(r["source_partition_id"])
+                else int(r["source_partition_id"]),
+            )
+            for _, r in df.iterrows()
+        )
+        want = sorted(
+            (
+                int(r["seq"]), r["conv_id"], int(r["turn_idx"]), r["kind"],
+                _partition_of(
+                    r["before_text"] if r["kind"] == "delete" else r["text"],
+                    8,
+                ),
+                _partition_of(r["before_text"], 8)
+                if r["kind"] == "update" else None,
+            )
+            for _, r in log.iterrows()
+        )
+        assert got == want
+        # migrations actually occur in the corpus (discriminating fixture)
+        upd = df[df["op"] == "update"]
+        assert (upd["partition_id"] != upd["source_partition_id"]).any()
+
     def test_distributed_decode(self, spark, tmp_path):
         d = tmp_path / "binlog"
         d.mkdir()
