@@ -367,6 +367,74 @@ FROM {src}
 """
 
 
+# Failover corpus: upsert-only (ts-led ordering is defined for streams
+# whose every event carries an application timestamp in its after image;
+# deletes don't) — so its changelog and oracle parquet are its own.
+_E2E_FAILOVER_KNOBS = dict(_E2E_KNOBS, delete_ratio=0.0)
+_E2E_FAILOVER_AT = 50  # old primary commits seqs 1..50; takeover restarts at 1
+_E2E_FAILOVER_UUID = "bbbbbbbb-2c16-11e6-a073-0242ac110002"
+_E2E_FAILOVER_BINLOG_DIR = os.path.join(
+    tempfile.gettempdir(), "cdc_e2e_binlog_failover"
+)
+_E2E_FAILOVER_ORACLE_PARQUET = os.path.join(
+    tempfile.gettempdir(), "cdc_replay_failover_changelog.parquet"
+)
+
+
+def _ensure_failover_e2e() -> None:
+    from mysql_cdc_spark.fixtures import (
+        generate_changelog,
+        write_binlog_files,
+        write_changelog_parquet,
+    )
+
+    txns = generate_changelog(**_E2E_FAILOVER_KNOBS)
+    write_changelog_parquet(txns, _E2E_FAILOVER_ORACLE_PARQUET)
+    done_marker = _E2E_FAILOVER_BINLOG_DIR + ".complete"
+    if os.path.exists(done_marker):
+        return
+    import shutil
+
+    shutil.rmtree(_E2E_FAILOVER_BINLOG_DIR, ignore_errors=True)
+    write_binlog_files(
+        txns, _E2E_FAILOVER_BINLOG_DIR, txns_per_file=40,
+        failover=(_E2E_FAILOVER_AT, _E2E_FAILOVER_UUID),
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def cdc_replay_failover_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-failover end-to-end (beyond-reference): mid-stream the
+    primary is replaced by a new server — a fresh GTID source_id whose
+    sequence RESTARTS AT 1 — so the takeover's newer writes carry
+    smaller sequence numbers than the old primary's. Cross-source GTID
+    sequences are not mutually ordered (pipeline/order.py), so the
+    default (gtid_seq-led) order would resolve contended hot-conversation
+    keys to the OLD primary's stale writes; the replay passes the
+    timestamp-led ``order_cols`` override instead, and the per-source
+    GtidSet ledger keeps exactly-once independently per source_id. The
+    oracle replays the logical changelog sequentially in global commit
+    order — any key the override mis-orders hash-mismatches."""
+    from mysql_cdc_spark.fixtures import transcripts_pre_spec
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_failover_e2e()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_failover_")
+    rep = Replayer(
+        spark, _E2E_FAILOVER_BINLOG_DIR, os.path.join(tmp, "store"),
+        salt_buckets=4,
+        order_cols=["after_ts", "gtid_seq", "pos", "row_in_event"],
+    )
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 # v2: corpus plan is server-legal (plan_xa_modes) — the suffix invalidates
 # any surviving v1 cache written by the earlier planner
 _E2E_XA_ORACLE_PARQUET = os.path.join(
@@ -477,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_xa_e2e"] = cdc_replay_xa_e2e
     out["origin_query_attribution"] = origin_query_attribution
     out["partition_provenance"] = partition_provenance
+    out["cdc_replay_failover_e2e"] = cdc_replay_failover_e2e
     return out
 
 
@@ -514,5 +583,12 @@ def oracle_sql() -> dict[str, str]:
     # partition provenance reuses the same changelog (before_text column)
     out["partition_provenance"] = PARTITION_SQL_TEMPLATE.format(
         src=f"read_parquet('{_E2E_ORACLE_PARQUET}')", parts=_E2E_PARTS
+    )
+    # failover: the wire form rebases (source_id, seq); the logical
+    # stream keeps global seqs, so the sequential-replay oracle is the
+    # standard one over the failover corpus's own changelog
+    _ensure_failover_e2e()
+    out["cdc_replay_failover_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
+        src=f"read_parquet('{_E2E_FAILOVER_ORACLE_PARQUET}')"
     )
     return out

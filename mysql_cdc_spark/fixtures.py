@@ -330,6 +330,7 @@ def write_binlog_files(
     xa_plan: dict | None = None,
     rows_query: bool = False,
     partitions: int | None = None,
+    failover: tuple[int, str] | None = None,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -377,7 +378,23 @@ def write_binlog_files(
     TLV: ``_partition_of(text)`` of the after-image for insert/update,
     of the before-image for deletes, plus the source partition on
     updates (row migration when an edit changes the text's partition).
+
+    ``failover=(after_seq, new_uuid)`` models a source failover mid-
+    stream: transactions with ``seq > after_seq`` are committed by a NEW
+    server — a fresh ``source_id`` whose GTID sequence restarts at 1 —
+    so the takeover's newer writes carry *smaller* sequence numbers than
+    the old primary's. Cross-source GTID sequences are not mutually
+    ordered (pipeline/order.py module doc); replaying such a stream
+    correctly requires the timestamp-led ``order_cols`` override. The
+    logical changelog keeps the original global ``seq`` (the rebasing is
+    a wire-form property), so sequential-replay oracles are unchanged.
+    MySQL provider only; not composable with ``xa_plan``.
     """
+    if failover is not None:
+        if provider != "mysql":
+            raise ValueError("failover fixture supports the mysql provider only")
+        if xa_plan:
+            raise ValueError("failover fixture is not composable with xa_plan")
     import os
 
     os.makedirs(outdir, exist_ok=True)
@@ -409,7 +426,7 @@ def write_binlog_files(
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
                 row_metadata, alter_before_seq, rows_query, partitions,
-                xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
+                failover, xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
         ]
@@ -424,7 +441,7 @@ def write_binlog_files(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
                  row_metadata, alter_before_seq, rows_query, partitions,
-                 xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
+                 failover, xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
     return paths
@@ -433,7 +450,8 @@ def write_binlog_files(
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
-     row_metadata, alter_before_seq, rows_query, partitions, *xa_extra) = job
+     row_metadata, alter_before_seq, rows_query, partitions, failover,
+     *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -470,7 +488,12 @@ def _write_one_file(job) -> str:
         if provider == "mariadb":
             writer.write_mariadb_gtid(0, txn.seq, timestamp=txn.timestamp)
         else:
-            writer.write_mysql_gtid(source_uuid, txn.seq, timestamp=txn.timestamp)
+            g_uuid, g_seq = source_uuid, txn.seq
+            if failover is not None and txn.seq > failover[0]:
+                # post-takeover commit: new source_id, sequence rebased
+                # to restart at 1 (a fresh server's gtid_next counter)
+                g_uuid, g_seq = failover[1], txn.seq - failover[0]
+            writer.write_mysql_gtid(g_uuid, g_seq, timestamp=txn.timestamp)
         if xa_mode:
             writer.write_query(
                 f"XA START {xa_xid_sql}", database="chat", timestamp=txn.timestamp
