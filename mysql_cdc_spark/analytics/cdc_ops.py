@@ -1066,6 +1066,85 @@ FROM ex GROUP BY lang
 """
 
 
+def vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL 9 VECTOR(n) column end-to-end (beyond-reference — the
+    reference enum predates MySQL 9, event_type.rs): per Arrow batch,
+    pack each embedding as the WL#16081 wire form (packed little-endian
+    float32 behind a blob length prefix), write a real WRITE_ROWS binlog
+    segment with a VECTOR column, and decode it back through the
+    engine's vectorized fast path (``decode_segment_fast`` — the exact
+    code the replay pipeline runs), yielding a Spark ``array<float>``
+    column. The CDC route for embedding tables feeding the ANN ops.
+
+    Scale shape: one writer + vectorized reader per Arrow batch inside
+    ``mapInPandas`` — a single codegen'd scan into one Python stage,
+    zero shuffles, frame bytes never leave the task. The checksum
+    (sum of floor(x*1000) over exactly-widened float32 values) is
+    computed JVM-side on the decoded array, so any defect in the wire
+    pack, the lane gather, or the float32 round-trip shifts it."""
+    from ..binlog.decoder import TableSpec
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    spec = TableSpec(
+        database="ml", table="emb",
+        columns=(("vec_id", "bigint", "int"),
+                 ("embedding", "array<float>", "vector")),
+        primary_key=("vec_id",),
+    )
+
+    def batch(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..binlog.constants import ColumnType
+        from ..binlog.encoder import BinlogWriter
+        from ..binlog.vector import decode_segment_fast
+
+        ctypes = [ColumnType.LONGLONG, ColumnType.VECTOR]
+        cmeta = [0, 4]
+        for pdf in it:
+            w = BinlogWriter("vec.000001")
+            w.write_mysql_gtid("24bc7850-2c16-11e6-a073-0242ac110012", 1)
+            w.write_query("BEGIN", database="ml")
+            w.write_table_map(41, "ml", "emb", ctypes, cmeta, [False, True])
+            rows = [
+                [int(vid), np.asarray(vec, dtype="<f4").tobytes()]
+                for vid, vec in zip(pdf["vec_id"], pdf["embedding"])
+            ]
+            w.write_rows(41, ctypes, cmeta, rows)
+            w.write_xid(1)
+            frames = decode_segment_fast(w.getvalue(), "vec.000001", spec)
+            assert frames is not None, "vector kind fell back"
+            out = pd.concat(frames, ignore_index=True) if frames else None
+            yield pd.DataFrame({
+                "vec_id": out["after_vec_id"].astype("int64"),
+                "embedding": out["after_embedding"],
+            })
+
+    decoded = emb.mapInPandas(batch, "vec_id long, embedding array<float>")
+    return decoded.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("qsum"),
+    )
+
+
+# floor(x*1000) over DOUBLE-widened float32s — both engines run the same
+# IEEE ops, so equality is exact (no float-formatting ambiguity)
+VECTOR_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)
+         AS qsum
+FROM embeddings
+"""
+
+
 QUERIES = {
     "w1_lww_last_event": w1_lww_last_event,
     "a1_interval_collapse": a1_interval_collapse,
@@ -1086,6 +1165,7 @@ QUERIES = {
     "jsonb_extract": jsonb_extract,
     "geometry_roundtrip": geometry_roundtrip,
     "partial_json_apply": partial_json_apply,
+    "vector_roundtrip": vector_roundtrip,
 }
 
 ORACLES = {
@@ -1108,4 +1188,5 @@ ORACLES = {
     "jsonb_extract": JSONB_EXTRACT_SQL,
     "geometry_roundtrip": GEOMETRY_SQL,
     "partial_json_apply": PARTIAL_JSON_SQL,
+    "vector_roundtrip": VECTOR_SQL,
 }

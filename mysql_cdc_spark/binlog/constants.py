@@ -130,6 +130,10 @@ class ColumnType:
     TIMESTAMP2 = 17
     DATETIME2 = 18
     TIME2 = 19
+    # MySQL 9.0 VECTOR(n) column (WL#16081): stored like a blob whose
+    # payload is a packed little-endian float32 array; absent from the
+    # reference enum (event_type.rs predates MySQL 9)
+    VECTOR = 242
     JSON = 245
     NEWDECIMAL = 246
     ENUM = 247

@@ -88,6 +88,7 @@ _TYPE_RULES: tuple[tuple[str, tuple[str, str] | None], ...] = (
     (r"(?:VAR)?CHAR\s*\(\d+\)", ("string", "str")),
     (r"(?:TINY|MEDIUM|LONG)?TEXT\b", ("string", "str")),
     (r"JSON\b", ("string", "json")),
+    (r"VECTOR\b(?:\s*\(\d+\))?", ("array<float>", "vector")),  # MySQL 9
     (r"(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", None),  # special
     (r"(?:DECIMAL|NUMERIC)\b", ("decimal(10,0)", "decimal")),
     (r"(?:FLOAT|DOUBLE(?:\s+PRECISION)?|REAL)\b(?:\s*\(\d+\s*,\s*\d+\))?", ("double", "double")),

@@ -73,6 +73,11 @@ class TableSpec:
                        binlog/geometry.py
     - ``'datetime'``   DATETIME/DATETIME2 wall time → TimestampNTZType
     - ``'time'``       TIME/TIME2 → StringType
+    - ``'vector'``     MySQL 9 VECTOR(n) blob (packed little-endian
+                       float32) → ArrayType(FloatType); beyond-reference
+                       (the reference enum predates MySQL 9) — the CDC
+                       path for embedding columns feeding the ANN ops in
+                       analytics/embeddings.py
     """
 
     database: str
@@ -172,6 +177,7 @@ def _ddl_to_type(ddl: str) -> T.DataType:
         "boolean": T.BooleanType(),  # derived specs (scd2 history flags)
         "timestamp": T.TimestampType(),
         "timestamp_ntz": T.TimestampNTZType(),
+        "array<float>": T.ArrayType(T.FloatType()),  # kind "vector"
     }[ddl]
 
 
@@ -199,6 +205,17 @@ def _to_datetime(v):
     return datetime(y, mo, d, h, mi, s, ms * 1000)
 
 
+def _vector_to_floats(v):
+    # MySQL 9 VECTOR payload: packed little-endian float32 (WL#16081,
+    # Field_vector rides the blob wire form). Python floats from <f4 are
+    # exact widenings, so the Arrow cast back to float32 round-trips
+    # bit-exact. A length not divisible by 4 is corrupt — frombuffer
+    # raises, matching the server's own rejection of odd-sized vectors.
+    import numpy as np
+
+    return np.frombuffer(bytes(v), dtype="<f4").tolist()
+
+
 def _to_time(v):
     # parse_time/parse_time2 yield (h, m, s, millis); MySQL TIME spans up
     # to 838:59:59 so the canonical form is a string, not a time-of-day
@@ -218,6 +235,7 @@ _CONVERT = {
     # row_parser.rs:174-175); kinds "json"/"geometry" decode them to text.
     "json": _jsonb_to_text,
     "geometry": _geometry_to_wkt,
+    "vector": _vector_to_floats,
     "date": _to_date,
     "binary": bytes,
     "datetime": _to_datetime,

@@ -69,7 +69,10 @@ def encode_cell(value, column_type: int, metadata: int) -> bytes:
                 raise ValueError("string too long for 1-byte length prefix")
             return bytes([len(raw)]) + raw
         return struct.pack("<H", len(raw)) + raw
-    if column_type in (C.TINY_BLOB, C.MEDIUM_BLOB, C.LONG_BLOB, C.BLOB, C.GEOMETRY, C.JSON):
+    if column_type in (
+        C.TINY_BLOB, C.MEDIUM_BLOB, C.LONG_BLOB, C.BLOB, C.GEOMETRY, C.JSON,
+        C.VECTOR,
+    ):
         return len(value).to_bytes(metadata, "little") + bytes(value)
     if column_type == C.YEAR:
         return bytes([value - 1900])
@@ -237,6 +240,7 @@ class BinlogWriter:
             if ct in (
                 ColumnType.GEOMETRY,
                 ColumnType.JSON,
+                ColumnType.VECTOR,
                 ColumnType.TINY_BLOB,
                 ColumnType.MEDIUM_BLOB,
                 ColumnType.LONG_BLOB,

@@ -69,6 +69,7 @@ def parse_table_map(payload: bytes) -> dict:
         if ct in (
             ColumnType.GEOMETRY,
             ColumnType.JSON,
+            ColumnType.VECTOR,
             ColumnType.TINY_BLOB,
             ColumnType.MEDIUM_BLOB,
             ColumnType.LONG_BLOB,
@@ -246,7 +247,10 @@ def parse_cell(buf: bytes, off: int, column_type: int, metadata: int):
         return K.parse_enum(buf, off, metadata)
     if column_type == C.SET:
         return K.parse_set(buf, off, metadata)
-    if column_type in (C.TINY_BLOB, C.MEDIUM_BLOB, C.LONG_BLOB, C.BLOB, C.GEOMETRY, C.JSON):
+    if column_type in (
+        C.TINY_BLOB, C.MEDIUM_BLOB, C.LONG_BLOB, C.BLOB, C.GEOMETRY, C.JSON,
+        C.VECTOR,  # MySQL 9 VECTOR rides the blob wire form (packlength meta)
+    ):
         return K.parse_blob(buf, off, metadata)
     if column_type == C.YEAR:
         return K.parse_year(buf, off)

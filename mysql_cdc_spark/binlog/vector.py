@@ -88,6 +88,7 @@ _FIXED_WIDTH = {
 _BLOB_TYPES = (
     ColumnType.TINY_BLOB, ColumnType.MEDIUM_BLOB, ColumnType.LONG_BLOB,
     ColumnType.BLOB, ColumnType.GEOMETRY, ColumnType.JSON,
+    ColumnType.VECTOR,  # MySQL 9: blob wire form, packlength metadata
 )
 _SUPPORTED_TYPES = frozenset(_FIXED_WIDTH) | set(_BLOB_TYPES) | {
     ColumnType.VARCHAR,
@@ -1218,6 +1219,40 @@ def _dates_from_days(days: np.ndarray, nulls: np.ndarray) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _vectors_from_slices(data: np.ndarray, starts, lens, nulls) -> np.ndarray:
+    """Batch MySQL 9 VECTOR blob → list[float]. Each value is a packed
+    little-endian float32 array (WL#16081), so the whole lane is one
+    repeat-gather: every valid slice's bytes concatenate into a single
+    contiguous buffer viewed as <f4 and split back per row — no per-value
+    parse at all. Python floats from <f4 are exact widenings (bit-exact
+    round-trip through Arrow's float32 cast). A slice length not
+    divisible by 4 is corrupt and raises, like the scalar converter."""
+    n = len(starts)
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.empty(n, dtype=object)  # SQL NULL → None
+    valid = ~np.asarray(nulls)
+    idx = np.nonzero(valid)[0]
+    if not len(idx):
+        return out
+    vl = lens[idx]
+    if (vl % 4).any():
+        bad = idx[(vl % 4) != 0][0]
+        raise ValueError(
+            f"VECTOR payload length {int(lens[bad])} not divisible by 4"
+        )
+    within = np.arange(int(vl.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(vl) - vl, vl
+    )
+    packed = data[np.repeat(starts[idx], vl) + within]
+    floats = packed.tobytes()
+    values = np.frombuffer(floats, dtype="<f4")
+    bounds = np.cumsum(vl // 4)[:-1]
+    for i, chunk in zip(idx, np.split(values, bounds)):
+        out[i] = chunk.tolist()
+    return out
+
+
 def _geometry_texts_from_slices(
     data: np.ndarray, starts, lens, nulls
 ) -> np.ndarray:
@@ -1311,7 +1346,10 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
     or None on a kind/type mismatch (→ scalar fallback)."""
     if colref is None:  # column absent from this table map → typed nulls
-        if kind in ("str", "binary", "date", "decimal", "time", "json", "geometry"):
+        if kind in (
+            "str", "binary", "date", "decimal", "time", "json", "geometry",
+            "vector",
+        ):
             return ("obj", np.full(n, None, dtype=object))
         if kind in ("ts_millis", "datetime"):
             return ("dt", np.full(n, np.datetime64("NaT"), dtype="datetime64[ms]"))
@@ -1341,6 +1379,10 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
         if ckind != "blob":
             return None
         return ("obj", _geometry_texts_from_slices(data, a, b, nulls))
+    if kind == "vector":
+        if ckind != "blob":
+            return None
+        return ("obj", _vectors_from_slices(data, a, b, nulls))
     if kind == "date":
         if ckind != "date32":
             return None
@@ -1718,7 +1760,7 @@ def decode_segment_fast(
     for _name, _ddl, kind in spec.columns:
         if kind not in (
             "str", "int", "ts_millis", "double", "binary", "date",
-            "decimal", "datetime", "time", "json", "geometry",
+            "decimal", "datetime", "time", "json", "geometry", "vector",
         ):
             return None
     prep = _prepare_segment(content, spec, xa_outcomes, src_file)
