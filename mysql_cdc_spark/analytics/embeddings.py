@@ -595,6 +595,152 @@ FROM quant
 """
 
 
+def _vector_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-ingest the embeddings corpus through a real binlog replay:
+    every row arrives as a WRITE_ROWS insert with a MySQL 9 VECTOR
+    column (kind "vector", F21), then deterministic UPDATE_ROWS negate
+    every ``vec_id % 5 == 0`` vector (float32 sign flips are exact) and
+    DELETE_ROWS remove ``vec_id % 97 == 3`` — so last-writer-wins
+    ordering, delete suppression, and the float32 round-trip all gate
+    the final state. Binlog generation is cached per corpus; the replay
+    itself runs fresh each call (it IS the thing under test)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..binlog.constants import ColumnType
+    from ..binlog.decoder import TableSpec
+    from ..binlog.encoder import BinlogWriter
+    from ..pipeline.replay import Replayer
+
+    spec = TableSpec(
+        database="ml", table="emb",
+        columns=(("vec_id", "bigint", "int"),
+                 ("embedding", "array<float>", "vector")),
+        primary_key=("vec_id",),
+    )
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = tbl.column("embedding").to_pylist()
+    cache = os.path.join(
+        tempfile.gettempdir(), f"cdc_vec_knn_{len(ids)}"
+    )
+    marker = cache + ".complete"
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        ctypes = [ColumnType.LONGLONG, ColumnType.VECTOR]
+        cmeta = [0, 4]
+        uuid = "24bc7850-2c16-11e6-a073-0242ac110013"
+        w = BinlogWriter("vec.000001")
+        seq = 0
+
+        def txn(write_body):
+            nonlocal seq
+            seq += 1
+            w.write_mysql_gtid(uuid, seq)
+            w.write_query("BEGIN", database="ml")
+            w.write_table_map(71, "ml", "emb", ctypes, cmeta, [False, True])
+            write_body()
+            w.write_xid(seq)
+
+        packed = [np.asarray(v, dtype="<f4").tobytes() for v in vecs]
+        for lo in range(0, len(ids), 500):
+            rows = [
+                [int(i), p]
+                for i, p in zip(ids[lo : lo + 500], packed[lo : lo + 500])
+            ]
+            txn(lambda: w.write_rows(71, ctypes, cmeta, rows))
+        upd = [
+            ([int(i), p], [int(i), np.frombuffer(p, "<f4").__neg__().tobytes()])
+            for i, p in zip(ids, packed) if i % 5 == 0
+        ]
+        for lo in range(0, len(upd), 500):
+            pairs = upd[lo : lo + 500]
+            txn(lambda: w.write_update_rows(71, ctypes, cmeta, pairs))
+        dels = [
+            [int(i), p] for i, p in zip(ids, packed) if i % 97 == 3
+        ]
+        if dels:
+            from ..binlog.constants import EventType
+
+            txn(lambda: w.write_rows(
+                71, ctypes, cmeta, dels,
+                event_type=EventType.MYSQL_DELETE_ROWS_V2,
+            ))
+        w.save(os.path.join(cache, "vec.000001"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    store = tempfile.mkdtemp(prefix="cdc_vec_knn_store_")
+    rep = Replayer(spark, cache, store, spec=spec)
+    rep.replay()
+    return rep.read_state()
+
+
+def vector_knn_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → lake → ANN, end-to-end: exact cosine top-k over the state a
+    VECTOR-column binlog replay produced (``_vector_cdc_state``) — the
+    full story F21 enables: embedding tables stream in as change events
+    and are immediately searchable. Same plan shape as knn_bruteforce
+    (broadcast query side, codegen'd dot products, one partial-agg
+    top-k shuffle); the oracle replays the same deterministic changes
+    in SQL, so a wrong LWW order, a lost delete, or a float32 decode
+    defect shifts neighbors or scores."""
+    emb = _vector_cdc_state(spark, sf_dir).selectExpr(
+        "vec_id", f"{_DOUBLE_VEC} as v"
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "v as qv"
+    )
+    scored = q.hint("broadcast").crossJoin(emb).filter(
+        "vec_id != q_id"
+    ).selectExpr("q_id", "vec_id", f"{_cos_spark('qv', 'v')} as cos_sim")
+    return (
+        scored.selectExpr(
+            "q_id", "vec_id", "cos_sim",
+            "struct(-cos_sim as nc, vec_id as tie) as ord",
+        )
+        .groupBy("q_id")
+        .agg(F.slice(
+            F.array_sort(F.collect_list(F.struct("ord", "vec_id", "cos_sim"))),
+            1, TOP_K,
+        ).alias("top"))
+        .selectExpr("q_id", "posexplode(top) as (rank0, t)")
+        .selectExpr(
+            "q_id", "rank0 + 1 as rank",
+            "t.vec_id as neighbor_id", "t.cos_sim as cos_sim",
+        )
+    )
+
+
+VECTOR_KNN_CDC_SQL = f"""
+WITH state AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 5 = 0
+              THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 97 != 3
+), emb AS (
+  SELECT vec_id, {_DOUBLE_VEC_DUCK} AS v FROM state
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id, {_cos_duck('qv', 'e.v')} AS cos_sim
+  FROM q CROSS JOIN emb e WHERE e.vec_id != q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+           AS rank
+  FROM scored
+)
+SELECT q_id, rank, vec_id AS neighbor_id, cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
@@ -603,6 +749,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_ivf": embedding_neardup_ivf,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "vector_knn_cdc": vector_knn_cdc,
 }
 
 ORACLES = {
@@ -613,4 +760,5 @@ ORACLES = {
     "embedding_neardup": NEARDUP_SQL,
     "embedding_neardup_ivf": NEARDUP_IVF_SQL,
     "embedding_quantize_int8": QUANTIZE_SQL,
+    "vector_knn_cdc": VECTOR_KNN_CDC_SQL,
 }
