@@ -179,6 +179,7 @@ class Replayer:
         order_cols: list[str] | None = None,
         history: object | None = None,
         xa: str = "local",
+        gc_keep: int | None = None,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -227,6 +228,19 @@ class Replayer:
         crash between the two re-applies as a no-op. Requires
         ``row_image="full"`` (MINIMAL images carry only changed columns;
         a faithful history needs whole rows).
+
+        ``gc_keep``: snapshot retention — after every committed batch,
+        drop snapshot versions that are neither among the newest
+        ``gc_keep`` nor referenced by a kept manifest (``target.gc``).
+        Default None keeps everything (full time travel). A steady-state
+        tail job commits one version per batch forever, so an unbounded
+        store is the scale killer this bounds: with the bucketed CoW
+        target, retained bytes become O(live table + gc_keep × touched
+        buckets) instead of O(batches). Minimum 2 (change-feed folds
+        read consecutive manifests); minimum 3 with ``views`` (a crash
+        between ledger append and view refresh leaves the view one batch
+        stale, and its recovery fold spans two versions back). Bounds
+        ``read_changes``/``snapshot_diff`` time travel to what is kept.
 
         ``xa``: XA (two-phase) transaction handling (binlog/xa.py).
         ``"local"`` (default, zero cost): prepares resolve against
@@ -277,6 +291,16 @@ class Replayer:
                 "hold NULLs for untouched columns"
             )
         self.history = history
+        if gc_keep is not None:
+            floor = 3 if self.views else 2
+            if gc_keep < floor:
+                raise ValueError(
+                    f"gc_keep must be >= {floor}"
+                    + (" when views are maintained (crash-recovery folds"
+                       " span two versions back)" if self.views else
+                       " (change-feed folds read consecutive manifests)")
+                )
+        self.gc_keep = gc_keep
         if xa not in ("local", "batch"):
             raise ValueError("xa must be 'local' or 'batch'")
         self.xa = xa
@@ -623,6 +647,11 @@ class Replayer:
         )
         for view in self.views:
             view.refresh(self.spark, self.target, new_version)
+        # retention AFTER ledger + views: gc never touches the newest
+        # gc_keep versions, so the just-committed state (and everything a
+        # recovery fold can still need) stays readable
+        if self.gc_keep and hasattr(self.target, "gc"):
+            self.target.gc(keep_latest=self.gc_keep)
         return BatchMetrics(
             batch_id, files, n_events, net_rows, seconds,
             metrics["events_per_sec"], str(merged_set), lineage,
