@@ -923,6 +923,44 @@ class Replayer:
             version = self.ledger.current_snapshot_version()
         return self.target.read(self.spark, version)
 
+    def rebucket(self, new_buckets: int, bucket_cols: tuple | None = None) -> int:
+        """Re-scale the target's bucket layout between batches (see
+        ``BucketedParquetMergeTarget.rebucket``) and commit it as a
+        zero-event maintenance batch: the ledger's read high-water mark
+        and covered GTID set are unchanged, only the snapshot version
+        advances, so a crash anywhere leaves the old layout live and a
+        resume sees either the old or the new layout — both consistent.
+        Run it when per-bucket size outgrows the merge's touched-bucket
+        IO budget (table grew, or the job moved to a bigger cluster and
+        wants more write parallelism). Returns the new snapshot version."""
+        if not hasattr(self.target, "rebucket"):
+            raise TypeError(
+                f"{type(self.target).__name__} has no bucket layout to "
+                "re-scale; rebucket() needs BucketedParquetMergeTarget"
+            )
+        version = self.ledger.current_snapshot_version()
+        new_version = self.target.rebucket(
+            self.spark, new_buckets, version, bucket_cols
+        )
+        last = self.ledger.last()
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=self.ledger.next_batch_id(),
+                gtid_set_text=last.gtid_set_text if last else "",
+                max_file=last.max_file if last else "",
+                max_pos=last.max_pos if last else 0,
+                snapshot_version=new_version,
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics={"maintenance": "rebucket", "buckets": int(new_buckets)},
+            )
+        )
+        for view in self.views:
+            view.refresh(self.spark, self.target, new_version)
+        if self.gc_keep and hasattr(self.target, "gc"):
+            self.target.gc(keep_latest=self.gc_keep)
+        return new_version
+
     def state_at_batch(self, batch_id: int) -> DataFrame:
         """State as of a committed batch — the snapshot version its ledger
         entry names. Every commit point is a readable state, which is what

@@ -300,6 +300,33 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.snapshot_path(version), "manifest.json")
 
+    def _layout_path(self, version: int) -> str:
+        return os.path.join(self.snapshot_path(version), "bucketing.json")
+
+    def _load_layout(self, version: int) -> tuple:
+        """(buckets, bucket_cols) the snapshot at ``version`` was written
+        with. The layout is PER-SNAPSHOT metadata (the analog of Iceberg's
+        partition-spec-id on a snapshot): the hash placement of every
+        stored row is a property of the data, not of whoever opens the
+        store, so a merge MUST use the layout of the snapshot it merges
+        from — a resume on a different cluster size (the constructor
+        default tracks ``defaultParallelism``) would otherwise hash net
+        keys into different buckets than the stored rows, skip the stored
+        row in the anti-join, and leave duplicates behind. Falls back to
+        the constructor values for snapshots written before layout
+        persistence existed (same behavior as before)."""
+        import json
+
+        p = self._layout_path(version)
+        if version > 0 and os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            return int(d["buckets"]), tuple(d["bucket_cols"])
+        return self.buckets, self.bucket_cols
+
+    def _adopt_layout(self, version: int) -> None:
+        self.buckets, self.bucket_cols = self._load_layout(version)
+
     def _load_manifest(self, version: int) -> dict:
         """bucket id -> store-relative path of that bucket's parquet dir."""
         import json
@@ -339,10 +366,13 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         return sorted(r["_b"] for r in rows)
 
     def _commit_buckets(
-        self, merged: DataFrame, touched: list, current_version: int
+        self, merged: DataFrame, touched: list, current_version: int,
+        carry_over: bool = True,
     ) -> int:
         """Write touched buckets under the new snapshot, splice the
-        manifest (untouched entries carried over by reference), commit."""
+        manifest (untouched entries carried over by reference), commit.
+        ``carry_over=False`` (rebucket) starts the manifest empty — every
+        live bucket of the new layout is written fresh."""
         import json
 
         new_version = current_version + 1
@@ -356,15 +386,24 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
             .write.partitionBy("_bucket")
             .parquet(data_dir)
         )
-        manifest = {
-            b: p
-            for b, p in self._load_manifest(current_version).items()
-            if b not in set(touched)
-        }
+        manifest = {}
+        if carry_over:
+            manifest = {
+                b: p
+                for b, p in self._load_manifest(current_version).items()
+                if b not in set(touched)
+            }
         for b in touched:
             bucket_dir = os.path.join(data_dir, f"_bucket={b}")
             if os.path.isdir(bucket_dir):  # a fully-deleted bucket writes no dir
                 manifest[b] = os.path.relpath(bucket_dir, self.store_dir)
+        # layout first, manifest last: the manifest write stays the
+        # snapshot's internal commit point, and a snapshot is never
+        # readable without its layout metadata
+        with open(self._layout_path(new_version), "w") as f:
+            json.dump(
+                {"buckets": self.buckets, "bucket_cols": list(self.bucket_cols)}, f
+            )
         tmp = self._manifest_path(new_version) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({str(b): p for b, p in sorted(manifest.items())}, f)
@@ -372,6 +411,7 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         return new_version
 
     def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
+        self._adopt_layout(current_version)
         spec = self.spec
         keys = list(spec.primary_key)
         # net is the whole decode→gate→LWW pipeline, lazily. The touched-
@@ -403,6 +443,7 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
     ) -> int:
         """Per-column carried-mask apply (MINIMAL row image), bucket-pruned:
         the full-outer join runs only over the touched buckets' state."""
+        self._adopt_layout(current_version)
         spec = self.spec
         keys = list(spec.primary_key)
         net = net.persist()  # same double-consumption as merge()
@@ -458,6 +499,7 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         """
         import pandas as pd
 
+        self._adopt_layout(version)
         if not key_values:
             return empty_state_df(spark, self.spec)
         ddl = {n: d for n, d, _ in self.spec.columns}
@@ -499,6 +541,51 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
             self.spec,
             images=images,
         )
+
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_buckets: int,
+        current_version: int,
+        bucket_cols: tuple | None = None,
+    ) -> int:
+        """Online bucket re-scaling — the maintenance op a growing table
+        needs: bucket count is fixed at table creation, so a table that
+        grows 100× ends up with 100×-sized buckets and every merge pays
+        100× the touched-bucket IO it should. ``rebucket`` rewrites the
+        state once under a new layout (count and/or hash columns) and
+        commits it as a normal snapshot version: one full-table shuffle
+        (repartition on the new hash — the same cost class as one
+        whole-table batch, amortized over every merge after it), no
+        downtime, time travel intact (older versions keep their own
+        layout metadata and stay readable), and subsequent merges adopt
+        the new layout automatically via the per-snapshot ``bucketing
+        .json``. The Iceberg analog is evolving the partition spec to
+        ``bucket(new_N, key)`` + ``rewrite_data_files``. Crash-safe like
+        any merge: data + layout land before the manifest, the manifest
+        before the caller's ledger append, so a torn rebucket is an
+        invisible orphan the next commit overwrites."""
+        self._adopt_layout(current_version)
+        state = self.read(spark, current_version)
+        old = (self.buckets, self.bucket_cols)
+        self.buckets = int(new_buckets)
+        if self.buckets < 1:
+            raise ValueError("new_buckets must be >= 1")
+        if bucket_cols:
+            unknown = set(bucket_cols) - set(self.spec.primary_key)
+            if unknown:
+                raise ValueError(
+                    f"bucket_cols must be primary-key columns: {unknown}"
+                )
+            self.bucket_cols = tuple(bucket_cols)
+        try:
+            return self._commit_buckets(
+                state, list(range(self.buckets)), current_version,
+                carry_over=False,
+            )
+        except BaseException:
+            self.buckets, self.bucket_cols = old
+            raise
 
     def gc(self, keep_latest: int) -> None:
         """Drop snapshot dirs that are neither among the newest

@@ -267,3 +267,84 @@ class TestGc:
                 spark, str(tmp_path / "b"), str(tmp_path / "s2"),
                 views=[view], gc_keep=2,
             )
+
+
+class TestLayoutPersistence:
+    """The bucket layout is per-snapshot metadata: a resume must merge
+    with the layout the store was WRITTEN with, never with whatever the
+    new session's constructor happened to choose (the Replayer default
+    tracks defaultParallelism, so moving a store between cluster sizes —
+    the north rule's N vs 4N — used to re-hash net keys into different
+    buckets than the stored rows and leave duplicates)."""
+
+    def test_resume_with_different_bucket_count_matches_oracle(
+        self, spark, changelog, tmp_path
+    ):
+        import glob
+        import shutil
+
+        _, outdir, oracle = changelog
+        files = sorted(glob.glob(os.path.join(outdir, "*")))
+        half_dir = str(tmp_path / "binlog_half")
+        os.makedirs(half_dir)
+        for f in files[: len(files) // 2]:
+            shutil.copy(f, half_dir)
+        store = str(tmp_path / "resize")
+        r1 = Replayer(spark, half_dir, store, target=_bucketed(store, buckets=32))
+        r1.replay(files_per_batch=1)
+        for f in files[len(files) // 2:]:
+            shutil.copy(f, half_dir)
+        # resume as if on a smaller cluster: constructor asks for 8 buckets,
+        # but the store was written with 32 — the persisted layout must win
+        r2 = Replayer(spark, half_dir, store, target=_bucketed(store, buckets=8))
+        r2.replay(files_per_batch=1)
+        assert r2.target.buckets == 32  # adopted, not the constructor's 8
+        got = _state_pdf(r2)
+        assert got["text"].tolist() == oracle["text"].tolist()
+        dupes = got.groupby(["conv_id", "turn_idx"]).size()
+        assert int((dupes > 1).sum()) == 0
+
+    def test_rebucket_rewrites_layout_and_preserves_state(
+        self, spark, changelog, tmp_path
+    ):
+        _, outdir, oracle = changelog
+        store = str(tmp_path / "grow")
+        rep = Replayer(spark, outdir, store, target=_bucketed(store, buckets=4))
+        rep.replay(files_per_batch=2)
+        v_before = rep.ledger.current_snapshot_version()
+        before = _state_pdf(rep)
+        new_v = rep.rebucket(16)
+        assert new_v == v_before + 1
+        # layout metadata committed with the snapshot
+        with open(
+            os.path.join(store, "snapshots", f"v{new_v:08d}", "bucketing.json")
+        ) as f:
+            layout = json.load(f)
+        assert layout["buckets"] == 16
+        # state identical, ledger read-mark unchanged, resume is a no-op
+        pd.testing.assert_frame_equal(_state_pdf(rep), before)
+        assert rep.ledger.last().metrics.get("maintenance") == "rebucket"
+        rep2 = Replayer(spark, outdir, store, target=_bucketed(store))
+        assert rep2.replay().events == 0
+        # every live manifest bucket id fits the new layout
+        with open(
+            os.path.join(store, "snapshots", f"v{new_v:08d}", "manifest.json")
+        ) as f:
+            assert all(0 <= int(b) < 16 for b in json.load(f))
+        # time travel to the pre-rebucket version still reads the old layout
+        old = (
+            rep2.read_state(version=v_before)
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(old, before)
+
+    def test_rebucket_requires_bucketed_target(self, spark, changelog, tmp_path):
+        _, outdir, _ = changelog
+        store = str(tmp_path / "plainreb")
+        rep = Replayer(
+            spark, outdir, store, target=ParquetMergeTarget(store, TRANSCRIPTS)
+        )
+        with pytest.raises(TypeError, match="rebucket"):
+            rep.rebucket(8)
