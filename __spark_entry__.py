@@ -435,6 +435,79 @@ def cdc_replay_failover_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2E_MULTI_BINLOG_DIR = os.path.join(
+    tempfile.gettempdir(), "cdc_e2e_binlog_multitable"
+)
+_E2E_SIDECAR_ORACLE_PARQUET = os.path.join(
+    tempfile.gettempdir(), "cdc_sidecar_e2e_changelog.parquet"
+)
+
+
+def _ensure_multitable_e2e() -> None:
+    """Two-table corpus: the base transcript changelog plus the derived
+    chat.tool_calls ops committed INSIDE the same transactions (one GTID,
+    two TABLE_MAP+rows pairs — fixtures.sidecar_ops). Each table gets its
+    own dual-written logical changelog for the DuckDB oracle."""
+    from mysql_cdc_spark.fixtures import (
+        generate_changelog,
+        write_binlog_files,
+        write_sidecar_changelog_parquet,
+    )
+
+    _ensure_e2e_oracle_parquet()  # the transcripts-side oracle stream
+    txns = generate_changelog(**_E2E_KNOBS)
+    write_sidecar_changelog_parquet(txns, _E2E_SIDECAR_ORACLE_PARQUET)
+    done_marker = _E2E_MULTI_BINLOG_DIR + ".complete"
+    if os.path.exists(done_marker):
+        return
+    import shutil
+
+    shutil.rmtree(_E2E_MULTI_BINLOG_DIR, ignore_errors=True)
+    write_binlog_files(
+        txns, _E2E_MULTI_BINLOG_DIR, txns_per_file=40, sidecar=True
+    )
+    with open(done_marker, "w") as f:
+        f.write("ok")
+
+
+def cdc_replay_multitable_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table replay end-to-end: one binlog stream carrying
+    transactions that touch TWO tables (chat.transcripts and
+    chat.tool_calls) → MultiReplayer → one merged state per table,
+    unioned under a common projection for cross-engine hashing. Pins
+    both that each table's final state matches its own sequential-replay
+    oracle AND that neither table's decode is polluted by the other's
+    events (the reference streams all tables' events on one connection —
+    binlog_client.rs — and leaves routing to the consumer; this is the
+    engine-side equivalent, pipeline/multi.py)."""
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+    from mysql_cdc_spark.fixtures import tool_calls_spec
+    from mysql_cdc_spark.pipeline.multi import MultiReplayer
+
+    _ensure_multitable_e2e()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_multitable_")
+    mr = MultiReplayer(
+        spark, _E2E_MULTI_BINLOG_DIR, os.path.join(tmp, "store"),
+        specs=[TRANSCRIPTS, tool_calls_spec()], salt_buckets=4,
+    )
+    mr.replay(files_per_batch=2)
+    t = mr.read_state("transcripts").select(
+        F.lit("transcripts").alias("tbl"),
+        "conv_id", "turn_idx",
+        F.lit(-1).cast("long").alias("call_ord"),
+        F.col("text").alias("payload"),
+        F.unix_millis(F.col("ts")).alias("num"),
+    )
+    c = mr.read_state("tool_calls").select(
+        F.lit("tool_calls").alias("tbl"),
+        "conv_id", "turn_idx",
+        F.col("call_ord").cast("long").alias("call_ord"),
+        F.col("tool_name").alias("payload"),
+        F.col("duration_ms").cast("long").alias("num"),
+    )
+    return t.unionByName(c)
+
+
 # v2: corpus plan is server-legal (plan_xa_modes) — the suffix invalidates
 # any surviving v1 cache written by the earlier planner
 _E2E_XA_ORACLE_PARQUET = os.path.join(
@@ -528,6 +601,41 @@ CDC_REPLAY_E2E_SQL = E2E_REPLAY_SQL_TEMPLATE.format(
     src=f"read_parquet('{_E2E_ORACLE_PARQUET}')"
 )
 
+# each table replays its OWN logical changelog with the same
+# first-delivery + last-writer-wins rules, then both final states union
+# under the common (tbl, conv_id, turn_idx, call_ord, payload, num) shape
+CDC_REPLAY_MULTITABLE_SQL = f"""
+WITH t_ops AS (
+  SELECT * FROM read_parquet('{_E2E_ORACLE_PARQUET}')
+), t_first AS (
+  SELECT seq, min(txn_ord) AS txn_ord FROM t_ops GROUP BY seq
+), t_applied AS (
+  SELECT o.* FROM t_ops o JOIN t_first f USING (seq, txn_ord)
+), t_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC, op_ord DESC) AS rn
+  FROM t_applied
+), c_ops AS (
+  SELECT * FROM read_parquet('{_E2E_SIDECAR_ORACLE_PARQUET}')
+), c_first AS (
+  SELECT seq, min(txn_ord) AS txn_ord FROM c_ops GROUP BY seq
+), c_applied AS (
+  SELECT o.* FROM c_ops o JOIN c_first f USING (seq, txn_ord)
+), c_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, call_ord
+                               ORDER BY seq DESC, op_ord DESC) AS rn
+  FROM c_applied
+)
+SELECT 'transcripts' AS tbl, conv_id, turn_idx,
+       CAST(-1 AS BIGINT) AS call_ord, text AS payload, ts_ms AS num
+FROM t_ranked WHERE rn = 1 AND kind <> 'delete'
+UNION ALL
+SELECT 'tool_calls' AS tbl, conv_id, turn_idx,
+       CAST(call_ord AS BIGINT) AS call_ord, tool_name AS payload,
+       CAST(duration_ms AS BIGINT) AS num
+FROM c_ranked WHERE rn = 1 AND kind <> 'delete'
+"""
+
 
 _MODULES = (cdc_ops, relational, text, embeddings, multimodal, corpus)
 
@@ -546,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["origin_query_attribution"] = origin_query_attribution
     out["partition_provenance"] = partition_provenance
     out["cdc_replay_failover_e2e"] = cdc_replay_failover_e2e
+    out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     return out
 
 
@@ -591,4 +700,7 @@ def oracle_sql() -> dict[str, str]:
     out["cdc_replay_failover_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
         src=f"read_parquet('{_E2E_FAILOVER_ORACLE_PARQUET}')"
     )
+    # multi-table: each table replays its own dual-written changelog
+    _ensure_multitable_e2e()
+    out["cdc_replay_multitable_e2e"] = CDC_REPLAY_MULTITABLE_SQL
     return out

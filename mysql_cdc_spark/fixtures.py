@@ -82,6 +82,141 @@ TOOLS = [None, "search", "python", "browser", "calculator"]
 
 TABLE_ID_PRE = 100
 TABLE_ID_POST = 101  # ALTER TABLE assigns a fresh table id
+TABLE_ID_SIDECAR = 102  # second tracked table (chat.tool_calls)
+
+# -- sidecar table: a second table committed inside the SAME transactions
+# (one GTID, multiple TABLE_MAP+rows pairs — how a real server logs a
+# multi-table transaction). Used to pin (a) that a single-spec decode
+# skips foreign tables' events and (b) multi-table replay (MultiReplayer).
+SIDECAR_COLUMNS = ["conv_id", "turn_idx", "call_ord", "tool_name", "duration_ms"]
+_SIDECAR_CTYPES = [
+    ColumnType.VARCHAR, ColumnType.LONG, ColumnType.LONG,
+    ColumnType.VARCHAR, ColumnType.LONG,
+]
+_SIDECAR_CMETA = [64 * 4, 0, 0, 64 * 4, 0]
+
+
+def tool_calls_spec():
+    """TableSpec for the sidecar ``chat.tool_calls`` table: one row per
+    tool invocation an assistant turn made, PK (conv_id, turn_idx,
+    call_ord)."""
+    from .binlog.decoder import TableSpec
+
+    return TableSpec(
+        database="chat",
+        table="tool_calls",
+        columns=(
+            ("conv_id", "string", "str"),
+            ("turn_idx", "int", "int"),
+            ("call_ord", "int", "int"),
+            ("tool_name", "string", "str"),
+            ("duration_ms", "int", "int"),
+        ),
+        primary_key=("conv_id", "turn_idx", "call_ord"),
+    )
+
+
+def _sidecar_tool(turn: int, seq: int) -> str:
+    return TOOLS[1 + (turn * 7 + seq) % (len(TOOLS) - 1)]
+
+
+def _sidecar_dur(seq: int, turn: int) -> int:
+    return (seq * 131 + turn * 17) % 5000
+
+
+def sidecar_ops(txn: Txn) -> list[Op]:
+    """Deterministic derivation of the sidecar table's ops from a
+    transcript transaction — shared by the binlog encoder and the
+    oracles, so wire bytes and logical changelog agree by construction.
+    Every assistant-turn insert/update/delete in the transaction carries
+    a matching tool_calls op (full row images; before-image VALUES for
+    update/delete are placeholders — replay consumes only the after
+    image and the delete key, like any rows event)."""
+    ops: list[Op] = []
+    for op in txn.ops:
+        img = op.after if op.kind != "delete" else op.before
+        if img[2] != "assistant":
+            continue
+        conv, turn = img[0], img[1]
+        row = [conv, turn, 0, _sidecar_tool(turn, txn.seq),
+               _sidecar_dur(txn.seq, turn)]
+        if op.kind == "insert":
+            ops.append(Op("insert", None, row))
+        elif op.kind == "update":
+            ops.append(Op("update", [conv, turn, 0, row[3], 0], row))
+        else:
+            ops.append(Op("delete", [conv, turn, 0, row[3], 0], None))
+    return ops
+
+
+def apply_sidecar_oracle(txns: list[Txn]) -> pd.DataFrame:
+    """Sequential apply of the sidecar changelog (same at-most-once per
+    GTID rule as apply_changelog_oracle)."""
+    state: dict[tuple, list] = {}
+    applied: set[int] = set()
+    for txn in txns:
+        if txn.seq in applied:
+            continue
+        applied.add(txn.seq)
+        for op in sidecar_ops(txn):
+            if op.kind in ("insert", "update"):
+                state[tuple(op.after[:3])] = op.after
+            else:
+                state.pop(tuple(op.before[:3]), None)
+    records = [
+        {
+            "conv_id": k[0], "turn_idx": k[1], "call_ord": k[2],
+            "tool_name": row[3], "duration_ms": row[4],
+        }
+        for k, row in sorted(state.items())
+    ]
+    return pd.DataFrame(
+        records, columns=SIDECAR_COLUMNS
+    )
+
+
+def sidecar_changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
+    """Logical sidecar change rows (the tool_calls dual-write, same
+    replay-order tuple semantics as changelog_to_pandas)."""
+    rows = []
+    for txn_ord, txn in enumerate(txns):
+        for op_ord, op in enumerate(sidecar_ops(txn)):
+            src = op.after if op.kind != "delete" else op.before
+            is_del = op.kind == "delete"
+            rows.append(
+                {
+                    "txn_ord": txn_ord,
+                    "seq": txn.seq,
+                    "op_ord": op_ord,
+                    "kind": op.kind,
+                    "conv_id": src[0],
+                    "turn_idx": src[1],
+                    "call_ord": src[2],
+                    "tool_name": None if is_del else src[3],
+                    "duration_ms": None if is_del else src[4],
+                }
+            )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "txn_ord", "seq", "op_ord", "kind",
+            "conv_id", "turn_idx", "call_ord", "tool_name", "duration_ms",
+        ],
+    )
+    pdf["duration_ms"] = pdf["duration_ms"].astype("Int64")
+    return pdf
+
+
+def write_sidecar_changelog_parquet(txns: list[Txn], path: str) -> str:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.Table.from_pandas(sidecar_changelog_to_pandas(txns)), tmp)
+    os.replace(tmp, path)
+    return path
 
 
 @dataclass
@@ -331,6 +466,7 @@ def write_binlog_files(
     rows_query: bool = False,
     partitions: int | None = None,
     failover: tuple[int, str] | None = None,
+    sidecar: bool = False,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -395,6 +531,21 @@ def write_binlog_files(
             raise ValueError("failover fixture supports the mysql provider only")
         if xa_plan:
             raise ValueError("failover fixture is not composable with xa_plan")
+    if sidecar:
+        # ``sidecar=True`` interleaves the derived chat.tool_calls ops
+        # (sidecar_ops) inside each transaction — GTID → BEGIN →
+        # TABLE_MAP(transcripts)+rows → TABLE_MAP(tool_calls)+rows → XID,
+        # exactly how a server logs a transaction touching two tables.
+        # The sidecar always carries FULL images + FULL metadata; the
+        # row_image/row_metadata knobs shape the transcripts side only.
+        if provider != "mysql" or row_image != "full":
+            raise ValueError(
+                "sidecar fixture supports mysql provider + full row image"
+            )
+        if xa_plan or partitions:
+            raise ValueError(
+                "sidecar fixture is not composable with xa_plan/partitions"
+            )
     import os
 
     os.makedirs(outdir, exist_ok=True)
@@ -426,7 +577,8 @@ def write_binlog_files(
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
                 row_metadata, alter_before_seq, rows_query, partitions,
-                failover, xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
+                failover, sidecar, xa_plan, head_verdicts[fidx],
+                tail_verdicts[fidx],
             )
             for fidx in range(n_files)
         ]
@@ -441,7 +593,8 @@ def write_binlog_files(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
                  row_metadata, alter_before_seq, rows_query, partitions,
-                 failover, xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
+                 failover, sidecar, xa_plan, head_verdicts[fidx],
+                 tail_verdicts[fidx])
             )
         )
     return paths
@@ -451,7 +604,7 @@ def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
      row_metadata, alter_before_seq, rows_query, partitions, failover,
-     *xa_extra) = job
+     sidecar, *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -610,6 +763,49 @@ def _write_one_file(job) -> str:
             run_kind = op.kind
             run.append(op)
         flush_run(run_kind, run)
+        if sidecar:
+            sc_ops = sidecar_ops(txn)
+            if sc_ops:
+                writer.write_table_map(
+                    TABLE_ID_SIDECAR, "chat", "tool_calls",
+                    _SIDECAR_CTYPES, _SIDECAR_CMETA,
+                    nullability=[False] * 5,
+                    column_names=SIDECAR_COLUMNS,
+                    simple_primary_keys=[0, 1, 2],
+                    signedness=[False, False, False],
+                    timestamp=txn.timestamp,
+                )
+
+                def _flush_sc(kind, ops):
+                    if kind == "insert":
+                        writer.write_rows(
+                            TABLE_ID_SIDECAR, _SIDECAR_CTYPES, _SIDECAR_CMETA,
+                            [o.after for o in ops],
+                            event_type=EventType.MYSQL_WRITE_ROWS_V2,
+                            timestamp=txn.timestamp,
+                        )
+                    elif kind == "update":
+                        writer.write_update_rows(
+                            TABLE_ID_SIDECAR, _SIDECAR_CTYPES, _SIDECAR_CMETA,
+                            [(o.before, o.after) for o in ops],
+                            timestamp=txn.timestamp,
+                        )
+                    else:
+                        writer.write_rows(
+                            TABLE_ID_SIDECAR, _SIDECAR_CTYPES, _SIDECAR_CMETA,
+                            [o.before for o in ops],
+                            event_type=EventType.MYSQL_DELETE_ROWS_V2,
+                            timestamp=txn.timestamp,
+                        )
+
+                sc_kind, sc_run = None, []
+                for o in sc_ops:
+                    if o.kind != sc_kind and sc_run:
+                        _flush_sc(sc_kind, sc_run)
+                        sc_run = []
+                    sc_kind = o.kind
+                    sc_run.append(o)
+                _flush_sc(sc_kind, sc_run)
         if xa_mode:
             writer.write_query(
                 f"XA END {xa_xid_sql}", database="chat", timestamp=txn.timestamp

@@ -196,3 +196,159 @@ def test_multi_table_bootstrap(spark, tmp_path):
         boot2 = MultiReplayer(spark, outdir, str(tmp_path / "b2"), specs)
         boot2.bootstrap({"nope.table": full.read_state("chat.transcripts")},
                         at=FromPosition(entry.max_file, entry.max_pos))
+
+
+# ---------------------------------------------------------------------------
+# sidecar fixture: a second table (chat.tool_calls) committed INSIDE the
+# same transactions — one GTID, two TABLE_MAP+rows pairs (the real
+# multi-table transaction shape; write_binlog_files(sidecar=True))
+# ---------------------------------------------------------------------------
+
+import glob
+import shutil
+
+from mysql_cdc_spark.fixtures import apply_sidecar_oracle, tool_calls_spec
+from mysql_cdc_spark.pipeline.replay import Replayer
+
+
+@pytest.fixture(scope="module")
+def sidecar_changelog(tmp_path_factory):
+    txns = generate_changelog(
+        n_conversations=20, max_turns=6, n_extra_ops=80,
+        seed=5, duplicate_txns=3, evolve_after_frac=0.5,
+    )
+    outdir = str(tmp_path_factory.mktemp("binlog_sidecar"))
+    write_binlog_files(txns, outdir, txns_per_file=30, sidecar=True)
+    return txns, outdir
+
+
+def _transcripts_pdf(rep) -> pd.DataFrame:
+    return (
+        rep.read_state()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+class TestSingleSpecSkipsMultiTableTxns:
+    """Transactions that ALSO touch another table decode identically to
+    ones that don't — on both decode paths."""
+
+    def test_vector_path_ignores_sidecar_events(
+        self, spark, sidecar_changelog, tmp_path
+    ):
+        txns, outdir = sidecar_changelog
+        rep = Replayer(spark, outdir, str(tmp_path / "store"))
+        rep.replay()
+        got = _transcripts_pdf(rep)
+        oracle = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == oracle["text"].tolist()
+
+    def test_scalar_path_ignores_sidecar_events(
+        self, spark, sidecar_changelog, tmp_path, monkeypatch
+    ):
+        txns, outdir = sidecar_changelog
+        monkeypatch.setenv("SPARK_CDC_SCALAR_DECODE", "1")
+        rep = Replayer(spark, outdir, str(tmp_path / "store_s"))
+        rep.replay()
+        got = _transcripts_pdf(rep)
+        oracle = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == oracle["text"].tolist()
+
+
+class TestMultiReplayerSidecar:
+    def test_both_tables_match_their_oracles(
+        self, spark, sidecar_changelog, tmp_path
+    ):
+        txns, outdir = sidecar_changelog
+        mr = MultiReplayer(
+            spark, outdir, str(tmp_path / "multi"),
+            specs=[TRANSCRIPTS, tool_calls_spec()],
+        )
+        results = mr.replay()
+        assert set(results) == {"chat.transcripts", "chat.tool_calls"}
+        assert all(r.events > 0 for r in results.values())
+
+        t_oracle = apply_changelog_oracle(txns)
+        t_got = (
+            mr.read_state("transcripts")  # bare-name lookup
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        assert t_got["text"].tolist() == t_oracle["text"].tolist()
+
+        c_oracle = apply_sidecar_oracle(txns)
+        c_got = (
+            mr.read_state("tool_calls")
+            .orderBy("conv_id", "turn_idx", "call_ord")
+            .toPandas()
+        )
+        assert c_got["tool_name"].tolist() == c_oracle["tool_name"].tolist()
+        assert (
+            c_got["duration_ms"].tolist() == c_oracle["duration_ms"].tolist()
+        )
+        # lag metric is per table
+        assert set(mr.lag()) == {"chat.transcripts", "chat.tool_calls"}
+
+    def test_resume_per_table(self, spark, sidecar_changelog, tmp_path):
+        """Kill-and-resume: a fresh MultiReplayer on the same stores picks
+        every table up from its own ledger; final states unchanged."""
+        txns, outdir = sidecar_changelog
+        files = sorted(glob.glob(os.path.join(outdir, "*")))
+        half = str(tmp_path / "half")
+        os.makedirs(half)
+        for f in files[: len(files) // 2]:
+            shutil.copy(f, half)
+        store = str(tmp_path / "multi_r")
+        specs = [TRANSCRIPTS, tool_calls_spec()]
+        MultiReplayer(spark, half, store, specs=specs).replay()
+        for f in files[len(files) // 2:]:
+            shutil.copy(f, half)
+        mr2 = MultiReplayer(spark, half, store, specs=specs)
+        mr2.replay()
+        t_oracle = apply_changelog_oracle(txns)
+        t_got = (
+            mr2.read_state("transcripts").orderBy("conv_id", "turn_idx").toPandas()
+        )
+        assert t_got["text"].tolist() == t_oracle["text"].tolist()
+        c_oracle = apply_sidecar_oracle(txns)
+        c_got = (
+            mr2.read_state("tool_calls")
+            .orderBy("conv_id", "turn_idx", "call_ord")
+            .toPandas()
+        )
+        assert c_got["tool_name"].tolist() == c_oracle["tool_name"].tolist()
+        # nothing left to replay
+        assert all(r.events == 0 for r in mr2.replay().values())
+
+    def test_validation(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="at least one"):
+            MultiReplayer(spark, str(tmp_path), str(tmp_path / "s"), specs=[])
+        with pytest.raises(ValueError, match="per-table"):
+            MultiReplayer(
+                spark, str(tmp_path), str(tmp_path / "s"),
+                specs=[TRANSCRIPTS], target=object(),
+            )
+        mr = MultiReplayer(
+            spark, str(tmp_path), str(tmp_path / "s2"), specs=[TRANSCRIPTS]
+        )
+        with pytest.raises(KeyError):
+            mr["nope"]
+
+
+class TestSidecarFixtureGuards:
+    def test_incompatible_modes_raise(self, tmp_path):
+        txns = generate_changelog(n_conversations=2, n_extra_ops=4, seed=1)
+        with pytest.raises(ValueError, match="full row image"):
+            write_binlog_files(
+                txns, str(tmp_path / "a"), sidecar=True, row_image="minimal"
+            )
+        with pytest.raises(ValueError, match="mysql provider"):
+            write_binlog_files(
+                txns, str(tmp_path / "b"), sidecar=True, provider="mariadb"
+            )
+        with pytest.raises(ValueError, match="not composable"):
+            write_binlog_files(
+                txns, str(tmp_path / "c"), sidecar=True, partitions=4
+            )
