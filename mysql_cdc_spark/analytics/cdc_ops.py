@@ -955,6 +955,69 @@ FROM documents
 """
 
 
+# doc_id % 5 picks the column charset; literal must survive its codec
+_CHARSET_CASES = [
+    (8, "cp1252", "café £9"),        # latin1 (MySQL latin1 = cp1252)
+    (51, "cp1251", "привет мир"),    # cp1251 cyrillic
+    (54, "utf-16-be", "Ψαλμός ✓"),   # utf16 (BE, no BOM)
+    (28, "gbk", "中文文本"),          # gbk
+    (255, "utf-8", "plain ünïcode"),  # utf8mb4_0900_ai_ci
+]
+
+
+def charset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware string decode end-to-end (beyond-reference — the
+    reference hardwires UTF-8, extensions.rs read_string): per row, pick
+    a column charset by ``doc_id % 5`` (latin1/cp1251/utf16/gbk/utf8mb4),
+    encode a deterministic text in that charset — the bytes a real server
+    logs for a VARCHAR of that collation — build the length-prefixed
+    VARCHAR cell, and decode it back through the engine's own kernel
+    (``parse_string_cell`` + ``codec_for_collation``, the same pair both
+    decode paths apply from TABLE_MAP charset metadata). mapInPandas, one
+    codegen'd scan, zero shuffles. The oracle reconstructs the identical
+    text in SQL, so a wrong collation→codec mapping breaks equality on
+    every row of that charset."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def batch(it):
+        import pandas as pd
+
+        from ..binlog.charset import codec_for_collation
+        from ..binlog.kernels import parse_string_cell
+
+        for pdf in it:
+            texts, charsets = [], []
+            for did in pdf["doc_id"]:
+                collation, codec, literal = _CHARSET_CASES[int(did) % 5]
+                raw = f"{literal} #{int(did)}".encode(codec)
+                cell = bytes([len(raw)]) + raw  # metadata<256 → 1-byte prefix
+                value, _ = parse_string_cell(
+                    cell, 0, 64, codec_for_collation(collation)
+                )
+                texts.append(value)
+                charsets.append(codec)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "charset": charsets, "text": texts}
+            )
+
+    return docs.mapInPandas(batch, "doc_id long, charset string, text string")
+
+
+CHARSET_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'cp1252' WHEN 1 THEN 'cp1251' WHEN 2 THEN 'utf-16-be'
+         WHEN 3 THEN 'gbk' ELSE 'utf-8' END AS charset,
+       CASE doc_id % 5
+         WHEN 0 THEN 'café £9'
+         WHEN 1 THEN 'привет мир'
+         WHEN 2 THEN 'Ψαλμός ✓'
+         WHEN 3 THEN '中文文本'
+         ELSE 'plain ünïcode' END || ' #' || doc_id AS text
+FROM documents
+"""
+
+
 def partial_json_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL 8 ``binlog_row_value_options=PARTIAL_JSON`` end-to-end
     (beyond-reference — the reference's event enum stops before type 39):
@@ -1164,6 +1227,7 @@ QUERIES = {
     "jsonb_roundtrip": jsonb_roundtrip,
     "jsonb_extract": jsonb_extract,
     "geometry_roundtrip": geometry_roundtrip,
+    "charset_roundtrip": charset_roundtrip,
     "partial_json_apply": partial_json_apply,
     "vector_roundtrip": vector_roundtrip,
 }
@@ -1187,6 +1251,7 @@ ORACLES = {
     "jsonb_roundtrip": JSONB_SQL,
     "jsonb_extract": JSONB_EXTRACT_SQL,
     "geometry_roundtrip": GEOMETRY_SQL,
+    "charset_roundtrip": CHARSET_SQL,
     "partial_json_apply": PARTIAL_JSON_SQL,
     "vector_roundtrip": VECTOR_SQL,
 }

@@ -344,16 +344,29 @@ class _FileDecoder:
         return df
 
     def _colmap(self, table: dict) -> list:
-        """For a table map: [(canonical_idx, image_idx | None, kind), ...]."""
+        """For a table map: [(canonical_idx, image_idx | None, kind,
+        codec), ...] — ``codec`` is the column's charset codec (TABLE_MAP
+        charset metadata via binlog/charset.py), consumed by kind "str"
+        columns riding the blob wire form (TEXT)."""
         key = id(table)
         cm = self._colmap_memo.get(key)
         if cm is None:
+            from .charset import table_codecs
+
             col_names = table.get("column_names") or self.canonical[
                 : len(table["column_types"])
             ]
             index = {n: i for i, n in enumerate(col_names)}
+            codecs = table_codecs(table)
             cm = [
-                (ci, index.get(name), self.kinds[name])
+                (
+                    ci,
+                    index.get(name),
+                    self.kinds[name],
+                    codecs[index[name]]
+                    if name in index and index[name] < len(codecs)
+                    else None,
+                )
                 for ci, name in enumerate(self.canonical)
             ]
             self._colmap_memo[key] = cm
@@ -368,7 +381,7 @@ class _FileDecoder:
         if m is None:
             m = 0
             n = len(present)
-            for ci, mi, _kind in self._colmap(table):
+            for ci, mi, _kind, _codec in self._colmap(table):
                 if mi is not None and mi < n and present[mi]:
                     m |= 1 << ci
             self._mask_memo[key] = m
@@ -410,10 +423,15 @@ class _FileDecoder:
                 return nulls
             out = []
             n = len(image)
-            for _ci, mi, kind in colmap:
+            for _ci, mi, kind, codec in colmap:
                 v = image[mi] if mi is not None and mi < n else None
                 if v is not None and kind != "str" and kind != "ts_millis":
                     v = _CONVERT[kind](v)
+                elif type(v) is bytes and kind == "str":
+                    # TEXT column (blob wire form): decode in the column's
+                    # charset; binary-collation blobs declared "str" and
+                    # metadata-less logs default to utf-8
+                    v = v.decode(codec or "utf-8")
                 out.append(v)
             return tuple(out)
 

@@ -63,7 +63,9 @@ def encode_cell(value, column_type: int, metadata: int) -> bytes:
             # like the decoder does (actual_string_type.rs:6-26) so the
             # length-prefix width matches
             column_type, metadata = K.get_actual_string_type(column_type, metadata)
-        raw = value.encode("utf-8")
+        # bytes pass through verbatim (fixtures encode non-utf8 charsets
+        # by pre-encoding in the column's charset, like a real server)
+        raw = value if isinstance(value, bytes) else value.encode("utf-8")
         if metadata < 256:
             if len(raw) > 255:
                 raise ValueError("string too long for 1-byte length prefix")
@@ -225,6 +227,8 @@ class BinlogWriter:
         enum_string_values: list[list[str]] | None = None,
         set_string_values: list[list[str]] | None = None,
         extra_metadata: list[tuple[int, bytes]] | None = None,
+        default_charset: int | tuple[int, dict[int, int]] | None = None,
+        column_charsets: list[int] | None = None,
         timestamp: int = 0,
     ) -> None:
         db = database.encode("utf-8")
@@ -299,6 +303,32 @@ class BinlogWriter:
             section = b"".join(K.write_len_enc_num(i) for i in simple_primary_keys)
             out += (
                 bytes([MetadataType.SIMPLE_PRIMARY_KEY])
+                + K.write_len_enc_num(len(section))
+                + section
+            )
+        if default_charset is not None:
+            # DEFAULT_CHARSET TLV: lenc default collation + (character-
+            # column ordinal, collation) override pairs (WL#4618;
+            # table_metadata.rs parse_default_charser inverse)
+            if isinstance(default_charset, tuple):
+                dc, overrides = default_charset
+            else:
+                dc, overrides = default_charset, {}
+            section = K.write_len_enc_num(dc)
+            for k in sorted(overrides):
+                section += K.write_len_enc_num(k) + K.write_len_enc_num(
+                    overrides[k]
+                )
+            out += (
+                bytes([MetadataType.DEFAULT_CHARSET])
+                + K.write_len_enc_num(len(section))
+                + section
+            )
+        if column_charsets is not None:
+            # COLUMN_CHARSET TLV: one lenc collation per character column
+            section = b"".join(K.write_len_enc_num(c) for c in column_charsets)
+            out += (
+                bytes([MetadataType.COLUMN_CHARSET])
                 + K.write_len_enc_num(len(section))
                 + section
             )

@@ -355,15 +355,19 @@ def parse_fractional_part(buf: bytes, off: int, metadata: int) -> tuple[int, int
 # ---------------------------------------------------------------------------
 
 
-def parse_string_cell(buf: bytes, off: int, metadata: int) -> tuple[str, int]:
-    """1- or 2-byte length prefix by metadata<256; col_parser.rs:7-14."""
+def parse_string_cell(
+    buf: bytes, off: int, metadata: int, codec: str = "utf-8"
+) -> tuple[str, int]:
+    """1- or 2-byte length prefix by metadata<256; col_parser.rs:7-14.
+    ``codec`` is the column's charset (TABLE_MAP charset metadata via
+    binlog/charset.py); the reference hardwires utf-8."""
     if metadata < 256:
         length = buf[off]
         off += 1
     else:
         length = struct.unpack_from("<H", buf, off)[0]
         off += 2
-    return bytes(buf[off : off + length]).decode("utf-8"), off + length
+    return bytes(buf[off : off + length]).decode(codec), off + length
 
 
 def parse_bit(buf: bytes, off: int, metadata: int) -> tuple[list[bool], int]:

@@ -215,14 +215,19 @@ def parse_table_map(payload: bytes) -> dict:
     }
 
 
-def parse_cell(buf: bytes, off: int, column_type: int, metadata: int):
+def parse_cell(
+    buf: bytes, off: int, column_type: int, metadata: int,
+    codec: str = "utf-8",
+):
     """Single typed cell; row_parser.rs:130-184. Returns (value, new_off).
 
     Dispatch ordered by workload frequency (strings and wide ints first —
-    text-heavy CDC tables hit VARCHAR/LONGLONG/TIMESTAMP2 on ~every cell)."""
+    text-heavy CDC tables hit VARCHAR/LONGLONG/TIMESTAMP2 on ~every cell).
+    ``codec``: charset for string cells (binlog/charset.py); blob-form
+    TEXT stays bytes here — its charset applies at kind conversion."""
     C = ColumnType
     if column_type == C.VARCHAR or column_type == C.VAR_STRING or column_type == C.STRING:
-        return K.parse_string_cell(buf, off, metadata)
+        return K.parse_string_cell(buf, off, metadata, codec)
     if column_type == C.LONGLONG:
         return struct.unpack_from("<Q", buf, off)[0], off + 8
     if column_type == C.TIMESTAMP2:
@@ -355,11 +360,14 @@ def _enum_set_lookup(table: dict) -> list:
 
 def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included: int):
     """One row image; row_parser.rs:97-128."""
+    from .charset import table_codecs
+
     null_bitmap, off = K.read_bitmap_little_endian(buf, off, cells_included)
     column_types = table["column_types"]
     column_metadata = table["column_metadata"]
     signed_widths = _signed_widths(table)
     enum_set_lut = _enum_set_lookup(table)
+    codecs = table_codecs(table)
     row = []
     skipped = 0
     for i in range(len(column_types)):
@@ -374,7 +382,7 @@ def parse_row(buf: bytes, off: int, table: dict, columns_present, cells_included
             md = column_metadata[i]
             if ct == ColumnType.STRING:
                 ct, md = K.get_actual_string_type(ct, md)
-            value, off = parse_cell(buf, off, ct, md)
+            value, off = parse_cell(buf, off, ct, md, codecs[i] or "utf-8")
             w = signed_widths[i]
             if w is not None and value >= (1 << (w - 1)):
                 value -= 1 << w  # two's-complement reinterpretation

@@ -390,10 +390,11 @@ def _gate_row_events(ridx, gidx, gsrc, gseq, midx, mstate, mxid, m_total):
 
 
 class _ColSpec:
-    __slots__ = ("ctype", "meta", "signed_width", "lut")
+    __slots__ = ("ctype", "meta", "signed_width", "lut", "codec")
 
     def __init__(
-        self, ctype: int, meta: int, signed_width: Optional[int], lut=None
+        self, ctype: int, meta: int, signed_width: Optional[int], lut=None,
+        codec=None,
     ):
         self.ctype = ctype
         self.meta = meta
@@ -401,6 +402,9 @@ class _ColSpec:
         # ENUM/SET value lookup: object ndarray indexed by the raw wire
         # value (enum: [''] + members; set: all 2^m member joins)
         self.lut = lut
+        # charset codec for character columns (binlog/charset.py); None
+        # for non-character columns and binary-collation blobs
+        self.codec = codec
 
 
 def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
@@ -411,6 +415,7 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
     string-value metadata is present (SET limited to ≤8 members so the
     2^m join table stays tiny), raw ints otherwise."""
     from . import kernels as K
+    from .charset import table_codecs
     from .reader import _enum_set_lookup, _signed_widths
 
     types = tm["column_types"]
@@ -419,6 +424,7 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
         return None
     widths = _signed_widths(tm)
     es_lut = _enum_set_lookup(tm)
+    codecs = table_codecs(tm)
     out = []
     for i, (ct, md, sw) in enumerate(zip(types, metas, widths)):
         if ct == ColumnType.STRING:
@@ -452,7 +458,7 @@ def _table_colspecs(tm: dict) -> Optional[list[_ColSpec]]:
                 return None  # beyond decimal128 — MySQL caps at 65 digits
         elif ct not in _SUPPORTED_TYPES:
             return None
-        out.append(_ColSpec(ct, md, sw, lut))
+        out.append(_ColSpec(ct, md, sw, lut, codecs[i]))
     return out
 
 
@@ -789,11 +795,26 @@ def _concat_image_cols(step_cols: list, specs: list[_ColSpec]):
     return out
 
 
-def _strings_from_slices(data: np.ndarray, starts, lens, nulls, binary: bool = False) -> np.ndarray:
+def _strings_from_slices(
+    data: np.ndarray, starts, lens, nulls, binary: bool = False,
+    codec: Optional[str] = None,
+) -> np.ndarray:
     """One-gather Arrow large_utf8/large_binary build from (start, len)
     slices → object ndarray (str|bytes / None). The per-row Python objects
-    are materialized by Arrow's C path, not a Python loop."""
+    are materialized by Arrow's C path, not a Python loop.
+
+    ``codec``: non-UTF-8 charset lane (TABLE_MAP charset metadata) —
+    builds the binary array on the same one-gather path, then decodes
+    through pandas' C-looped ``str.decode``. UTF-8 (the overwhelming
+    default) stays on the zero-copy Arrow validation path."""
     import pyarrow as pa
+
+    if codec is not None and codec != "utf-8" and not binary:
+        import pandas as pd
+
+        raw = _strings_from_slices(data, starts, lens, nulls, binary=True)
+        s = pd.Series(raw, dtype=object).str.decode(codec)
+        return s.where(s.notna(), None).to_numpy()
 
     lens = np.where(nulls, 0, lens)
     total = int(lens.sum())
@@ -1341,10 +1362,13 @@ def _wkt_coord_texts(v: np.ndarray) -> np.ndarray:
     return texts
 
 
-def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
+def _canonical_column(
+    colref, kind: str, data: np.ndarray, n: int, codec: Optional[str] = None
+):
     """Convert a decoded image column to a canonical-kind descriptor:
     ("obj", arr) | ("dt", arr) | ("f64", arr) | ("int_null", vals, mask),
-    or None on a kind/type mismatch (→ scalar fallback)."""
+    or None on a kind/type mismatch (→ scalar fallback). ``codec`` is the
+    column's charset (string kinds only)."""
     if colref is None:  # column absent from this table map → typed nulls
         if kind in (
             "str", "binary", "date", "decimal", "time", "json", "geometry",
@@ -1360,9 +1384,17 @@ def _canonical_column(colref, kind: str, data: np.ndarray, n: int):
     if kind == "str":
         if ckind == "objv":  # ENUM/SET member strings, pre-materialized
             return ("obj", a)
+        if ckind == "blob":
+            # TEXT-family column declared "str": decode the blob bytes in
+            # the column's charset (binary collation / metadata-less logs
+            # default to utf-8 — scalar-path parity)
+            return (
+                "obj",
+                _strings_from_slices(data, a, b, nulls, codec=codec or "utf-8"),
+            )
         if ckind != "bytes":
             return None
-        return ("obj", _strings_from_slices(data, a, b, nulls))
+        return ("obj", _strings_from_slices(data, a, b, nulls, codec=codec))
     if kind == "time":
         if ckind != "objv":
             return None
@@ -1911,7 +1943,10 @@ def decode_segment_fast(
                     and name not in spec.primary_key
                 ):
                     colref = None  # typed nulls — never read by the merge
-                col = _canonical_column(colref, kinds[name], data, n_rows)
+                col = _canonical_column(
+                    colref, kinds[name], data, n_rows,
+                    specs[mi].codec if mi is not None else None,
+                )
                 if col is None:
                     return None  # kind/type mismatch → fallback
                 out[prefix + name] = col
