@@ -341,6 +341,12 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         cols = [F.col(k).cast(ddl[k]) for k in self.bucket_cols]
         return F.pmod(F.xxhash64(*cols), F.lit(self.buckets)).cast("int")
 
+    def _read_full(self, spark: SparkSession, version: int) -> DataFrame:
+        """Complete stored form of a snapshot — what a rebucket must carry
+        forward verbatim. Subclasses storing extra per-row state (order
+        tuples, tombstones) override this."""
+        return self.read(spark, version)
+
     def read(self, spark: SparkSession, version: int, bucket_ids=None) -> DataFrame:
         """Read the table at ``version``; ``bucket_ids`` (a set) prunes the
         scan to those buckets' data dirs — the manifest is the metadata
@@ -566,7 +572,7 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         before the caller's ledger append, so a torn rebucket is an
         invisible orphan the next commit overwrites."""
         self._adopt_layout(current_version)
-        state = self.read(spark, current_version)
+        state = self._read_full(spark, current_version)
         old = (self.buckets, self.bucket_cols)
         self.buckets = int(new_buckets)
         if self.buckets < 1:
@@ -750,6 +756,161 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
             .parquet(out_path)
         )
         return new_version
+
+
+class OrderedBucketedMergeTarget(BucketedParquetMergeTarget):
+    """Order-aware MERGE on the bucket-pruned copy-on-write layout — the
+    streaming apply tier's scale path.
+
+    ``OrderedParquetMergeTarget`` gives the cross-trigger guarantees the
+    file-stream source needs (outrank guard over persisted order tuples,
+    delete tombstones against out-of-order resurrection) but rewrites the
+    WHOLE snapshot per trigger — O(table) per micro-batch is the same
+    scale killer the bucketed CoW target fixed for the batch path. This
+    class combines both: every stored row carries its winning order tuple
+    (``_ord_<col>``) and tombstone flag, buckets splice through manifests,
+    and a trigger's merge unions ONLY the touched buckets' stored rows
+    with the incoming net change — per-trigger IO is O(touched-bucket
+    data). Plan shape per merge: one union + one ``max_by`` aggregate
+    over touched buckets. Same layout persistence / ``rebucket`` /
+    ``gc`` / change-feed machinery as the parent (a rebucket carries
+    order tuples and tombstones forward verbatim via ``_read_full``)."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        spec: TableSpec = TRANSCRIPTS,
+        buckets: int = 64,
+        bucket_cols: tuple | None = None,
+        order_cols: tuple[str, ...] = ("gtid_seq", "pos", "row_in_event"),
+    ):
+        super().__init__(store_dir, spec, buckets, bucket_cols)
+        self.order_cols = list(order_cols)
+
+    def _ord_names(self) -> list[str]:
+        return [f"_ord_{c}" for c in self.order_cols]
+
+    def read_with_order(
+        self, spark: SparkSession, version: int, bucket_ids=None
+    ) -> DataFrame:
+        """Full stored form (spec columns + order tuple + tombstone flag),
+        manifest-pruned to ``bucket_ids`` like the parent's ``read``."""
+        manifest = self._load_manifest(version)
+        if bucket_ids is not None:
+            manifest = {b: p for b, p in manifest.items() if b in bucket_ids}
+        if not manifest:
+            df = empty_state_df(spark, self.spec)
+            for o in self._ord_names():
+                df = df.withColumn(o, F.lit(None).cast("long"))
+            return df.withColumn("_deleted", F.lit(False))
+        paths = sorted({os.path.join(self.store_dir, p) for p in manifest.values()})
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        for name, ddl, _ in self.spec.columns:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(ddl))
+        for o in self._ord_names():
+            if o not in df.columns:
+                df = df.withColumn(o, F.lit(None).cast("long"))
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        return df.select(
+            *[n for n, _, _ in self.spec.columns], *self._ord_names(), "_deleted"
+        )
+
+    def read(self, spark: SparkSession, version: int, bucket_ids=None) -> DataFrame:
+        return (
+            self.read_with_order(spark, version, bucket_ids)
+            .filter(~F.col("_deleted"))
+            .select(*[n for n, _, _ in self.spec.columns])
+        )
+
+    def _read_full(self, spark: SparkSession, version: int) -> DataFrame:
+        return self.read_with_order(spark, version)
+
+    def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
+        """Same contract as ``OrderedParquetMergeTarget.merge`` (net rows
+        carry key cols + ``op`` + ``after_<col>`` + order columns), but
+        stored rows are read from the touched buckets only."""
+        self._adopt_layout(current_version)
+        spec = self.spec
+        keys = list(spec.primary_key)
+        value_cols = [n for n, _, _ in spec.columns if n not in keys]
+        ords = self._ord_names()
+
+        net = net.persist()  # touched-bucket pre-pass + merge both consume it
+        try:
+            touched = self._touched_buckets(net)
+            incoming = net.select(
+                *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+                *[
+                    F.col(f"after_{n}").cast(d).alias(n)
+                    for n, d, _ in spec.columns
+                    if n not in keys
+                ],
+                F.col("op"),
+                *[
+                    F.col(c).cast("long").alias(o)
+                    for c, o in zip(self.order_cols, ords)
+                ],
+                F.lit(1).alias("_prio"),
+            )
+            stored = self.read_with_order(
+                spark, current_version, set(touched)
+            ).select(
+                *keys, *value_cols,
+                F.when(F.col("_deleted"), F.lit("delete"))
+                .otherwise(F.lit("keep"))
+                .alias("op"),
+                *ords,
+                F.lit(0).alias("_prio"),
+            )
+            rank = F.struct(*[F.col(o) for o in ords], F.col("_prio"))
+            payload = F.struct(
+                F.col("op"),
+                *[F.col(c) for c in value_cols],
+                *[F.col(o) for o in ords],
+            )
+            winners = (
+                stored.unionByName(incoming)
+                .groupBy(*keys)
+                .agg(F.max_by(payload, rank).alias("_win"))
+                .select(
+                    *keys,
+                    *[F.col(f"_win.{c}").alias(c) for c in value_cols],
+                    *[F.col(f"_win.{o}").alias(o) for o in ords],
+                    (F.col("_win.op") == "delete").alias("_deleted"),
+                )
+            )
+            return self._commit_buckets(winners, touched, current_version)
+        finally:
+            net.unpersist()
+
+    def merge_partial(self, spark, net, current_version):
+        raise ValueError(
+            "MINIMAL row images need whole-row state the outrank guard "
+            "cannot reconstruct per column; use the batch path "
+            "(Replayer(row_image='minimal')) for MINIMAL streams"
+        )
+
+    def prune_tombstones(
+        self, spark: SparkSession, current_version: int, min_live_order: int
+    ) -> int:
+        """Tombstone GC (see ``OrderedParquetMergeTarget``): keep live
+        rows, NULL-ordered tombstones, and tombstones at or above the
+        redelivery low-watermark; commits as a full rewrite (every bucket
+        fresh, old entries dropped) — a maintenance op, amortized like
+        ``rebucket``."""
+        self._adopt_layout(current_version)
+        df = self.read_with_order(spark, current_version)
+        lead = self._ord_names()[0]
+        kept = df.filter(
+            (~F.col("_deleted"))
+            | F.col(lead).isNull()
+            | (F.col(lead) >= F.lit(min_live_order))
+        )
+        return self._commit_buckets(
+            kept, list(range(self.buckets)), current_version, carry_over=False
+        )
 
 
 def iceberg_available(spark: SparkSession) -> bool:

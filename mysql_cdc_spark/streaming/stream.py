@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 
 from ..binlog.decoder import TRANSCRIPTS, TableSpec, change_event_schema
 from ..pipeline.order import ORDER_COLS, last_writer_wins, with_change_key
-from ..pipeline.target import OrderedParquetMergeTarget
+from ..pipeline.target import (
+    OrderedBucketedMergeTarget,
+    OrderedParquetMergeTarget,
+)
 
 
 def write_changelog(changes: DataFrame, path: str, mode: str = "append") -> None:
@@ -46,12 +49,21 @@ def stream_apply(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    target: object | None = None,
 ):
     """Run the apply tier as a Structured Streaming query; returns the
     StreamingQuery (caller awaits termination). Applies FULL row images
     (whole-row LWW); for binlog_row_image=MINIMAL use the batch path's
-    ``Replayer(row_image="minimal")`` per-column merge."""
-    target = OrderedParquetMergeTarget(store_dir, spec, order_cols=tuple(ORDER_COLS))
+    ``Replayer(row_image="minimal")`` per-column merge.
+
+    Default sink: ``OrderedBucketedMergeTarget`` — the outrank guard and
+    tombstones on the bucket-pruned CoW layout, so a steady-state trigger
+    touching K conversations rewrites K buckets, not the table. Pass
+    ``target=OrderedParquetMergeTarget(...)`` for the plain full-rewrite
+    form."""
+    target = target or OrderedBucketedMergeTarget(
+        store_dir, spec, order_cols=tuple(ORDER_COLS)
+    )
     keys = list(spec.primary_key)
     payload_cols = list(
         dict.fromkeys(
@@ -103,6 +115,7 @@ def stream_apply_frames(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    target: object | None = None,
 ):
     """End-to-end streaming over the event-frame source: raw binlog
     frames land as (stream, offset, frame) rows (the message-bus relay
@@ -122,7 +135,9 @@ def stream_apply_frames(
       this path requires GTID-enabled streams."""
     from ..binlog.frames import decode_event_frames
 
-    target = OrderedParquetMergeTarget(store_dir, spec, order_cols=tuple(ORDER_COLS))
+    target = target or OrderedBucketedMergeTarget(
+        store_dir, spec, order_cols=tuple(ORDER_COLS)
+    )
     keys = list(spec.primary_key)
     payload_cols = list(
         dict.fromkeys(
@@ -176,6 +191,14 @@ def _current_version(store_dir: str) -> int:
 
 
 def read_stream_state(spark: SparkSession, store_dir: str, spec: TableSpec = TRANSCRIPTS) -> DataFrame:
-    return OrderedParquetMergeTarget(store_dir, spec).read(
-        spark, _current_version(store_dir)
+    """Current streamed state, auto-detecting the snapshot layout: a
+    bucketed store's snapshots carry a manifest.json, a plain ordered
+    store's are bare parquet directories."""
+    import os
+
+    version = _current_version(store_dir)
+    manifest = os.path.join(
+        store_dir, "snapshots", f"v{version:08d}", "manifest.json"
     )
+    cls = OrderedBucketedMergeTarget if os.path.exists(manifest) else OrderedParquetMergeTarget
+    return cls(store_dir, spec).read(spark, version)
