@@ -77,6 +77,7 @@ def _ensure_e2e_oracle_parquet() -> str:
 def _replay_e2e(
     spark: SparkSession, provider: str = "mysql", row_image: str = "full",
     row_metadata: str = "full", compress: str | None = None,
+    text_wire: str = "varchar",
 ) -> DataFrame:
     """Shared e2e body: deterministic transcript changelog →
     binlog-format bytes (per provider / row-image / row-metadata mode) →
@@ -96,7 +97,8 @@ def _replay_e2e(
     binlog_dir = os.path.join(
         tempfile.gettempdir(),
         f"cdc_e2e_binlog_{provider}_{row_image}_{row_metadata}"
-        + (f"_{compress}" if compress else ""),
+        + (f"_{compress}" if compress else "")
+        + (f"_{text_wire}" if text_wire != "varchar" else ""),
     )
     done_marker = binlog_dir + ".complete"
     if not os.path.exists(done_marker):
@@ -107,6 +109,7 @@ def _replay_e2e(
         paths = write_binlog_files(
             txns, binlog_dir, txns_per_file=40,
             provider=provider, row_image=row_image, row_metadata=row_metadata,
+            text_wire=text_wire,
         )
         if compress == "zlib":
             # rewrite each file as a MariaDB log_bin_compress=ON stream
@@ -209,6 +212,17 @@ def cdc_replay_compressed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (binlog/compressed.py). The logical stream is unchanged → same
     sequential-replay oracle."""
     return _replay_e2e(spark, provider="mariadb", row_image="full", compress="zlib")
+
+
+def cdc_replay_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-wire transcripts end-to-end: the ``text`` column logged as a
+    TEXT column (blob wire form, 2-byte packlength, utf8mb4 charset TLV)
+    instead of VARCHAR — the realistic shape for a production transcript
+    table (VARCHAR caps the row at 64 KiB; long assistant turns live in
+    TEXT/LONGTEXT). Exercises the charset-aware blob→str decode on both
+    paths (binlog/charset.py; the reference returns TEXT as raw bytes).
+    The logical stream is identical → same sequential-replay oracle."""
+    return _replay_e2e(spark, text_wire="text")
 
 
 def cdc_replay_payload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["partition_provenance"] = partition_provenance
     out["cdc_replay_failover_e2e"] = cdc_replay_failover_e2e
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
+    out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
     return out
 
 
@@ -703,4 +718,8 @@ def oracle_sql() -> dict[str, str]:
     # multi-table: each table replays its own dual-written changelog
     _ensure_multitable_e2e()
     out["cdc_replay_multitable_e2e"] = CDC_REPLAY_MULTITABLE_SQL
+    # TEXT wire form changes only how the text column's bytes are framed
+    # (blob packlength + charset TLV) — the logical stream, and therefore
+    # the oracle, is identical
+    out["cdc_replay_text_e2e"] = CDC_REPLAY_E2E_SQL
     return out

@@ -467,6 +467,7 @@ def write_binlog_files(
     partitions: int | None = None,
     failover: tuple[int, str] | None = None,
     sidecar: bool = False,
+    text_wire: str = "varchar",
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -546,6 +547,13 @@ def write_binlog_files(
             raise ValueError(
                 "sidecar fixture is not composable with xa_plan/partitions"
             )
+    if text_wire not in ("varchar", "text"):
+        # "text": log the transcript body as LONGTEXT-style TEXT — the
+        # BLOB wire form (2-byte packlength) + utf8mb4 charset TLV — the
+        # realistic shape for a production transcript table (VARCHAR caps
+        # at 64 KiB rows; real `text` columns are TEXT). The logical
+        # stream is identical, so every oracle carries over unchanged.
+        raise ValueError("text_wire must be 'varchar' or 'text'")
     import os
 
     os.makedirs(outdir, exist_ok=True)
@@ -577,8 +585,8 @@ def write_binlog_files(
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
                 row_metadata, alter_before_seq, rows_query, partitions,
-                failover, sidecar, xa_plan, head_verdicts[fidx],
-                tail_verdicts[fidx],
+                failover, sidecar, text_wire, xa_plan,
+                head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
         ]
@@ -593,8 +601,8 @@ def write_binlog_files(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
                  row_metadata, alter_before_seq, rows_query, partitions,
-                 failover, sidecar, xa_plan, head_verdicts[fidx],
-                 tail_verdicts[fidx])
+                 failover, sidecar, text_wire, xa_plan,
+                 head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
     return paths
@@ -604,7 +612,7 @@ def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
      row_metadata, alter_before_seq, rows_query, partitions, failover,
-     sidecar, *xa_extra) = job
+     sidecar, text_wire, *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -631,6 +639,22 @@ def _write_one_file(job) -> str:
         table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
         ctypes = [COLUMN_TYPES[c][0] for c in cols]
         cmeta = [COLUMN_TYPES[c][1] for c in cols]
+        if text_wire == "text":
+            ti = cols.index("text")
+            ctypes[ti] = ColumnType.BLOB
+            cmeta[ti] = 2  # TEXT: 2-byte packlength (col_parser.rs:23-28)
+
+        def _wire_row(row):
+            # TEXT rides the blob wire form: the cell is raw charset
+            # bytes, so pre-encode the logical str (encode_cell blobs
+            # take bytes verbatim). Logical images stay str everywhere
+            # else (oracles, partition hashing).
+            if row is None or text_wire != "text":
+                return row
+            r = list(row)
+            if r[3] is not None:
+                r[3] = r[3].encode("utf-8")
+            return r
         if alter_before_seq is not None and txn.seq == alter_before_seq:
             # autocommit DDL, written once stream-wide (this txn is the
             # global first evolved one and lives in exactly one chunk)
@@ -668,6 +692,9 @@ def _write_one_file(job) -> str:
             # explicit SIGNEDNESS (all numeric columns signed): without the
             # section the decoder keeps raw unsigned like the reference
             signedness=[False for c in cols if c == "turn_idx"],
+            # a real server always writes the charset TLV for character
+            # columns (WL#4618), incl. under MINIMAL metadata — utf8mb4
+            **({"default_charset": 255} if text_wire == "text" else {}),
             timestamp=txn.timestamp,
         )
         # statement order is semantic (delete-then-reinsert of a key);
@@ -723,7 +750,7 @@ def _write_one_file(job) -> str:
             if kind == "insert":
                 # inserts always carry full images, even under MINIMAL
                 writer.write_rows(
-                    table_id, ctypes, cmeta, [op.after for op in ops],
+                    table_id, ctypes, cmeta, [_wire_row(op.after) for op in ops],
                     event_type=EventType.MYSQL_WRITE_ROWS_V2, timestamp=txn.timestamp,
                     **part_kw,
                 )
@@ -741,13 +768,14 @@ def _write_one_file(job) -> str:
                     bp = [i in pk_idx for i in range(n)]
                     ap = [i in changed for i in range(n)]
                 writer.write_update_rows(
-                    table_id, ctypes, cmeta, [(op.before, op.after) for op in ops],
+                    table_id, ctypes, cmeta,
+                    [(_wire_row(op.before), _wire_row(op.after)) for op in ops],
                     before_present=bp, after_present=ap, timestamp=txn.timestamp,
                     **part_kw,
                 )
             else:
                 writer.write_rows(
-                    table_id, ctypes, cmeta, [op.before for op in ops],
+                    table_id, ctypes, cmeta, [_wire_row(op.before) for op in ops],
                     event_type=EventType.MYSQL_DELETE_ROWS_V2,
                     columns_present=(
                         [i in pk_idx for i in range(n)] if minimal else None

@@ -227,3 +227,36 @@ def test_fast_path_handles_charsets_without_fallback(tmp_path):
     for col in ("after_name", "after_notes", "after_title", "after_payload"):
         assert fast[col].tolist() == scalar[col].tolist(), col
     assert fast["after_name"].tolist() == [r[1] for r in ROWS]
+
+
+def test_text_wire_full_replay_matches_oracle(spark, tmp_path):
+    """transcripts with the text column logged as TEXT (blob wire +
+    utf8mb4 charset TLV) replays to the identical final state — the
+    realistic production shape for long assistant turns."""
+    from mysql_cdc_spark.fixtures import (
+        apply_changelog_oracle,
+        generate_changelog,
+        write_binlog_files,
+    )
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    txns = generate_changelog(
+        n_conversations=15, max_turns=5, n_extra_ops=50, seed=21,
+        duplicate_txns=2, evolve_after_frac=0.5,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=25, text_wire="text")
+    rep = Replayer(spark, outdir, str(tmp_path / "store"))
+    rep.replay()
+    got = rep.read_state().orderBy("conv_id", "turn_idx").toPandas()
+    oracle = apply_changelog_oracle(txns)
+    assert got["text"].tolist() == oracle["text"].tolist()
+    assert got["role"].tolist() == oracle["role"].tolist()
+
+
+def test_text_wire_rejects_unknown_value(tmp_path):
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+
+    txns = generate_changelog(n_conversations=2, n_extra_ops=2, seed=1)
+    with pytest.raises(ValueError, match="text_wire"):
+        write_binlog_files(txns, str(tmp_path / "b"), text_wire="blob")
