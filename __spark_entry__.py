@@ -74,26 +74,15 @@ def _ensure_e2e_oracle_parquet() -> str:
     return write_changelog_parquet(txns, _E2E_ORACLE_PARQUET)
 
 
-def _replay_e2e(
-    spark: SparkSession, provider: str = "mysql", row_image: str = "full",
+def _ensure_e2e_binlog(
+    provider: str = "mysql", row_image: str = "full",
     row_metadata: str = "full", compress: str | None = None,
     text_wire: str = "varchar",
-) -> DataFrame:
-    """Shared e2e body: deterministic transcript changelog →
-    binlog-format bytes (per provider / row-image / row-metadata mode) →
-    distributed decode (mapInPandas) → transaction gate → LWW → MERGE →
-    final transcript state, projected for cross-engine hashing."""
-    from mysql_cdc_spark.fixtures import (
-        generate_changelog,
-        transcripts_pre_spec,
-        write_binlog_files,
-    )
-    from mysql_cdc_spark.pipeline.replay import Replayer
+) -> str:
+    """Deterministic e2e binlog corpus for one mode, cached across calls
+    (the driver may invoke each variant more than once)."""
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
 
-    _ensure_e2e_oracle_parquet()
-    # binlog bytes are deterministic per mode — cache them across calls
-    # (the driver may invoke each variant more than once; the REPLAY runs
-    # fresh every call, into a fresh store)
     binlog_dir = os.path.join(
         tempfile.gettempdir(),
         f"cdc_e2e_binlog_{provider}_{row_image}_{row_metadata}"
@@ -135,6 +124,25 @@ def _replay_e2e(
                     f.write(data)
         with open(done_marker, "w") as f:
             f.write("ok")
+    return binlog_dir
+
+
+def _replay_e2e(
+    spark: SparkSession, provider: str = "mysql", row_image: str = "full",
+    row_metadata: str = "full", compress: str | None = None,
+    text_wire: str = "varchar",
+) -> DataFrame:
+    """Shared e2e body: deterministic transcript changelog →
+    binlog-format bytes (per provider / row-image / row-metadata mode) →
+    distributed decode (mapInPandas) → transaction gate → LWW → MERGE →
+    final transcript state, projected for cross-engine hashing."""
+    from mysql_cdc_spark.fixtures import transcripts_pre_spec
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = _ensure_e2e_binlog(
+        provider, row_image, row_metadata, compress, text_wire
+    )
     tmp = tempfile.mkdtemp(prefix=f"cdc_entry_{provider}_{row_image}_{row_metadata}_")
     # MINIMAL row metadata: TABLE_MAP carries no column names, so the
     # schema starts from the physical-order base spec and evolution is
@@ -223,6 +231,33 @@ def cdc_replay_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths (binlog/charset.py; the reference returns TEXT as raw bytes).
     The logical stream is identical → same sequential-replay oracle."""
     return _replay_e2e(spark, text_wire="text")
+
+
+def cdc_replay_flashback_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time rewind (Iceberg RESTORE semantics; MariaDB
+    ``mysqlbinlog --flashback`` analog): replay the full corpus in
+    one-file batches, then ``Replayer.flashback`` the live table to the
+    FIRST batch's commit — a new commit built from the reversed snapshot
+    diff (inserts since become deletes, updates/deletes become upserts of
+    the old image), bucket-pruned write IO. The rewind crosses the
+    mid-stream schema-evolution boundary, so the ``tool`` column must
+    null back out. Oracle: the same dual-written logical changelog
+    replayed in SQL with a delivery-order cutoff (``txn_ord`` < the
+    first file's 40 transactions)."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = _ensure_e2e_binlog()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_flashback_")
+    rep = Replayer(spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4)
+    rep.replay(files_per_batch=1)
+    first_batch = next(iter(rep.ledger.entries())).batch_id
+    rep.flashback(first_batch)
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
 
 
 def cdc_replay_payload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_failover_e2e"] = cdc_replay_failover_e2e
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
+    out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
     return out
 
 
@@ -722,4 +758,13 @@ def oracle_sql() -> dict[str, str]:
     # (blob packlength + charset TLV) — the logical stream, and therefore
     # the oracle, is identical
     out["cdc_replay_text_e2e"] = CDC_REPLAY_E2E_SQL
+    # flashback rewinds the table to the first one-file batch's state:
+    # the oracle replays only the transactions that file delivered
+    # (files chunk txns in delivery order, 40 per file)
+    out["cdc_replay_flashback_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
+        src=(
+            f"(SELECT * FROM read_parquet('{_E2E_ORACLE_PARQUET}')"
+            " WHERE txn_ord < 40)"
+        )
+    )
     return out

@@ -37,7 +37,12 @@ from .order import (
     last_writer_wins_partial,
     with_change_key,
 )
-from .target import BucketedParquetMergeTarget, ParquetMergeTarget
+from .target import (
+    BucketedParquetMergeTarget,
+    OrderedParquetMergeTarget,
+    ParquetMergeTarget,
+    snapshot_diff,
+)
 
 
 def _after_position_predicate(max_file: str, max_pos: int):
@@ -996,3 +1001,98 @@ class Replayer:
         v_from = _version_of(from_batch, 0)
         v_to = _version_of(to_batch, self.ledger.current_snapshot_version())
         return self.target.read_changes(self.spark, v_from, v_to)
+
+    def flashback(self, to_batch: int) -> int:
+        """Rewind the live table to a committed batch's state as a NEW
+        commit — Iceberg ``RESTORE`` semantics; the snapshot-store analog
+        of MariaDB's ``mysqlbinlog --flashback`` event inversion. The
+        inverse change set is computed by diffing the current state
+        against the target batch's snapshot *reversed* (rows inserted
+        since become deletes; rows updated or deleted since become
+        upserts of their old image), then MERGEd through the normal sink,
+        so write IO is O(touched buckets), never a table rewrite, and the
+        rewind itself is crash-atomic like any batch (manifest splice +
+        ledger append).
+
+        The ledger's read position and covered GTID set are deliberately
+        untouched: the source WAS read, so a resume continues from the
+        same offsets and never re-applies the rewound history — flashback
+        rewinds the *table*, not the *stream* (undoing a bad upstream
+        write burst without re-ingesting; to re-apply, feed corrected
+        events forward). Downstream change-feed consumers stay
+        exactly-once-consistent: ``read_changes`` across the flashback
+        commit yields the inverse rows as ordinary changes, and
+        registered IVM views delta-fold them like any batch.
+
+        Requires the target batch's snapshot to still be retained
+        (``gc_keep`` bounds how far back a flashback can reach) and a
+        snapshot-semantics sink — the ``Ordered*`` streaming targets
+        outrank-guard stale images by design, so they refuse a rewind.
+        Returns the new snapshot version (current version unchanged if
+        the states are already identical)."""
+        if isinstance(self.target, OrderedParquetMergeTarget) or hasattr(
+            self.target, "order_cols"
+        ):
+            raise TypeError(
+                f"{type(self.target).__name__} outrank-guards stale "
+                "images (streaming sink); flashback needs a snapshot-"
+                "semantics target (ParquetMergeTarget / "
+                "BucketedParquetMergeTarget)"
+            )
+        entry = None
+        for e in self.ledger.entries():
+            if e.batch_id == to_batch:
+                entry = e
+                break
+        if entry is None:
+            raise KeyError(f"no ledger entry for batch {to_batch}")
+        cur_version = self.ledger.current_snapshot_version()
+        if entry.snapshot_version == cur_version:
+            return cur_version
+        spec = self.target.spec
+        keys = list(spec.primary_key)
+        old_state = self.target.read(self.spark, entry.snapshot_version)
+        cur_state = self.target.read(self.spark, cur_version)
+        # reversed diff: old=current, new=restored → "applied" images ARE
+        # the net to merge (insert/update carry the restored image, delete
+        # carries the since-inserted row we must remove)
+        inverse = snapshot_diff(cur_state, old_state, spec)
+        net = inverse.select(
+            *keys,
+            F.when(F.col("change_type") == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            *[
+                F.col(c).alias(f"after_{c}")
+                for c, _, _ in spec.columns
+                if c not in keys
+            ],
+        ).persist()
+        try:
+            if not net.head(1):
+                return cur_version  # states already identical — no commit
+            new_version = self.target.merge(self.spark, net, cur_version)
+        finally:
+            net.unpersist()
+        last = self.ledger.last()
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=self.ledger.next_batch_id(),
+                gtid_set_text=last.gtid_set_text if last else "",
+                max_file=last.max_file if last else "",
+                max_pos=last.max_pos if last else 0,
+                snapshot_version=new_version,
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics={
+                    "maintenance": "flashback",
+                    "to_batch": int(to_batch),
+                    "restored_version": int(entry.snapshot_version),
+                },
+            )
+        )
+        for view in self.views:
+            view.refresh(self.spark, self.target, new_version)
+        if self.gc_keep and hasattr(self.target, "gc"):
+            self.target.gc(keep_latest=self.gc_keep)
+        return new_version
