@@ -151,6 +151,87 @@ class MultiReplayer:
     def states(self) -> dict[str, DataFrame]:
         return {n: r.read_state() for n, r in self.replayers.items()}
 
+    def position_after_batch(self, n: int) -> tuple[str, int]:
+        """Group-consistent source position after every table's ``n``-th
+        replay commit (1-based): the max of the per-table ledger
+        positions, i.e. the coordinate of the last event ANY table
+        applied from those batches. Per-table positions are
+        last-applied-event coordinates, so within one multi-table
+        transaction they differ table to table; the group max is past
+        every table's share of the final transaction and is therefore a
+        transaction-boundary cut — the right input for
+        :meth:`flashback`."""
+        from ..binlog.decoder import _segment_sort_key
+
+        best: tuple | None = None
+        out: tuple[str, int] | None = None
+        for name, rep in self.replayers.items():
+            batches = [
+                e for e in rep.ledger.entries()
+                if not (e.metrics or {}).get("maintenance")
+            ]
+            if len(batches) < n:
+                raise KeyError(f"{name} has only {len(batches)} commits")
+            e = batches[n - 1]
+            key = (_segment_sort_key(e.max_file), int(e.max_pos))
+            if best is None or key > best:
+                best, out = key, (e.max_file, int(e.max_pos))
+        assert out is not None
+        return out
+
+    def flashback(self, file: str, pos: int) -> dict[str, int]:
+        """Coordinated cross-table rewind to one source position: every
+        table flashes back to its latest committed batch whose ledger
+        high-water mark is at or before ``(file, pos)`` — the multi-table
+        "undo the bad deployment's writes" operation.
+
+        ``(file, pos)`` must be a TRANSACTION-BOUNDARY coordinate (a
+        commit point, e.g. from ``position_after_batch`` or a
+        ``SHOW MASTER STATUS``-style checkpoint). Per-table ledger
+        positions record each table's last applied event, which inside a
+        multi-table transaction differ table to table — a mid-transaction
+        cut would rewind tables to different transactions. At a
+        transaction boundary the cut is consistent by construction: every
+        table replays the SAME segment files, so each table's batch
+        either committed wholly before the boundary or wholly after it,
+        and the selected batches all end at the same point in the
+        stream. Per table the rewind is
+        :meth:`~.replay.Replayer.flashback` (a new commit from the
+        reversed snapshot diff; read position and GTID ledger untouched —
+        the table rewinds, the stream does not). Returns
+        ``{db.table: new_snapshot_version}``. Raises if any table has no
+        commit at or before the position (rewinding past a table's first
+        batch means dropping its whole state — do that explicitly by
+        rebuilding the store, not implicitly here)."""
+        from ..binlog.decoder import _segment_sort_key
+
+        target_key = (_segment_sort_key(file), int(pos))
+        picks: dict[str, int] = {}
+        for name, rep in self.replayers.items():
+            candidate = None
+            for e in rep.ledger.entries():
+                if (e.metrics or {}).get("maintenance"):
+                    continue  # same position, possibly already-rewound state
+                if e.max_file and (
+                    _segment_sort_key(e.max_file), int(e.max_pos)
+                ) <= target_key:
+                    candidate = e
+            if candidate is None:
+                raise KeyError(
+                    f"{name} has no commit at or before {file}:{pos}; "
+                    "rewinding past the first batch drops the table's "
+                    "whole state — rebuild the store explicitly instead"
+                )
+            picks[name] = candidate.batch_id
+        # select-all-then-apply: a bad position raises before ANY table
+        # has been rewound, so the group is never left half-rewound by
+        # a planning error (a crash mid-apply resumes per table: each
+        # flashback is itself atomic, and re-running is idempotent)
+        return {
+            name: rep.flashback(picks[name])
+            for name, rep in self.replayers.items()
+        }
+
     def lag(self) -> dict[str, float | None]:
         """Per-table replication lag from each ledger's last metrics."""
         out: dict[str, float | None] = {}

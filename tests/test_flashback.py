@@ -116,6 +116,57 @@ def test_flashback_unknown_batch_raises(spark, corpus, tmp_path):
         rep.flashback(10_000)
 
 
+def test_multi_table_flashback_is_position_consistent(spark, tmp_path):
+    """MultiReplayer.flashback(file, pos): every table rewinds to the
+    same source position — each final state equals its own oracle over
+    exactly the transactions delivered up to that position."""
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+    from mysql_cdc_spark.fixtures import apply_sidecar_oracle, tool_calls_spec
+    from mysql_cdc_spark.pipeline.multi import MultiReplayer
+
+    txns = generate_changelog(
+        n_conversations=12, max_turns=5, n_extra_ops=40, seed=44,
+        duplicate_txns=2, evolve_after_frac=None,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=20, sidecar=True)
+    mr = MultiReplayer(
+        spark, outdir, str(tmp_path / "multi"),
+        specs=[TRANSCRIPTS, tool_calls_spec()],
+    )
+    mr.replay(files_per_batch=1)
+
+    # transaction-boundary cut after both tables' second batch (per-table
+    # positions are last-APPLIED-event coordinates, so inside a
+    # multi-table transaction they differ — position_after_batch takes
+    # the group max, which is past every table's share of the final
+    # transaction)
+    entries = [e for e in mr["transcripts"].ledger.entries()]
+    assert len(entries) >= 3
+    cut_file, cut_pos = mr.position_after_batch(2)
+    versions = mr.flashback(cut_file, cut_pos)
+    assert set(versions) == {"chat.transcripts", "chat.tool_calls"}
+
+    t_got = (
+        mr.read_state("transcripts").orderBy("conv_id", "turn_idx").toPandas()
+    )
+    t_want = apply_changelog_oracle(txns[: 2 * 20])
+    assert t_got["text"].tolist() == t_want["text"].tolist()
+
+    c_got = (
+        mr.read_state("tool_calls")
+        .orderBy("conv_id", "turn_idx", "call_ord")
+        .toPandas()
+    )
+    c_want = apply_sidecar_oracle(txns[: 2 * 20])
+    assert c_got["tool_name"].tolist() == c_want["tool_name"].tolist()
+    assert c_got["duration_ms"].tolist() == c_want["duration_ms"].tolist()
+
+    # a position before any commit refuses without touching any table
+    with pytest.raises(KeyError, match="no commit at or before"):
+        mr.flashback(entries[0].max_file, 0)
+
+
 def test_flashback_refuses_ordered_target(spark, corpus, tmp_path):
     from mysql_cdc_spark.pipeline.target import OrderedBucketedMergeTarget
 
