@@ -101,6 +101,58 @@ def test_flashback_is_visible_in_change_feed(spark, corpus, tmp_path):
     )
 
 
+def test_flashback_delta_folds_into_ivm_views(spark, corpus, tmp_path):
+    """A registered MaterializedAggView stays equal to a full GROUP BY
+    recompute across a flashback — the rewind's inverse rows delta-fold
+    like any batch's change feed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mysql_cdc_spark.pipeline.ivm import MaterializedAggView
+
+    txns, outdir = corpus
+    view = MaterializedAggView(
+        str(tmp_path / "view"), ["role"], {"total_chars": "length(text)"}
+    )
+    rep = Replayer(spark, outdir, str(tmp_path / "store"), views=[view])
+    rep.replay(files_per_batch=2)
+    first = next(iter(rep.ledger.entries())).batch_id
+    rep.flashback(first)
+
+    got = view.read(spark).toPandas().sort_values("role").reset_index(drop=True)
+    want = (
+        rep.read_state()
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("length(text)")).alias("total_chars"),
+        )
+        .toPandas()
+        .sort_values("role")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["role", "n_rows", "total_chars"]].astype(
+            {"n_rows": "int64", "total_chars": "int64"}
+        ),
+        want.astype({"n_rows": "int64", "total_chars": "int64"}),
+    )
+
+
+def test_flashback_past_gc_horizon_fails_loudly(spark, corpus, tmp_path):
+    """gc_keep bounds how far back a flashback reaches: the target
+    snapshot's manifest is gone, so the rewind refuses instead of
+    restoring a partial state."""
+    txns, outdir = corpus
+    rep = Replayer(spark, outdir, str(tmp_path / "store"), gc_keep=2)
+    rep.replay(files_per_batch=1)
+    first = next(iter(rep.ledger.entries())).batch_id
+    with pytest.raises(Exception):
+        rep.flashback(first)
+    # the failed attempt committed nothing
+    assert not (rep.ledger.last().metrics or {}).get("maintenance")
+
+
 def test_flashback_to_current_is_noop(spark, corpus, tmp_path):
     rep = _replayed(spark, corpus, tmp_path)
     entries = [e for e in rep.ledger.entries()]
