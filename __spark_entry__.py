@@ -260,6 +260,80 @@ def cdc_replay_flashback_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRUNC_KNOBS = dict(
+    n_conversations=20, n_extra_ops=60, seed=13, duplicate_txns=3,
+    truncate_at_frac=0.55,
+)
+_TRUNC_ORACLE_PARQUET = os.path.join(
+    tempfile.gettempdir(), "cdc_replay_truncate_changelog.parquet"
+)
+
+
+def cdc_replay_truncate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE fence end-to-end: a retention job's implicit-commit
+    ``TRUNCATE TABLE`` statement lands mid-stream (before the schema
+    evolution), so the engine must clear all state logged before it and
+    rebuild only from the events after it — detection rides the stats
+    pass (ddl.scan_truncates), the fence batch re-runs its merge
+    sequentially over the bucketed target's metadata-only empty-manifest
+    commit, and the fence's own GTID joins the ledger (redelivery
+    idempotence). Oracle: the dual-written logical changelog replayed in
+    SQL with the fence as a first-delivery txn_ord cutoff."""
+    from mysql_cdc_spark.fixtures import (
+        generate_changelog,
+        write_binlog_files,
+        write_changelog_parquet,
+    )
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    binlog_dir = os.path.join(tempfile.gettempdir(), "cdc_e2e_binlog_truncate")
+    done_marker = binlog_dir + ".complete"
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        txns = generate_changelog(**_TRUNC_KNOBS)
+        write_binlog_files(txns, binlog_dir, txns_per_file=40)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_truncate_")
+    rep = Replayer(spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4)
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+def _ensure_truncate_oracle_parquet() -> str:
+    from mysql_cdc_spark.fixtures import generate_changelog, write_changelog_parquet
+
+    txns = generate_changelog(**_TRUNC_KNOBS)
+    return write_changelog_parquet(txns, _TRUNC_ORACLE_PARQUET)
+
+
+CDC_REPLAY_TRUNCATE_SQL_TEMPLATE = """
+WITH ops AS (
+  SELECT * FROM {src}
+), first_occ AS (
+  SELECT seq, min(txn_ord) AS txn_ord FROM ops GROUP BY seq
+), applied AS (
+  SELECT o.* FROM ops o JOIN first_occ f USING (seq, txn_ord)
+), fence AS (
+  SELECT coalesce(max(txn_ord), -1) AS cut FROM applied
+  WHERE kind = 'truncate'
+), ranked AS (
+  SELECT a.*, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                 ORDER BY seq DESC, op_ord DESC) AS rn
+  FROM applied a, fence WHERE a.txn_ord > fence.cut AND kind <> 'truncate'
+)
+SELECT conv_id, turn_idx, role, text, coalesce(tool, '') AS tool, ts_ms
+FROM ranked WHERE rn = 1 AND kind <> 'delete'
+"""
+
+
 def cdc_replay_payload_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MySQL binlog_transaction_compression=ON end-to-end (beyond-
     reference): each transaction's BEGIN/table-map/rows/XID events ride
@@ -706,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
     out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
+    out["cdc_replay_truncate_e2e"] = cdc_replay_truncate_e2e
     return out
 
 
@@ -766,5 +841,11 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT * FROM read_parquet('{_E2E_ORACLE_PARQUET}')"
             " WHERE txn_ord < 40)"
         )
+    )
+    # truncate fence: first-delivery txn_ord of the TRUNCATE row cuts the
+    # replay — only transactions after it contribute to final state
+    _ensure_truncate_oracle_parquet()
+    out["cdc_replay_truncate_e2e"] = CDC_REPLAY_TRUNCATE_SQL_TEMPLATE.format(
+        src=f"read_parquet('{_TRUNC_ORACLE_PARQUET}')"
     )
     return out

@@ -531,3 +531,113 @@ def discover_spec(spark, binlog_dir: str, spec) -> "TableSpec":  # noqa: F821
             alter = replace(alter, database=str(r["database"]))
         alters.append(alter)
     return evolve_spec(spec, alters)
+
+
+# -- TRUNCATE TABLE fences ---------------------------------------------------
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?"
+    r"(?:(?P<db>" + _IDENT + r")\s*\.\s*)?(?P<tbl>" + _IDENT + r")\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_truncate(sql: str, default_database: str | None = None):
+    """Parse a ``TRUNCATE [TABLE] [db.]tbl`` statement. Returns
+    ``(database, table)`` (database falls back to the QUERY event's
+    session default, like ALTER handling), or None for any other
+    statement."""
+    m = _TRUNCATE_RE.match(sql)
+    if m is None:
+        return None
+    db = _unquote(m.group("db")) if m.group("db") else default_database
+    return (db, _unquote(m.group("tbl")))
+
+
+def scan_truncates(
+    content: bytes, src_file: str, database: str, table: str
+) -> list[dict]:
+    """One cheap pass over a segment collecting ``TRUNCATE TABLE``
+    statements on the tracked table — the replay-time fence the merge
+    pipeline needs (a truncate clears all state logged before it; rows
+    after it rebuild from empty). Segments without the literal are
+    rejected on a C-level substring scan; row payloads are never decoded.
+
+    Returns one dict per fence, in file order:
+    ``{"pos", "gtid_source", "gtid_seq", "ts"}`` where ``pos`` is the
+    TRUNCATE QUERY event's own offset (autocommit DDL carries no rows, so
+    every later transaction's rows sit at strictly greater positions —
+    even TRANSACTION_PAYLOAD-spliced frames, whose wrapper offsets are
+    all later than the fence) and the gtid identifies the statement's own
+    transaction for ledger idempotence (``gtid_source`` None on GTID-less
+    streams). MariaDB per-event zlib compression inflates in place;
+    MySQL TRANSACTION_PAYLOAD wrappers need no walk — the server never
+    compresses transactions containing DDL (WL#3549 restriction)."""
+    if b"TRUNCATE" not in content and b"truncate" not in content:
+        return []
+    from .compressed import inflate_event_body
+    from .constants import COMPRESSED_TO_PLAIN
+    from .reader import parse_mariadb_gtid, parse_mysql_gtid
+
+    if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
+        raise ValueError("Invalid binary log file header")
+    out: list[dict] = []
+    checksum = ChecksumType.NONE
+    gtid_source: str | None = None
+    gtid_seq: int | None = None
+    n = len(content)
+    pos = FIRST_EVENT_POSITION
+
+    def _handle_query(payload: bytes, event_pos: int, ts: int) -> None:
+        if b"TRUNCATE" not in payload and b"truncate" not in payload:
+            return
+        q = parse_query(payload)
+        parsed = parse_truncate(q["sql_statement"], q.get("database_name") or None)
+        if parsed is None or parsed != (database, table):
+            return
+        out.append(
+            {
+                "pos": event_pos,
+                "gtid_source": gtid_source,
+                "gtid_seq": gtid_seq,
+                "ts": ts,
+            }
+        )
+
+    while pos + EVENT_HEADER_SIZE <= n:
+        (ts, etype, sid, event_length, _next, _flags) = parse_event_header(
+            content, pos
+        )
+        end = pos + event_length
+        if end > n:
+            break  # truncated tail — same stop rule as the readers
+        if etype == EventType.FORMAT_DESCRIPTION:
+            payload = content[pos + EVENT_HEADER_SIZE : end]
+            _, _, checksum = parse_format_description(payload, event_length)
+        elif etype in (
+            EventType.MYSQL_GTID,
+            EventType.MARIADB_GTID,
+            EventType.QUERY,
+            EventType.MYSQL_TRANSACTION_PAYLOAD,
+        ) or etype in COMPRESSED_TO_PLAIN:
+            payload = content[pos + EVENT_HEADER_SIZE : end]
+            if checksum == ChecksumType.CRC32:
+                payload = payload[:-4]
+            if etype in COMPRESSED_TO_PLAIN:
+                etype, payload = inflate_event_body(etype, payload)
+            if etype == EventType.MYSQL_GTID:
+                ev = parse_mysql_gtid(payload)
+                gtid_source = ev["source_uuid"]
+                gtid_seq = ev["transaction_id"]
+            elif etype == EventType.MARIADB_GTID:
+                ev = parse_mariadb_gtid(payload, sid)
+                gtid_source = f"{ev['domain_id']}-{ev['server_id']}"
+                gtid_seq = ev["sequence"]
+            elif etype == EventType.QUERY:
+                _handle_query(payload, pos, ts)
+            # TRANSACTION_PAYLOAD wrappers are deliberately NOT walked:
+            # the server never compresses transactions containing DDL
+            # (WL#3549 restriction), so a TRUNCATE can only appear as a
+            # plain (or MariaDB per-event-compressed) QUERY frame
+        pos = end
+    return out

@@ -256,11 +256,20 @@ def generate_changelog(
     hot_share: float = 0.5,
     evolve_after_frac: float | None = 0.6,
     duplicate_txns: int = 0,
+    truncate_at_frac: float | None = None,
 ) -> list[Txn]:
     """Build the transaction list (driver-side spec, not yet encoded).
 
     Hot-key skew: ``hot_share`` of all update/delete ops target the first
     ``hot_conversations`` conversations.
+
+    ``truncate_at_frac``: inject one ``TRUNCATE TABLE`` transaction at
+    that fraction of the extra-ops phase (a retention job's clear). The
+    generator's own state resets with it — like a real server, every op
+    after the truncate can only touch rows re-inserted after it.
+    Duplicate injection never redelivers the truncate (a server delivers
+    each implicit-commit statement once; engine-side redelivery
+    idempotence for fences is pinned separately in tests).
     """
     rng = random.Random(seed)
     hot_conversations = min(hot_conversations, n_conversations)
@@ -295,10 +304,26 @@ def generate_changelog(
 
     # Phase 2: skewed updates/deletes/appends
     evolve_at = int(n_extra_ops * evolve_after_frac) if evolve_after_frac is not None else None
+    truncate_at = (
+        int(n_extra_ops * truncate_at_frac) if truncate_at_frac is not None else None
+    )
     evolved = False
     for i in range(n_extra_ops):
         if evolve_at is not None and i == evolve_at:
             evolved = True
+        if truncate_at is not None and i == truncate_at:
+            seq += 1
+            tick += 1
+            txns.append(
+                Txn(
+                    seq=seq,
+                    ops=[Op("truncate", None, None)],
+                    evolved=evolved,
+                    timestamp=BASE_TS + tick,
+                )
+            )
+            state.clear()
+            turns_by_conv.clear()
         seq += 1
         tick += 1
         txn = Txn(seq=seq, evolved=evolved, timestamp=BASE_TS + tick)
@@ -348,7 +373,9 @@ def generate_changelog(
     # transactions verbatim (same GTID) — idempotence test (ST5,
     # uuid_set.rs:46-48). LWW dedup + gtid ledger must absorb them.
     if duplicate_txns:
-        dup_candidates = [t for t in txns if t.ops]
+        dup_candidates = [
+            t for t in txns if t.ops and t.ops[0].kind != "truncate"
+        ]
         for i in range(duplicate_txns):
             src = dup_candidates[rng.randrange(len(dup_candidates))]
             txns.append(Txn(seq=src.seq, ops=src.ops, evolved=src.evolved, timestamp=src.timestamp))
@@ -371,7 +398,9 @@ def apply_changelog_oracle(txns: list[Txn]) -> pd.DataFrame:
             continue
         applied.add(txn.seq)
         for op in txn.ops:
-            if op.kind == "insert" or op.kind == "update":
+            if op.kind == "truncate":
+                state.clear()
+            elif op.kind == "insert" or op.kind == "update":
                 row = op.after
                 key = (row[0], row[1])
                 state[key] = row
@@ -660,6 +689,25 @@ def _write_one_file(job) -> str:
             # global first evolved one and lives in exactly one chunk)
             writer.write_query(EVOLUTION_DDL, database="chat",
                                timestamp=txn.timestamp)
+        if txn.ops and txn.ops[0].kind == "truncate":
+            # TRUNCATE TABLE is an implicit-commit statement: the server
+            # logs its own GTID + one QUERY event — no BEGIN, no
+            # TABLE_MAP/rows, no XID (and never inside an XA or
+            # TRANSACTION_PAYLOAD wrapper: DDL transactions are excluded
+            # from binlog_transaction_compression, WL#3549)
+            if xa_plan and xa_plan.get(txn.seq):
+                raise ValueError("a TRUNCATE txn cannot carry an xa_plan mode")
+            if provider == "mariadb":
+                writer.write_mariadb_gtid(0, txn.seq, timestamp=txn.timestamp)
+            else:
+                writer.write_mysql_gtid(
+                    source_uuid, txn.seq, timestamp=txn.timestamp
+                )
+            writer.write_query(
+                "TRUNCATE TABLE transcripts", database="chat",
+                timestamp=txn.timestamp,
+            )
+            continue
         xa_mode = xa_plan.get(txn.seq) if xa_plan else None
         xa_xid_sql = f"X'{f'e2e-{txn.seq}'.encode().hex()}'" if xa_mode else None
         if provider == "mariadb":
@@ -887,6 +935,26 @@ def changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
     rows = []
     for txn_ord, txn in enumerate(txns):
         for op_ord, op in enumerate(txn.ops):
+            if op.kind == "truncate":
+                # sentinel values only — a replaying SQL oracle keys on
+                # kind='truncate' (max applied txn_ord = the fence) and
+                # never surfaces this row's columns
+                rows.append(
+                    {
+                        "txn_ord": txn_ord,
+                        "seq": txn.seq,
+                        "op_ord": op_ord,
+                        "kind": "truncate",
+                        "conv_id": None,
+                        "turn_idx": -1,
+                        "role": None,
+                        "text": None,
+                        "tool": None,
+                        "ts_ms": 0,
+                        "before_text": None,
+                    }
+                )
+                continue
             src = op.after if op.kind != "delete" else op.before
             is_del = op.kind == "delete"
             rows.append(

@@ -405,6 +405,32 @@ class Replayer:
 
     # -- one micro-batch ----------------------------------------------------
 
+    def _net_from_changes(self, changes: DataFrame) -> DataFrame:
+        """Net change per key — lazy plan. FULL images: whole-row LWW
+        (optionally salted); MINIMAL images: per-column LWW + carried
+        mask (order.last_writer_wins_partial)."""
+        spec = self.spec
+        keys = list(spec.primary_key)
+        if self.row_image == "minimal":
+            return last_writer_wins_partial(
+                changes, key_cols=keys, spec=spec, order_cols=self.order_cols
+            )
+        payload_cols = list(
+            dict.fromkeys(
+                ["op"]
+                + [f"after_{n}" for n, _, _ in spec.columns]
+                + self.order_cols
+                + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
+            )
+        )
+        return last_writer_wins(
+            changes,
+            key_cols=keys,
+            order_cols=self.order_cols,
+            payload_cols=payload_cols,
+            salt_buckets=self.salt_buckets,
+        )
+
     def run_batch(self, files: list[str]) -> BatchMetrics:
         spark = self.spark
         spec = self.spec
@@ -468,29 +494,7 @@ class Replayer:
 
         phase_t = {}
 
-        # -- net change per key — lazy plan. FULL images: whole-row LWW
-        # (optionally salted); MINIMAL images: per-column LWW + carried
-        # mask (order.last_writer_wins_partial)
-        if self.row_image == "minimal":
-            net = last_writer_wins_partial(
-                changes, key_cols=keys, spec=spec, order_cols=self.order_cols
-            )
-        else:
-            payload_cols = list(
-                dict.fromkeys(
-                    ["op"]
-                    + [f"after_{n}" for n, _, _ in spec.columns]
-                    + self.order_cols
-                    + ["src_file", "pos", "gtid_source", "gtid_seq", "xid"]
-                )
-            )
-            net = last_writer_wins(
-                changes,
-                key_cols=keys,
-                order_cols=self.order_cols,
-                payload_cols=payload_cols,
-                salt_buckets=self.salt_buckets,
-            )
+        net = self._net_from_changes(changes)
         current_version = self.ledger.current_snapshot_version()
 
         # -- stats pass ∥ merge job. The stats-only decode (values skipped,
@@ -563,6 +567,107 @@ class Replayer:
             raise stats_out["err"]
         stats = stats_out["rows"]
         phase_t["stats_s"] = stats_out["seconds"]
+
+        # -- TRUNCATE TABLE fences (markers smuggled out of the stats job).
+        # A fence clears ALL state logged before it; rows after it rebuild
+        # from empty. Redelivered fences (gtid already covered) are
+        # dropped — the clear applied exactly once.
+        def _is_marker(r):
+            return str(r["gtid_source"] or "").startswith("#truncate#")
+
+        fences: list[dict] = []
+        if any(_is_marker(r) for r in stats):
+            from ..binlog.decoder import _segment_sort_key as _seg_key
+
+            for r in [r for r in stats if _is_marker(r)]:
+                src = r["gtid_source"][len("#truncate#"):] or None
+                seq = int(r["starts"][0]) if r["starts"] else None
+                if src is not None and seq is not None and covered.contains(src, seq):
+                    continue
+                fences.append(
+                    {
+                        "src_file": r["src_file"],
+                        "pos": int(r["max_pos"]),
+                        "gtid_source": src,
+                        "gtid_seq": seq,
+                        "max_ts": int(r["max_ts"] or 0),
+                    }
+                )
+            stats = [r for r in stats if not _is_marker(r)]
+        if fences:
+            # The overlapped merge computed state WITHOUT the fence —
+            # discard it and re-run sequentially. Truncate batches are
+            # rare (a retention job's clear, not steady state), so the
+            # lost stats∥merge overlap costs nothing at scale; the extra
+            # IO is only the re-run itself.
+            if merge_started:
+                spark.sparkContext.cancelJobGroup(merge_group)
+                merge_thread.join()
+                import shutil
+
+                shutil.rmtree(
+                    self.target.snapshot_path(current_version + 1),
+                    ignore_errors=True,
+                )
+            t_phase = time.time()
+            fence = max(
+                fences, key=lambda f: (_seg_key(f["src_file"]), f["pos"])
+            )
+            # clear first (metadata-only on the bucketed target), then
+            # apply only events strictly after the LAST fence — anything
+            # before it (including between two fences) is dead state.
+            # At-least-once delivery can redeliver a PRE-fence transaction
+            # at a post-fence position (same batch, so the ledger's
+            # covered set can't see it yet): first-delivery-wins (ST5,
+            # uuid_set.rs:46-48) says the redelivery is a no-op — it
+            # committed before the truncate and was wiped — so post-fence
+            # events anti-join away any gtid that also appears pre-fence
+            # (null gtids never match a null key, so GTID-less streams
+            # pass through unchanged).
+            new_version = self.target.truncate(spark, current_version)
+            after_fence = _after_position_predicate(
+                fence["src_file"], fence["pos"]
+            )
+            pre_gtids = (
+                changes.filter(~after_fence)
+                .select("gtid_source", "gtid_seq")
+                .distinct()
+            )
+            net2 = self._net_from_changes(
+                changes.filter(after_fence).join(
+                    pre_gtids, on=["gtid_source", "gtid_seq"], how="left_anti"
+                )
+            ).persist()
+            try:
+                if net2.head(1):
+                    fence_merge_fn = (
+                        self.target.merge_partial
+                        if self.row_image == "minimal"
+                        else self.target.merge
+                    )
+                    new_version = fence_merge_fn(spark, net2, new_version)
+            finally:
+                net2.unpersist()
+            phase_t["decode_lww_merge_s"] = round(time.time() - t_phase, 2)
+            phase_t["truncate_fences"] = len(fences)
+            # fence gtids join the batch's islands: the ledger covers the
+            # truncate's own transaction (redelivery idempotence) and the
+            # read high-water mark advances past the fence even when no
+            # rows survive it
+            stats = stats + [
+                {
+                    "src_file": f["src_file"],
+                    "gtid_source": f["gtid_source"],
+                    "events": 1,
+                    "min_pos": f["pos"],
+                    "max_pos": f["pos"],
+                    "starts": [f["gtid_seq"]] if f["gtid_seq"] is not None else [],
+                    "ends": [f["gtid_seq"]] if f["gtid_seq"] is not None else [],
+                    "max_ts": f["max_ts"],
+                }
+                for f in fences
+            ]
+
         n_events = sum(r["events"] for r in stats)
         if n_events == 0:
             if merge_started:
@@ -583,14 +688,15 @@ class Replayer:
                 str(covered), [],
             )
 
-        if not merge_started:
-            merge_thread.start()
-        merge_thread.join()
-        if "err" in merge_out:
-            raise merge_out["err"]
-        new_version = merge_out["version"]
+        if not fences:
+            if not merge_started:
+                merge_thread.start()
+            merge_thread.join()
+            if "err" in merge_out:
+                raise merge_out["err"]
+            new_version = merge_out["version"]
+            phase_t["decode_lww_merge_s"] = merge_out["seconds"]
         net_rows = -1  # avoid a second action; lineage covers observability
-        phase_t["decode_lww_merge_s"] = merge_out["seconds"]
         t_phase = time.time()
 
         # -- optional SCD2 history sink, BEFORE the ledger append: a crash
@@ -820,6 +926,9 @@ class Replayer:
         def stats_fn(batches):
             import os as _os
 
+            import pandas as _pd
+
+            from ..binlog.ddl import scan_truncates
             from ..binlog.decoder import _read_bytes
             from ..binlog.vector import segment_row_stats
 
@@ -847,6 +956,47 @@ class Replayer:
                         )
                     if len(frame):
                         yield frame
+                    # TRUNCATE TABLE fences ride out of the same task
+                    # in-schema as marker rows (gtid_source "#truncate#…",
+                    # events 0) — the segment bytes are already in memory,
+                    # so detection costs one C-level substring reject;
+                    # the driver pops the markers, filters redelivered
+                    # fences against the covered set, and re-plans the
+                    # merge (run_batch). Position-filtered here with the
+                    # same resume predicate the row stats use.
+                    fences = [
+                        t
+                        for t in scan_truncates(
+                            content, name, spec.database, spec.table
+                        )
+                        if min_pos_excl is None or t["pos"] > min_pos_excl
+                    ]
+                    if fences:
+                        yield _pd.DataFrame(
+                            {
+                                "src_file": [name] * len(fences),
+                                "gtid_source": [
+                                    "#truncate#" + (t["gtid_source"] or "")
+                                    for t in fences
+                                ],
+                                "events": [0] * len(fences),
+                                "min_pos": [t["pos"] for t in fences],
+                                "max_pos": [t["pos"] for t in fences],
+                                "starts": [
+                                    [t["gtid_seq"]]
+                                    if t["gtid_seq"] is not None
+                                    else []
+                                    for t in fences
+                                ],
+                                "ends": [
+                                    [t["gtid_seq"]]
+                                    if t["gtid_seq"] is not None
+                                    else []
+                                    for t in fences
+                                ],
+                                "max_ts": [int(t["ts"] or 0) for t in fences],
+                            }
+                        )
 
         rows = pdf_paths.mapInPandas(
             stats_fn,

@@ -168,6 +168,19 @@ class ParquetMergeTarget:
         )
         return new_version
 
+    def truncate(self, spark: SparkSession, current_version: int) -> int:
+        """TRUNCATE TABLE: commit an empty state as version+1. Earlier
+        snapshots stay readable for time travel until ``gc``; the change
+        feed across the truncate version reads as one delete per stored
+        row (``snapshot_diff`` against empty), so downstream consumers
+        and IVM views fold the clear like ordinary changes."""
+        new_version = current_version + 1
+        out_path = self.snapshot_path(new_version)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)  # orphan from a crashed batch
+        empty_state_df(spark, self.spec).write.mode("overwrite").parquet(out_path)
+        return new_version
+
     def merge_partial(
         self,
         spark: SparkSession,
@@ -413,6 +426,31 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         tmp = self._manifest_path(new_version) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({str(b): p for b, p in sorted(manifest.items())}, f)
+        os.replace(tmp, self._manifest_path(new_version))
+        return new_version
+
+    def truncate(self, spark: SparkSession, current_version: int) -> int:
+        """TRUNCATE TABLE on the bucketed layout: commit an EMPTY manifest
+        as version+1 — a metadata-only operation (no data IO, exactly like
+        Iceberg's metadata-delete), keeping the current layout. Earlier
+        snapshots stay readable for time travel until ``gc``; the change
+        feed across the truncate version reads as one delete per stored
+        row (manifest diff: every live bucket repointed to nothing)."""
+        import json
+
+        self._adopt_layout(current_version)
+        new_version = current_version + 1
+        snap = self.snapshot_path(new_version)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)  # orphan from a crashed batch
+        os.makedirs(snap, exist_ok=True)
+        with open(self._layout_path(new_version), "w") as f:
+            json.dump(
+                {"buckets": self.buckets, "bucket_cols": list(self.bucket_cols)}, f
+            )
+        tmp = self._manifest_path(new_version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({}, f)
         os.replace(tmp, self._manifest_path(new_version))
         return new_version
 
@@ -978,6 +1016,13 @@ class IcebergMergeTarget:
             WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
         )
+        return current_version + 1
+
+    def truncate(self, spark: SparkSession, current_version: int = -1) -> int:
+        """TRUNCATE TABLE fence: Iceberg's row-level DELETE compiles to a
+        metadata delete when it covers every file (no rewrite), matching
+        the bucketed target's empty-manifest commit."""
+        spark.sql(f"DELETE FROM {self.identifier}")
         return current_version + 1
 
     def merge_partial(self, spark: SparkSession, net: DataFrame, current_version: int = -1) -> int:

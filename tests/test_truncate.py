@@ -1,0 +1,139 @@
+"""TRUNCATE TABLE fences: a production stream's retention job clears the
+tracked table with an implicit-commit ``TRUNCATE TABLE`` statement — the
+engine must clear all state logged before the fence and rebuild from the
+events after it, exactly once, across batches, resume, and redelivery.
+
+Detection rides the stats pass (the segment bytes are already in memory
+there; ``ddl.scan_truncates`` costs a substring reject per segment), the
+fence batch discards the overlapped merge and re-runs sequentially, and
+the fence's own GTID joins the ledger so a redelivered truncate is a
+no-op (``run_batch`` fence path; ``target.truncate`` is a metadata-only
+empty-manifest commit on the bucketed layout).
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from mysql_cdc_spark.fixtures import (
+    apply_changelog_oracle,
+    generate_changelog,
+    write_binlog_files,
+)
+from mysql_cdc_spark.pipeline.replay import Replayer
+
+
+def _assert_matches_oracle(rep, txns):
+    got = rep.read_state().orderBy("conv_id", "turn_idx").toPandas()
+    want = apply_changelog_oracle(txns)
+    assert len(got) == len(want)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    txns = generate_changelog(
+        n_conversations=15, max_turns=5, n_extra_ops=60, seed=71,
+        duplicate_txns=3, evolve_after_frac=0.3, truncate_at_frac=0.55,
+    )
+    outdir = str(tmp_path_factory.mktemp("binlog_trunc"))
+    write_binlog_files(txns, outdir, txns_per_file=20)
+    return txns, outdir
+
+
+@pytest.mark.parametrize("files_per_batch", [None, 1])
+def test_truncate_fence_replay_matches_oracle(
+    spark, corpus, tmp_path, files_per_batch
+):
+    """One-batch (fence mid-batch) and per-file batches (fence batch +
+    post-fence batches over the cleared state) both land on the oracle,
+    which clears its own dict at the truncate."""
+    txns, outdir = corpus
+    rep = Replayer(
+        spark, outdir, str(tmp_path / f"store_{files_per_batch}")
+    )
+    rep.replay(files_per_batch=files_per_batch)
+    _assert_matches_oracle(rep, txns)
+    # the fence batch is marked in the ledger metrics
+    fence_batches = [
+        e for e in rep.ledger.entries()
+        if (e.metrics or {}).get("truncate_fences")
+    ]
+    assert len(fence_batches) == 1
+
+
+def test_truncate_resume_and_redelivery(spark, corpus, tmp_path):
+    """Kill after the pre-fence file, resume through the fence, then
+    replay again on the same store: the covered fence GTID and position
+    predicate make the re-read a no-op — state keeps the post-fence
+    rows (a re-applied truncate would wipe them)."""
+    txns, outdir = corpus
+    files = sorted(glob.glob(os.path.join(outdir, "*")))
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    shutil.copy(files[0], half)
+    store = str(tmp_path / "store")
+    rep = Replayer(spark, half, store)
+    rep.replay()
+    for f in files[1:]:
+        shutil.copy(f, half)
+    rep2 = Replayer(spark, half, store)
+    rep2.replay(files_per_batch=1)
+    _assert_matches_oracle(rep2, txns)
+    before = rep2.read_state().count()
+    rep3 = Replayer(spark, half, store)
+    rep3.replay()
+    assert rep3.read_state().count() == before
+    _assert_matches_oracle(rep3, txns)
+
+
+def test_truncate_minimal_row_image(spark, tmp_path):
+    """MINIMAL images: post-fence events rebuild through merge_partial
+    over the cleared state."""
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=40, seed=72,
+        evolve_after_frac=None, truncate_at_frac=0.5,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=15, row_image="minimal")
+    rep = Replayer(
+        spark, outdir, str(tmp_path / "store"), row_image="minimal"
+    )
+    rep.replay(files_per_batch=1)
+    _assert_matches_oracle(rep, txns)
+
+
+def test_truncate_mariadb_provider(spark, tmp_path):
+    """MariaDB GTID fences ('domain-server' source) cover in the ledger
+    like row transactions."""
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=40, seed=73,
+        evolve_after_frac=None, truncate_at_frac=0.5,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=15, provider="mariadb")
+    rep = Replayer(spark, outdir, str(tmp_path / "store"))
+    rep.replay()
+    _assert_matches_oracle(rep, txns)
+
+
+def test_truncate_on_other_table_is_ignored(spark, tmp_path):
+    """A TRUNCATE on an untracked table must not fence the tracked one
+    (scan_truncates filters on (database, table))."""
+    from mysql_cdc_spark.binlog.ddl import scan_truncates
+
+    txns = generate_changelog(
+        n_conversations=6, max_turns=3, n_extra_ops=10, seed=74,
+        evolve_after_frac=None, truncate_at_frac=0.5,
+    )
+    outdir = str(tmp_path / "binlog")
+    paths = write_binlog_files(txns, outdir, txns_per_file=100)
+    with open(paths[0], "rb") as f:
+        content = f.read()
+    assert scan_truncates(content, "b", "chat", "transcripts")
+    assert scan_truncates(content, "b", "chat", "other_table") == []
+    assert scan_truncates(content, "b", "otherdb", "transcripts") == []
