@@ -311,14 +311,20 @@ def inflate_segment(content: bytes) -> Optional[tuple[bytes, np.ndarray]]:
     return b"".join(out), np.array(orig_offs, dtype=np.int64)
 
 
-def compress_segment(content: bytes) -> bytes:
+def compress_segment(content: bytes, min_len: int = 256) -> bytes:
     """Fixture encoder: rewrite a plain segment as a ``log_bin_compress=ON``
-    stream — every QUERY / rows frame gets its variable tail deflated and
-    its type byte swapped to the compressed twin, and the whole chain's
-    ``next_event_position`` values are re-linked over the new (shorter)
-    frame lengths, exactly as a MariaDB server would have written the file.
-    CRC32 trailers are recomputed when the stream's FDE declares them.
-    Test/bench harness only — production code never compresses."""
+    stream — QUERY / rows frames whose body reaches ``min_len`` get their
+    variable tail deflated and type byte swapped to the compressed twin,
+    and the whole chain's ``next_event_position`` values are re-linked
+    over the new (shorter) frame lengths, exactly as a MariaDB server
+    would have written the file. ``min_len`` mirrors
+    ``log_bin_compress_min_len`` (server floor 256): short statements —
+    BEGIN, TRUNCATE, small DDL — stay plain on a real server, which is
+    what lets ``ddl.scan_truncates`` substring-reject compressed streams
+    without inflating (pass 0 to force-compress everything for parity
+    fuzzing). CRC32 trailers are recomputed when the stream's FDE
+    declares them. Test/bench harness only — production code never
+    compresses."""
     if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
         raise ValueError("Invalid binary log file header")
     from .reader import parse_format_description  # lazy: avoid import cycle
@@ -338,7 +344,7 @@ def compress_segment(content: bytes) -> bytes:
         if etype == EventType.FORMAT_DESCRIPTION:
             _, _, checksum = parse_format_description(frame[EVENT_HEADER_SIZE:], ln)
         trailer = 4 if checksum == ChecksumType.CRC32 else 0
-        if etype in PLAIN_TO_COMPRESSED:
+        if etype in PLAIN_TO_COMPRESSED and ln - EVENT_HEADER_SIZE - trailer >= min_len:
             body = frame[EVENT_HEADER_SIZE : ln - trailer]
             comp_type, comp_body = compress_event_body(etype, body)
             new_len = EVENT_HEADER_SIZE + len(comp_body) + trailer

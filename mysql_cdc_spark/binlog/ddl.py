@@ -570,9 +570,13 @@ def scan_truncates(
     even TRANSACTION_PAYLOAD-spliced frames, whose wrapper offsets are
     all later than the fence) and the gtid identifies the statement's own
     transaction for ledger idempotence (``gtid_source`` None on GTID-less
-    streams). MariaDB per-event zlib compression inflates in place;
-    MySQL TRANSACTION_PAYLOAD wrappers need no walk — the server never
-    compresses transactions containing DDL (WL#3549 restriction)."""
+    streams). Compressed wire forms need no special casing: a MariaDB
+    server only compresses frames whose body reaches
+    ``log_bin_compress_min_len`` (floor 256), so a TRUNCATE statement's
+    ~60-120-byte QUERY event always stays plain and the substring reject
+    is sound (compressed QUERY frames that do appear inflate in-walk);
+    MySQL never payload-compresses transactions containing DDL (WL#3549
+    restriction)."""
     if b"TRUNCATE" not in content and b"truncate" not in content:
         return []
     from .compressed import inflate_event_body

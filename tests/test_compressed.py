@@ -168,14 +168,14 @@ class TestScalarReader:
     @pytest.mark.parametrize("checksum", [ChecksumType.CRC32, ChecksumType.NONE])
     def test_compressed_stream_decodes_like_plain(self, checksum):
         plain = _small_binlog(checksum)
-        comp = compress_segment(plain)
+        comp = compress_segment(plain, min_len=0)
         assert len(comp) < len(plain)  # the long text actually deflated
         got, want = _events(comp), _events(plain)
         assert [k for k, _ in got] == [k for k, _ in want]
         assert got == want
 
     def test_compressed_type_bytes_on_disk(self):
-        comp = compress_segment(_small_binlog())
+        comp = compress_segment(_small_binlog(), min_len=0)
         types = set()
         pos = FIRST_EVENT_POSITION
         while pos + EVENT_HEADER_SIZE <= len(comp):
@@ -188,7 +188,7 @@ class TestScalarReader:
         assert EventType.MARIADB_DELETE_ROWS_COMPRESSED in types
 
     def test_next_pos_chain_is_relinked(self):
-        comp = compress_segment(_small_binlog())
+        comp = compress_segment(_small_binlog(), min_len=0)
         pos = FIRST_EVENT_POSITION
         while pos + EVENT_HEADER_SIZE <= len(comp):
             ln = struct.unpack_from("<I", comp, pos + 9)[0]
@@ -220,7 +220,7 @@ def _concat(frames) -> pd.DataFrame:
 class TestVectorizedPath:
     def test_fast_path_parity_with_scalar_on_compressed(self, tmp_path):
         _, plain = _fixture_file(tmp_path)
-        comp = compress_segment(plain)
+        comp = compress_segment(plain, min_len=0)
         scalar = _concat(_FileDecoder(TRANSCRIPTS).decode_file("binlog.000001", comp))
         fast = decode_segment_fast(comp, "binlog.000001", TRANSCRIPTS)
         assert fast is not None, "vectorized path must not bail on compressed input"
@@ -238,7 +238,7 @@ class TestVectorizedPath:
 
     def test_values_match_plain_stream(self, tmp_path):
         _, plain = _fixture_file(tmp_path)
-        comp = compress_segment(plain)
+        comp = compress_segment(plain, min_len=0)
         a = _concat(decode_segment_fast(plain, "binlog.000001", TRANSCRIPTS))
         b = _concat(decode_segment_fast(comp, "binlog.000001", TRANSCRIPTS))
         drop = ["pos", "next_pos"]  # each file's own on-disk coordinates
@@ -248,7 +248,7 @@ class TestVectorizedPath:
 
     def test_positions_are_compressed_file_offsets(self, tmp_path):
         _, plain = _fixture_file(tmp_path)
-        comp = compress_segment(plain)
+        comp = compress_segment(plain, min_len=0)
         fast = _concat(decode_segment_fast(comp, "binlog.000001", TRANSCRIPTS))
         # every reported pos must be a real frame start in the compressed file
         offsets = set()

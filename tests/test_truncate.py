@@ -121,6 +121,38 @@ def test_truncate_mariadb_provider(spark, tmp_path):
     _assert_matches_oracle(rep, txns)
 
 
+def test_truncate_in_compressed_stream(spark, tmp_path):
+    """MariaDB log_bin_compress=ON: big frames deflate, but the TRUNCATE
+    statement sits below log_bin_compress_min_len (server floor 256) and
+    stays plain — the fence must still fire on the compressed stream."""
+    from mysql_cdc_spark.binlog.compressed import compress_segment
+
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=40, seed=75,
+        evolve_after_frac=None, truncate_at_frac=0.5,
+    )
+    outdir = str(tmp_path / "binlog")
+    paths = write_binlog_files(
+        txns, outdir, txns_per_file=15, provider="mariadb"
+    )
+    n_comp = 0
+    for p in paths:
+        with open(p, "rb") as f:
+            plain = f.read()
+        comp = compress_segment(plain)
+        n_comp += int(len(comp) < len(plain))
+        with open(p, "wb") as f:
+            f.write(comp)
+    assert n_comp > 0, "corpus should actually compress some frames"
+    rep = Replayer(spark, outdir, str(tmp_path / "store"))
+    rep.replay()
+    _assert_matches_oracle(rep, txns)
+    assert any(
+        (e.metrics or {}).get("truncate_fences")
+        for e in rep.ledger.entries()
+    )
+
+
 def test_truncate_on_other_table_is_ignored(spark, tmp_path):
     """A TRUNCATE on an untracked table must not fence the tracked one
     (scan_truncates filters on (database, table))."""

@@ -39,7 +39,7 @@ def main() -> None:
         plain = f.read()
     variants = {
         "plain": plain,
-        "mariadb_zlib": compress_segment(plain),
+        "mariadb_zlib": compress_segment(plain, min_len=0),
         "mysql_zstd_payload": wrap_transaction_payload_segment(plain, "zstd"),
     }
 
@@ -74,7 +74,7 @@ def main() -> None:
     bulk = _bulk_segment(n_txns=60, rows_per_event=400)
     bulk_variants = {
         "plain": bulk,
-        "mariadb_zlib": compress_segment(bulk),
+        "mariadb_zlib": compress_segment(bulk, min_len=0),
         "mysql_zstd_payload": wrap_transaction_payload_segment(bulk, "zstd"),
     }
     for data in bulk_variants.values():
