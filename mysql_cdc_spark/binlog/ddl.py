@@ -541,6 +541,55 @@ _TRUNCATE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# DROP [TEMPORARY] TABLE [IF EXISTS] t1[, t2, ...] — multi-table list
+_DROP_HEAD_RE = re.compile(
+    r"^\s*DROP\s+(?P<temp>TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?"
+    r"(?P<list>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_ITEM_RE = re.compile(
+    r"^\s*(?:(?P<db>" + _IDENT + r")\s*\.\s*)?(?P<tbl>" + _IDENT + r")\s*$"
+)
+
+
+class TrackedTableDropped(RuntimeError):
+    """A ``DROP TABLE`` on the tracked table was found in the stream.
+
+    The table's history ends here; anything logged after a re-CREATE is
+    a DIFFERENT table whose columns may map differently, so decoding past
+    the drop against the old spec would silently mis-apply rows (the same
+    stop policy as INCIDENT markers). Resolve deliberately: re-bootstrap
+    the store from a snapshot of the recreated table, or restart the
+    Replayer with a position start strategy past ``(src_file, pos)``."""
+
+    def __init__(self, src_file: str, pos: int, sql: str):
+        self.src_file = src_file
+        self.pos = pos
+        self.sql = sql
+        super().__init__(
+            f"tracked table dropped at {src_file}:{pos} ({sql!r}); "
+            "re-bootstrap the store or restart past this position"
+        )
+
+
+def parse_drop_table(sql: str, default_database: str | None = None):
+    """Parse a ``DROP TABLE`` statement; returns the list of
+    ``(database, table)`` it drops (database falls back to the session
+    default), or None for any other statement. ``DROP TEMPORARY TABLE``
+    returns None: temporary tables live in a per-session namespace, so
+    even a name collision never drops the tracked base table."""
+    m = _DROP_HEAD_RE.match(sql)
+    if m is None or m.group("temp"):
+        return None
+    out = []
+    for item in m.group("list").split(","):
+        im = _DROP_ITEM_RE.match(item)
+        if im is None:
+            return out or None
+        db = _unquote(im.group("db")) if im.group("db") else default_database
+        out.append((db, _unquote(im.group("tbl"))))
+    return out
+
 
 def parse_truncate(sql: str, default_database: str | None = None):
     """Parse a ``TRUNCATE [TABLE] [db.]tbl`` statement. Returns
@@ -554,30 +603,36 @@ def parse_truncate(sql: str, default_database: str | None = None):
     return (db, _unquote(m.group("tbl")))
 
 
+_FENCE_LITERALS = (b"TRUNCATE", b"truncate", b"DROP", b"drop")
+
+
 def scan_truncates(
     content: bytes, src_file: str, database: str, table: str
 ) -> list[dict]:
-    """One cheap pass over a segment collecting ``TRUNCATE TABLE``
-    statements on the tracked table — the replay-time fence the merge
-    pipeline needs (a truncate clears all state logged before it; rows
-    after it rebuild from empty). Segments without the literal are
-    rejected on a C-level substring scan; row payloads are never decoded.
+    """One cheap pass over a segment collecting ``TRUNCATE TABLE`` and
+    ``DROP TABLE`` statements on the tracked table — the replay-time
+    fences the merge pipeline needs (a truncate clears all state logged
+    before it and rows after rebuild from empty; a drop ends the table's
+    history — ``run_batch`` raises :class:`TrackedTableDropped`, the same
+    stop policy as INCIDENT markers). Segments without any of the
+    literals are rejected on C-level substring scans; row payloads are
+    never decoded.
 
     Returns one dict per fence, in file order:
-    ``{"pos", "gtid_source", "gtid_seq", "ts"}`` where ``pos`` is the
-    TRUNCATE QUERY event's own offset (autocommit DDL carries no rows, so
-    every later transaction's rows sit at strictly greater positions —
-    even TRANSACTION_PAYLOAD-spliced frames, whose wrapper offsets are
-    all later than the fence) and the gtid identifies the statement's own
-    transaction for ledger idempotence (``gtid_source`` None on GTID-less
-    streams). Compressed wire forms need no special casing: a MariaDB
-    server only compresses frames whose body reaches
-    ``log_bin_compress_min_len`` (floor 256), so a TRUNCATE statement's
-    ~60-120-byte QUERY event always stays plain and the substring reject
+    ``{"kind": "truncate"|"drop", "pos", "gtid_source", "gtid_seq",
+    "ts"}`` where ``pos`` is the QUERY event's own offset (implicit-
+    commit DDL carries no rows, so every later transaction's rows sit at
+    strictly greater positions — even TRANSACTION_PAYLOAD-spliced frames,
+    whose wrapper offsets are all later than the fence) and the gtid
+    identifies the statement's own transaction for ledger idempotence
+    (``gtid_source`` None on GTID-less streams). Compressed wire forms
+    need no special casing: a MariaDB server only compresses frames whose
+    body reaches ``log_bin_compress_min_len`` (floor 256), so these short
+    statements' QUERY events always stay plain and the substring reject
     is sound (compressed QUERY frames that do appear inflate in-walk);
     MySQL never payload-compresses transactions containing DDL (WL#3549
     restriction)."""
-    if b"TRUNCATE" not in content and b"truncate" not in content:
+    if not any(lit in content for lit in _FENCE_LITERALS):
         return []
     from .compressed import inflate_event_body
     from .constants import COMPRESSED_TO_PLAIN
@@ -593,14 +648,24 @@ def scan_truncates(
     pos = FIRST_EVENT_POSITION
 
     def _handle_query(payload: bytes, event_pos: int, ts: int) -> None:
-        if b"TRUNCATE" not in payload and b"truncate" not in payload:
+        if not any(lit in payload for lit in _FENCE_LITERALS):
             return
         q = parse_query(payload)
-        parsed = parse_truncate(q["sql_statement"], q.get("database_name") or None)
-        if parsed is None or parsed != (database, table):
-            return
+        sql = q["sql_statement"]
+        default_db = q.get("database_name") or None
+        parsed = parse_truncate(sql, default_db)
+        kind = "truncate"
+        if parsed is not None:
+            if parsed != (database, table):
+                return
+        else:
+            dropped = parse_drop_table(sql, default_db)
+            if not dropped or (database, table) not in dropped:
+                return
+            kind = "drop"
         out.append(
             {
+                "kind": kind,
                 "pos": event_pos,
                 "gtid_source": gtid_source,
                 "gtid_seq": gtid_seq,

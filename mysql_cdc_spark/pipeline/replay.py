@@ -568,23 +568,33 @@ class Replayer:
         stats = stats_out["rows"]
         phase_t["stats_s"] = stats_out["seconds"]
 
-        # -- TRUNCATE TABLE fences (markers smuggled out of the stats job).
-        # A fence clears ALL state logged before it; rows after it rebuild
-        # from empty. Redelivered fences (gtid already covered) are
-        # dropped — the clear applied exactly once.
+        # -- TRUNCATE/DROP TABLE fences (markers smuggled out of the stats
+        # job). A truncate clears ALL state logged before it; rows after
+        # it rebuild from empty — redelivered fences (gtid already
+        # covered) are dropped, so the clear applies exactly once. A DROP
+        # of the tracked table ends its history: raise (INCIDENT stop
+        # policy) — decoding past a re-CREATE against the old spec would
+        # silently mis-apply rows.
         def _is_marker(r):
-            return str(r["gtid_source"] or "").startswith("#truncate#")
+            return str(r["gtid_source"] or "").startswith(
+                ("#truncate#", "#drop#")
+            )
 
         fences: list[dict] = []
+        drops: list[dict] = []
         if any(_is_marker(r) for r in stats):
             from ..binlog.decoder import _segment_sort_key as _seg_key
 
             for r in [r for r in stats if _is_marker(r)]:
-                src = r["gtid_source"][len("#truncate#"):] or None
+                gs = str(r["gtid_source"])
+                if gs.startswith("#drop#"):
+                    kind, src = "drop", gs[len("#drop#"):] or None
+                else:
+                    kind, src = "truncate", gs[len("#truncate#"):] or None
                 seq = int(r["starts"][0]) if r["starts"] else None
                 if src is not None and seq is not None and covered.contains(src, seq):
                     continue
-                fences.append(
+                (drops if kind == "drop" else fences).append(
                     {
                         "src_file": r["src_file"],
                         "pos": int(r["max_pos"]),
@@ -594,6 +604,17 @@ class Replayer:
                     }
                 )
             stats = [r for r in stats if not _is_marker(r)]
+        if drops:
+            from ..binlog.ddl import TrackedTableDropped
+
+            if merge_started:
+                spark.sparkContext.cancelJobGroup(merge_group)
+                merge_thread.join()
+            d = min(drops, key=lambda f: (_seg_key(f["src_file"]), f["pos"]))
+            raise TrackedTableDropped(
+                d["src_file"], d["pos"],
+                f"DROP TABLE {spec.database}.{spec.table}",
+            )
         if fences:
             # The overlapped merge computed state WITHOUT the fence —
             # discard it and re-run sequentially. Truncate batches are
@@ -976,7 +997,7 @@ class Replayer:
                             {
                                 "src_file": [name] * len(fences),
                                 "gtid_source": [
-                                    "#truncate#" + (t["gtid_source"] or "")
+                                    f"#{t['kind']}#" + (t["gtid_source"] or "")
                                     for t in fences
                                 ],
                                 "events": [0] * len(fences),

@@ -153,6 +153,41 @@ def test_truncate_in_compressed_stream(spark, tmp_path):
     )
 
 
+def test_drop_table_stops_loudly(spark, tmp_path):
+    """DROP TABLE on the tracked table ends its history: the batch raises
+    a positioned TrackedTableDropped (INCIDENT stop policy) and commits
+    nothing — decoding past a re-CREATE against the old spec would
+    silently mis-apply rows. Untracked and TEMPORARY drops pass."""
+    from mysql_cdc_spark.binlog.ddl import TrackedTableDropped
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.fixtures import SOURCE_UUID
+
+    txns = generate_changelog(
+        n_conversations=8, max_turns=3, n_extra_ops=15, seed=76,
+        evolve_after_frac=None,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=100)
+    # a follow-up segment: two harmless drops, then the tracked drop
+    w = BinlogWriter("binlog.000002")
+    w.write_mysql_gtid(SOURCE_UUID, 10_001)
+    w.write_query("DROP TABLE other_table", database="chat")
+    w.write_mysql_gtid(SOURCE_UUID, 10_002)
+    w.write_query("DROP TEMPORARY TABLE transcripts", database="chat")
+    w.write_mysql_gtid(SOURCE_UUID, 10_003)
+    w.write_query("DROP TABLE IF EXISTS transcripts", database="chat")
+    w.save(os.path.join(outdir, "binlog.000002"))
+
+    rep = Replayer(spark, outdir, str(tmp_path / "store"))
+    with pytest.raises(TrackedTableDropped, match="binlog.000002"):
+        rep.replay()
+    # nothing committed; the stop re-raises on resume until the operator
+    # re-bootstraps or restarts past the position
+    rep2 = Replayer(spark, outdir, str(tmp_path / "store"))
+    with pytest.raises(TrackedTableDropped):
+        rep2.replay()
+
+
 def test_truncate_on_other_table_is_ignored(spark, tmp_path):
     """A TRUNCATE on an untracked table must not fence the tracked one
     (scan_truncates filters on (database, table))."""
