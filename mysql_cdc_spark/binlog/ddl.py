@@ -552,6 +552,50 @@ _DROP_ITEM_RE = re.compile(
 )
 
 
+# RENAME TABLE a TO b[, c TO d ...] — the pt-osc/gh-ost cutover shape
+_RENAME_HEAD_RE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+(?P<list>.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_RENAME_PAIR_RE = re.compile(
+    r"^\s*(?:(?P<db1>" + _IDENT + r")\s*\.\s*)?(?P<t1>" + _IDENT + r")"
+    r"\s+TO\s+"
+    r"(?:(?P<db2>" + _IDENT + r")\s*\.\s*)?(?P<t2>" + _IDENT + r")\s*$",
+    re.IGNORECASE,
+)
+# ALTER TABLE x RENAME [TO|AS] y — the single-table form
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:(?P<db1>" + _IDENT + r")\s*\.\s*)?"
+    r"(?P<t1>" + _IDENT + r")\s+RENAME\s+(?:TO\s+|AS\s+)?"
+    r"(?:(?P<db2>" + _IDENT + r")\s*\.\s*)?(?P<t2>" + _IDENT + r")\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_rename_table(sql: str, default_database: str | None = None):
+    """Parse ``RENAME TABLE a TO b[, ...]`` or ``ALTER TABLE a RENAME
+    [TO] b``; returns a list of ``((db_from, tbl_from), (db_to, tbl_to))``
+    pairs, or None for any other statement."""
+    pairs = []
+    m = _RENAME_HEAD_RE.match(sql)
+    if m is not None:
+        for item in m.group("list").split(","):
+            pm = _RENAME_PAIR_RE.match(item)
+            if pm is None:
+                return pairs or None
+            db1 = _unquote(pm.group("db1")) if pm.group("db1") else default_database
+            db2 = _unquote(pm.group("db2")) if pm.group("db2") else default_database
+            pairs.append(
+                ((db1, _unquote(pm.group("t1"))), (db2, _unquote(pm.group("t2"))))
+            )
+        return pairs
+    am = _ALTER_RENAME_RE.match(sql)
+    if am is None:
+        return None
+    db1 = _unquote(am.group("db1")) if am.group("db1") else default_database
+    db2 = _unquote(am.group("db2")) if am.group("db2") else default_database
+    return [((db1, _unquote(am.group("t1"))), (db2, _unquote(am.group("t2"))))]
+
+
 class TrackedTableDropped(RuntimeError):
     """A ``DROP TABLE`` on the tracked table was found in the stream.
 
@@ -569,6 +613,28 @@ class TrackedTableDropped(RuntimeError):
         super().__init__(
             f"tracked table dropped at {src_file}:{pos} ({sql!r}); "
             "re-bootstrap the store or restart past this position"
+        )
+
+
+class TrackedTableRenamed(TrackedTableDropped):
+    """A ``RENAME TABLE`` involving the tracked table was found — the
+    pt-online-schema-change / gh-ost cutover shape (`RENAME TABLE t TO
+    t_old, t_new TO t`). After the swap, events under the tracked name
+    describe a DIFFERENT physical table whose columns may map
+    differently, so continuing against the old spec would silently
+    mis-apply rows. Stop and let the operator confirm the new schema
+    (same remedies as a drop: re-bootstrap, or restart past the cutover
+    with an updated spec)."""
+
+    def __init__(self, src_file: str, pos: int, sql: str):
+        self.src_file = src_file
+        self.pos = pos
+        self.sql = sql
+        RuntimeError.__init__(
+            self,
+            f"tracked table renamed at {src_file}:{pos} ({sql!r}) — "
+            "schema-change cutover; confirm the new schema, then "
+            "re-bootstrap or restart past this position",
         )
 
 
@@ -603,7 +669,9 @@ def parse_truncate(sql: str, default_database: str | None = None):
     return (db, _unquote(m.group("tbl")))
 
 
-_FENCE_LITERALS = (b"TRUNCATE", b"truncate", b"DROP", b"drop")
+_FENCE_LITERALS = (
+    b"TRUNCATE", b"truncate", b"DROP", b"drop", b"RENAME", b"rename",
+)
 
 
 def scan_truncates(
@@ -660,9 +728,17 @@ def scan_truncates(
                 return
         else:
             dropped = parse_drop_table(sql, default_db)
-            if not dropped or (database, table) not in dropped:
-                return
-            kind = "drop"
+            if dropped is not None:
+                if (database, table) not in dropped:
+                    return
+                kind = "drop"
+            else:
+                renamed = parse_rename_table(sql, default_db)
+                if not renamed or not any(
+                    (database, table) in pair for pair in renamed
+                ):
+                    return
+                kind = "rename"
         out.append(
             {
                 "kind": kind,

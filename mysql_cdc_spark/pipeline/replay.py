@@ -577,25 +577,24 @@ class Replayer:
         # silently mis-apply rows.
         def _is_marker(r):
             return str(r["gtid_source"] or "").startswith(
-                ("#truncate#", "#drop#")
+                ("#truncate#", "#drop#", "#rename#")
             )
 
         fences: list[dict] = []
-        drops: list[dict] = []
+        stops: list[dict] = []
         if any(_is_marker(r) for r in stats):
             from ..binlog.decoder import _segment_sort_key as _seg_key
 
             for r in [r for r in stats if _is_marker(r)]:
                 gs = str(r["gtid_source"])
-                if gs.startswith("#drop#"):
-                    kind, src = "drop", gs[len("#drop#"):] or None
-                else:
-                    kind, src = "truncate", gs[len("#truncate#"):] or None
+                kind = gs[1 : gs.index("#", 1)]
+                src = gs[len(kind) + 2 :] or None
                 seq = int(r["starts"][0]) if r["starts"] else None
                 if src is not None and seq is not None and covered.contains(src, seq):
                     continue
-                (drops if kind == "drop" else fences).append(
+                (fences if kind == "truncate" else stops).append(
                     {
+                        "kind": kind,
                         "src_file": r["src_file"],
                         "pos": int(r["max_pos"]),
                         "gtid_source": src,
@@ -604,16 +603,20 @@ class Replayer:
                     }
                 )
             stats = [r for r in stats if not _is_marker(r)]
-        if drops:
-            from ..binlog.ddl import TrackedTableDropped
+        if stops:
+            from ..binlog.ddl import TrackedTableDropped, TrackedTableRenamed
 
             if merge_started:
                 spark.sparkContext.cancelJobGroup(merge_group)
                 merge_thread.join()
-            d = min(drops, key=lambda f: (_seg_key(f["src_file"]), f["pos"]))
-            raise TrackedTableDropped(
+            d = min(stops, key=lambda f: (_seg_key(f["src_file"]), f["pos"]))
+            err_cls = (
+                TrackedTableRenamed if d["kind"] == "rename"
+                else TrackedTableDropped
+            )
+            raise err_cls(
                 d["src_file"], d["pos"],
-                f"DROP TABLE {spec.database}.{spec.table}",
+                f"{d['kind'].upper()} involving {spec.database}.{spec.table}",
             )
         if fences:
             # The overlapped merge computed state WITHOUT the fence —

@@ -188,6 +188,61 @@ def test_drop_table_stops_loudly(spark, tmp_path):
         rep2.replay()
 
 
+def test_rename_cutover_stops_loudly(spark, tmp_path):
+    """The pt-osc/gh-ost cutover (atomic RENAME swap) puts a different
+    physical table under the tracked name — the replay must stop for
+    operator confirmation instead of decoding against the old spec.
+    Renames not involving the tracked table pass."""
+    from mysql_cdc_spark.binlog.ddl import TrackedTableRenamed
+    from mysql_cdc_spark.binlog.encoder import BinlogWriter
+    from mysql_cdc_spark.fixtures import SOURCE_UUID
+
+    txns = generate_changelog(
+        n_conversations=6, max_turns=3, n_extra_ops=10, seed=77,
+        evolve_after_frac=None,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=100)
+    w = BinlogWriter("binlog.000002")
+    w.write_mysql_gtid(SOURCE_UUID, 10_001)
+    w.write_query("RENAME TABLE other_a TO other_b", database="chat")
+    w.write_mysql_gtid(SOURCE_UUID, 10_002)
+    w.write_query(
+        "RENAME TABLE transcripts TO _transcripts_old, "
+        "_transcripts_new TO transcripts",
+        database="chat",
+    )
+    w.save(os.path.join(outdir, "binlog.000002"))
+    rep = Replayer(spark, outdir, str(tmp_path / "store"))
+    with pytest.raises(TrackedTableRenamed, match="binlog.000002"):
+        rep.replay()
+
+
+def test_fence_statement_parsers():
+    from mysql_cdc_spark.binlog.ddl import parse_drop_table, parse_rename_table
+
+    assert parse_drop_table("DROP TABLE a, chat.b", "db") == [
+        ("db", "a"), ("chat", "b")
+    ]
+    assert parse_drop_table("DROP TABLE IF EXISTS `t`", "db") == [("db", "t")]
+    assert parse_drop_table("DROP TEMPORARY TABLE t", "db") is None
+    assert parse_drop_table("DROP INDEX i ON t", "db") is None
+    assert parse_rename_table("RENAME TABLE a TO b", "db") == [
+        (("db", "a"), ("db", "b"))
+    ]
+    assert parse_rename_table(
+        "RENAME TABLE t TO t_old, c.t_new TO t", "db"
+    ) == [(("db", "t"), ("db", "t_old")), (("c", "t_new"), ("db", "t"))]
+    assert parse_rename_table("ALTER TABLE t RENAME TO u", "db") == [
+        (("db", "t"), ("db", "u"))
+    ]
+    assert parse_rename_table("ALTER TABLE t RENAME u", "db") == [
+        (("db", "t"), ("db", "u"))
+    ]
+    assert parse_rename_table("ALTER TABLE t RENAME COLUMN a TO b", "db") is None
+    assert parse_rename_table("ALTER TABLE t ADD COLUMN x INT", "db") is None
+
+
 def test_truncate_on_other_table_is_ignored(spark, tmp_path):
     """A TRUNCATE on an untracked table must not fence the tracked one
     (scan_truncates filters on (database, table))."""
