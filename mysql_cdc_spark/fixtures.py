@@ -134,6 +134,10 @@ def sidecar_ops(txn: Txn) -> list[Op]:
     image and the delete key, like any rows event)."""
     ops: list[Op] = []
     for op in txn.ops:
+        if op.kind == "truncate":
+            # TRUNCATE TABLE transcripts fences only the transcripts
+            # table — the sidecar table is untouched by it
+            continue
         img = op.after if op.kind != "delete" else op.before
         if img[2] != "assistant":
             continue

@@ -153,6 +153,47 @@ def test_truncate_in_compressed_stream(spark, tmp_path):
     )
 
 
+def test_truncate_isolated_per_table_in_multi_replay(spark, tmp_path):
+    """Multi-table stream: TRUNCATE TABLE transcripts fences only the
+    transcripts replayer — tool_calls (committed inside the same
+    transactions via the sidecar fixture) keeps its full history."""
+    from mysql_cdc_spark.binlog.decoder import TRANSCRIPTS
+    from mysql_cdc_spark.fixtures import apply_sidecar_oracle, tool_calls_spec
+    from mysql_cdc_spark.pipeline.multi import MultiReplayer
+
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=30, seed=78,
+        evolve_after_frac=None, truncate_at_frac=0.5,
+    )
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(txns, outdir, txns_per_file=20, sidecar=True)
+    mr = MultiReplayer(
+        spark, outdir, str(tmp_path / "multi"),
+        specs=[TRANSCRIPTS, tool_calls_spec()],
+    )
+    mr.replay()
+    t_got = (
+        mr.read_state("transcripts").orderBy("conv_id", "turn_idx").toPandas()
+    )
+    t_want = apply_changelog_oracle(txns)
+    assert t_got["text"].tolist() == t_want["text"].tolist()
+    assert any(
+        (e.metrics or {}).get("truncate_fences")
+        for e in mr["transcripts"].ledger.entries()
+    )
+    c_got = (
+        mr.read_state("tool_calls")
+        .orderBy("conv_id", "turn_idx", "call_ord")
+        .toPandas()
+    )
+    c_want = apply_sidecar_oracle(txns)
+    assert c_got["tool_name"].tolist() == c_want["tool_name"].tolist()
+    assert not any(
+        (e.metrics or {}).get("truncate_fences")
+        for e in mr["tool_calls"].ledger.entries()
+    )
+
+
 def test_drop_table_stops_loudly(spark, tmp_path):
     """DROP TABLE on the tracked table ends its history: the batch raises
     a positioned TrackedTableDropped (INCIDENT stop policy) and commits
