@@ -32,6 +32,7 @@ from mysql_cdc_spark.analytics import (
     multimodal,
     relational,
     text,
+    transcripts,
 )
 
 
@@ -760,7 +761,7 @@ FROM c_ranked WHERE rn = 1 AND kind <> 'delete'
 """
 
 
-_MODULES = (cdc_ops, relational, text, embeddings, multimodal, corpus)
+_MODULES = (cdc_ops, relational, text, embeddings, multimodal, corpus, transcripts)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -788,9 +789,10 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for mod in _MODULES:
         out.update(mod.ORACLES)
-    # materialize the dual-written changelog now: the driver may run the
-    # oracle SQL before (or without) the Spark-side query
+    # materialize the dual-written changelogs now: the driver may run the
+    # oracle SQL before (or without) the Spark-side queries
     _ensure_e2e_oracle_parquet()
+    transcripts.ensure_oracle_inputs()
     out["cdc_replay_e2e"] = CDC_REPLAY_E2E_SQL
     # MINIMAL images and the MariaDB provider change the WIRE form, not
     # the logical stream — the same sequential-replay oracle must hold

@@ -1,0 +1,147 @@
+"""Transcript-native analytics (analytics/transcripts.py): hand-computed
+expectations over a small in-memory state, plan-shape pins, and a DuckDB
+oracle parity pass over the same rows.
+
+The state schema mirrors what the replay tier materializes:
+(conv_id, turn_idx, role, text, tool, ts_ms).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from mysql_cdc_spark.analytics import transcripts as T
+
+ROWS = [
+    # conv a: user/assistant/user/assistant with a tool call, one turn
+    # deleted upstream (turn 2 absent -> adjacency must bridge the gap)
+    ("a", 0, "user", "hi", "", 1_000),
+    ("a", 1, "assistant", "hello there", "search", 2_000),
+    ("a", 3, "user", "thanks", "", 3_000),
+    ("a", 4, "assistant", "bye", "", 4_500),
+    # conv b: system-led, no user->assistant adjacency
+    ("b", 0, "system", "rules", "", 10_000),
+    ("b", 1, "assistant", "ack", "calc", 9_000),  # negative gap (update)
+    # conv c: lone user turn
+    ("c", 0, "user", "ping", "", 5_000),
+]
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    return spark.createDataFrame(pd.DataFrame(ROWS, columns=COLS))
+
+
+def _by(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_reassemble_orders_and_joins(state):
+    out = _by(T.reassemble(state), "conv_id")
+    assert out["a"]["n_turns"] == 4
+    assert out["a"]["dialogue"] == (
+        "user: hi\nassistant: hello there\nuser: thanks\nassistant: bye"
+    )
+    assert out["c"]["dialogue"] == "user: ping"
+
+
+def test_reassemble_orders_regardless_of_input_order(state):
+    # state arrives in arbitrary partition order at scale; the op must
+    # not depend on insertion order
+    shuffled = state.orderBy("ts_ms", ascending=False)
+    out = _by(T.reassemble(shuffled), "conv_id")
+    assert out["a"]["dialogue"].startswith("user: hi\nassistant:")
+
+
+def test_conversation_stats(state):
+    out = _by(T.conversation_stats(state), "conv_id")
+    a = out["a"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"]) == (4, 2, 2)
+    assert a["n_tool_calls"] == 1 and a["n_distinct_tools"] == 1
+    assert a["n_chars"] == len("hi") + len("hello there") + len("thanks") + len("bye")
+    assert (a["first_ts_ms"], a["last_ts_ms"], a["span_ms"]) == (1_000, 4_500, 3_500)
+    assert out["c"]["span_ms"] == 0 and out["c"]["n_distinct_tools"] == 0
+
+
+def test_tool_usage(state):
+    out = _by(T.tool_usage(state), "tool")
+    assert set(out) == {"search", "calc"}
+    assert out["search"]["n_calls"] == 1
+    assert out["search"]["n_conversations"] == 1
+    assert out["search"]["avg_text_chars"] == float(len("hello there"))
+
+
+def test_sft_pairs_survivor_adjacency(state):
+    rows = T.sft_pairs(state).collect()
+    got = {(r.conv_id, r.prompt_turn_idx): r for r in rows}
+    # turn 3 -> 4 is a pair; turn 0 -> 1 is a pair; the deleted turn 2
+    # does not block 3->4 adjacency; conv b/c contribute nothing
+    assert set(got) == {("a", 0), ("a", 3)}
+    assert got[("a", 3)].response == "bye"
+    assert got[("a", 3)].response_turn_idx == 4
+
+
+def test_role_patterns(state):
+    out = _by(T.role_patterns(state), "role_pattern")
+    assert out["uaua"]["n_conversations"] == 1
+    assert out["sa"]["example_conv"] == "b"
+    assert out["u"]["n_conversations"] == 1
+
+
+def test_turn_latency_reports_negative_gaps(state):
+    out = _by(T.turn_latency(state), "conv_id")
+    assert "c" not in out  # single turn -> no gaps
+    assert out["a"]["n_gaps"] == 3 and out["a"]["max_gap_ms"] == 1_500
+    assert out["b"]["min_gap_ms"] == -1_000  # update-rewritten ts surfaces
+
+
+def test_duckdb_oracle_parity_on_shared_rows(spark, state, tmp_path):
+    """The module ORACLES run against the replayed fixture corpus; this
+    pins the analytics SQL itself against the DataFrame ops on rows with
+    known edge cases (deleted turn, negative gap, empty tool)."""
+    con = duckdb.connect()
+    con.register("state_v", pd.DataFrame(ROWS, columns=COLS))
+    analytic_sql = {
+        name: "WITH state AS (SELECT * FROM state_v)" + sql[len(T._STATE_SQL):]
+        for name, sql in T.ORACLES.items()
+    }
+    for name, fn in {
+        "transcript_reassembly": T.reassemble,
+        "transcript_stats": T.conversation_stats,
+        "transcript_tool_usage": T.tool_usage,
+        "transcript_sft_pairs": T.sft_pairs,
+        "transcript_role_patterns": T.role_patterns,
+        "transcript_turn_latency": T.turn_latency,
+    }.items():
+        sdf = fn(state).toPandas()
+        odf = con.execute(analytic_sql[name]).df()
+        sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+        odf = odf.reindex(sorted(odf.columns), axis=1)
+        for c in odf.columns:
+            if pd.api.types.is_integer_dtype(odf[c]):
+                odf[c] = odf[c].astype("int64")
+            if pd.api.types.is_integer_dtype(sdf[c]):
+                sdf[c] = sdf[c].astype("int64")
+        key = list(sdf.columns)
+        sdf = sdf.sort_values(key).reset_index(drop=True)
+        odf = odf.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(sdf, odf, check_dtype=False), name
+
+
+def test_plan_shapes(state):
+    """Scale pins: single-exchange aggregates, no joins anywhere, no
+    Python UDFs (BatchEvalPython) in any transcript plan."""
+    for fn in (T.reassemble, T.conversation_stats, T.tool_usage,
+               T.sft_pairs, T.role_patterns, T.turn_latency):
+        plan = fn(state)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+    # one shuffle for the single-agg ops; the count-distinct in
+    # conversation_stats legitimately adds the distinct-expand exchange
+    # (still keyed on conv_id — key-local at scale)
+    # (tool_usage's count-distinct-conv_id likewise expands)
+    for fn, max_exchanges in ((T.reassemble, 1), (T.tool_usage, 2),
+                              (T.conversation_stats, 2)):
+        plan = fn(state)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= max_exchanges, fn.__name__
