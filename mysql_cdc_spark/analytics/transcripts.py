@@ -311,6 +311,25 @@ def transcript_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_latency(_state(spark))
 
 
+_CHECKSUM_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]
+_CHECKSUM_CHUNKS = 16
+
+
+def transcript_state_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-consistency digest of the replayed state
+    (pipeline/integrity.py, the pt-table-checksum analog): per-chunk
+    row counts + order-insensitive 128-bit-summed row hashes. The
+    oracle computes the identical digest over its own sequential SQL
+    replay — so a pass means the two engines' *full table contents*
+    agree, not just the digest plumbing.
+    """
+    from mysql_cdc_spark.pipeline.integrity import chunked_checksum
+
+    return chunked_checksum(
+        _state(spark), "conv_id", _CHECKSUM_COLS, _CHECKSUM_CHUNKS
+    )
+
+
 # Sequential SQL replay of the dual-written logical changelog (identical
 # rules to __spark_entry__.E2E_REPLAY_SQL_TEMPLATE: at-most-once per
 # transaction seq, last-writer over (seq, op_ord), deletes remove).
@@ -338,6 +357,7 @@ QUERIES = {
     "transcript_sft_pairs": transcript_sft_pairs,
     "transcript_role_patterns": transcript_role_patterns,
     "transcript_turn_latency": transcript_turn_latency,
+    "transcript_state_checksum": transcript_state_checksum,
 }
 
 ORACLES = {
@@ -406,3 +426,14 @@ SELECT conv_id, count(*)::BIGINT AS n_gaps,
 FROM gaps WHERE gap_ms IS NOT NULL GROUP BY conv_id
 """,
 }
+
+
+def _checksum_oracle() -> str:
+    from mysql_cdc_spark.pipeline.integrity import checksum_sql_duck
+
+    return _STATE_SQL + checksum_sql_duck(
+        "state", "conv_id", _CHECKSUM_COLS, _CHECKSUM_CHUNKS
+    )
+
+
+ORACLES["transcript_state_checksum"] = _checksum_oracle()
