@@ -1270,3 +1270,124 @@ class Replayer:
         if self.gc_keep and hasattr(self.target, "gc"):
             self.target.gc(keep_latest=self.gc_keep)
         return new_version
+
+    def checksum(
+        self,
+        key_col: str | None = None,
+        cols: list[str] | None = None,
+        n_chunks: int = 64,
+    ) -> DataFrame:
+        """Replica-consistency digest of the live table
+        (``pipeline.integrity.chunked_checksum``): per-chunk row counts +
+        order-insensitive summed row hashes, O(n_chunks) rows out. The
+        chunk ids are md5-portable, so the source side (MySQL, DuckDB —
+        ``integrity.checksum_sql_duck`` is the SQL twin) computes the
+        identical digest and drift localizes to chunks without moving
+        data. Defaults: chunk on the leading primary-key column over all
+        spec columns."""
+        from .integrity import chunked_checksum
+
+        spec = self.target.spec
+        key_col = key_col or spec.primary_key[0]
+        cols = cols or [c for c, _, _ in spec.columns]
+        state = self.read_state().select(
+            *[F.col(c) for c, _, _ in spec.columns]
+        )
+        return chunked_checksum(state, key_col, cols, n_chunks)
+
+    def repair(
+        self,
+        source_truth: DataFrame,
+        chunk_ids: list[int] | None = None,
+        key_col: str | None = None,
+        n_chunks: int = 64,
+    ) -> int:
+        """Reconcile the live table to ``source_truth`` — the re-sync half
+        of the checksum protocol (pt-table-sync analog): after
+        ``integrity.diff_chunks`` localizes drift, the source ships ONLY
+        the drifted chunks' true rows and this computes the minimal net
+        (stale/extra rows → deletes, changed/missing rows → upserts of
+        the true image) and MERGEs it through the normal sink — write IO
+        is O(touched buckets), the commit is crash-atomic like any batch,
+        and change-feed consumers / IVM views fold the corrections as
+        ordinary changes.
+
+        ``chunk_ids=None`` reconciles against the full source image
+        (initial-sync / audit-repair shape). With ``chunk_ids``, BOTH
+        sides are filtered by the portable chunk expression, so a
+        source that already shipped only those chunks' rows is fine —
+        the filter is then a no-op on it.
+
+        Like ``flashback``, the ledger's read position is untouched:
+        repair fixes the *table*, not the *stream*."""
+        if isinstance(self.target, OrderedParquetMergeTarget) or hasattr(
+            self.target, "order_cols"
+        ):
+            raise TypeError(
+                f"{type(self.target).__name__} outrank-guards stale "
+                "images (streaming sink); repair needs a snapshot-"
+                "semantics target"
+            )
+        from .integrity import chunk_expr
+
+        spec = self.target.spec
+        keys = list(spec.primary_key)
+        key_col = key_col or spec.primary_key[0]
+        cur_version = self.ledger.current_snapshot_version()
+        cur_state = self.target.read(self.spark, cur_version)
+        truth = source_truth.select(
+            *[F.col(c).cast(d).alias(c) for c, d, _ in spec.columns]
+        )
+        if chunk_ids is not None:
+            pred = F.expr(chunk_expr(key_col, n_chunks)).isin(
+                [int(c) for c in chunk_ids]
+            )
+            cur_state = cur_state.where(pred)
+            truth = truth.where(pred)
+        # current → truth diff IS the net to merge (same machinery the
+        # flashback rewind uses; snapshot_diff is change-feed-pinned)
+        delta = snapshot_diff(cur_state, truth, spec)
+        net = delta.select(
+            *keys,
+            F.when(F.col("change_type") == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            *[
+                F.col(c).alias(f"after_{c}")
+                for c, _, _ in spec.columns
+                if c not in keys
+            ],
+        ).persist()
+        try:
+            if not net.head(1):
+                return cur_version  # already consistent — no commit
+            n_fixed = net.count()
+            new_version = self.target.merge(self.spark, net, cur_version)
+        finally:
+            net.unpersist()
+        last = self.ledger.last()
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=self.ledger.next_batch_id(),
+                gtid_set_text=last.gtid_set_text if last else "",
+                max_file=last.max_file if last else "",
+                max_pos=last.max_pos if last else 0,
+                snapshot_version=new_version,
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics={
+                    "maintenance": "repair",
+                    "rows_fixed": int(n_fixed),
+                    "chunks": (
+                        [int(c) for c in chunk_ids]
+                        if chunk_ids is not None
+                        else "all"
+                    ),
+                },
+            )
+        )
+        for view in self.views:
+            view.refresh(self.spark, self.target, new_version)
+        if self.gc_keep and hasattr(self.target, "gc"):
+            self.target.gc(keep_latest=self.gc_keep)
+        return new_version
