@@ -315,6 +315,76 @@ _CHECKSUM_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]
 _CHECKSUM_CHUNKS = 16
 
 
+_REPAIR_STATE_DIR = os.path.join(_TMP, "transcript_repair_state")
+
+# portable drift predicate: convs whose id ends in 0-4 get corrected
+_DRIFT_PRED = "right(conv_id, 1) IN ('0','1','2','3','4')"
+
+
+def transcript_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full consistency protocol, end-to-end, against a live store:
+    replay the binlog corpus into a FRESH store, drift the source of
+    truth deterministically (corrected turn-0 texts + retracted system
+    turns + appended audit rows, for half the conversations), localize
+    the drift with ``Replayer.checksum``/``diff_chunks`` (asserting the
+    undrifted chunks digest clean), ``repair`` only the drifted chunks,
+    and return the final state. The oracle applies the same mutation in
+    SQL over its own sequential replay — so a pass proves the repair
+    merge produced exactly the corrected table, byte-for-byte, while
+    leaving untouched chunks alone.
+    """
+    done = _REPAIR_STATE_DIR + ".complete"
+    if not os.path.exists(done):
+        from mysql_cdc_spark.pipeline.integrity import (
+            chunked_checksum,
+            diff_chunks,
+        )
+        from mysql_cdc_spark.pipeline.replay import Replayer
+
+        binlog_dir = _ensure_binlog()
+        store = tempfile.mkdtemp(prefix="transcript_repair_store_")
+        rep = Replayer(spark, binlog_dir, store, salt_buckets=4)
+        rep.replay()
+        spec_cols = [c for c, _, _ in rep.target.spec.columns]
+        state = rep.read_state().select(*spec_cols)
+        truth = state.selectExpr(
+            "conv_id", "turn_idx", "role",
+            f"CASE WHEN {_DRIFT_PRED} AND turn_idx = 0 "
+            "THEN 'corrected: ' || conv_id ELSE text END AS text",
+            "ts", "tool",
+        ).where(f"NOT ({_DRIFT_PRED} AND role = 'system')").unionByName(
+            state.where(_DRIFT_PRED)
+            .select("conv_id")
+            .distinct()
+            .selectExpr(
+                "conv_id", "CAST(10000 AS INT) AS turn_idx",
+                "'audit' AS role", "'audit row ' || conv_id AS text",
+                "timestamp_millis(0) AS ts", "'' AS tool",
+            )
+        ).select(*spec_cols)
+        n_chunks = _CHECKSUM_CHUNKS
+        bad = diff_chunks(
+            rep.checksum(n_chunks=n_chunks),
+            chunked_checksum(truth, "conv_id", spec_cols, n_chunks),
+        )
+        bad_ids = [r["chunk_id"] for r in bad.collect()]
+        rep.repair(truth, chunk_ids=bad_ids, n_chunks=n_chunks)
+        (
+            rep.read_state()
+            .select(
+                "conv_id", "turn_idx", "role", "text",
+                F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+            )
+            .write.mode("overwrite")
+            .parquet(_REPAIR_STATE_DIR)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(_REPAIR_STATE_DIR)
+
+
 def transcript_state_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replica-consistency digest of the replayed state
     (pipeline/integrity.py, the pt-table-checksum analog): per-chunk
@@ -358,6 +428,7 @@ QUERIES = {
     "transcript_role_patterns": transcript_role_patterns,
     "transcript_turn_latency": transcript_turn_latency,
     "transcript_state_checksum": transcript_state_checksum,
+    "transcript_repair_roundtrip": transcript_repair_roundtrip,
 }
 
 ORACLES = {
@@ -437,3 +508,22 @@ def _checksum_oracle() -> str:
 
 
 ORACLES["transcript_state_checksum"] = _checksum_oracle()
+
+# the corrected table the repair must converge the store to, computed
+# directly over the oracle's own sequential replay
+ORACLES["transcript_repair_roundtrip"] = _STATE_SQL + f"""
+, truth AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN {_DRIFT_PRED} AND turn_idx = 0
+              THEN 'corrected: ' || conv_id ELSE text END AS text,
+         tool, ts_ms
+  FROM state
+  WHERE NOT ({_DRIFT_PRED} AND role = 'system')
+  UNION ALL
+  SELECT DISTINCT conv_id, CAST(10000 AS INTEGER) AS turn_idx,
+         'audit' AS role, 'audit row ' || conv_id AS text,
+         '' AS tool, CAST(0 AS BIGINT) AS ts_ms
+  FROM state WHERE {_DRIFT_PRED}
+)
+SELECT conv_id, turn_idx, role, text, tool, ts_ms FROM truth
+"""
