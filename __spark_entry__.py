@@ -234,6 +234,60 @@ def cdc_replay_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_e2e(spark, text_wire="text")
 
 
+_FOREIGN_SERVER_ID = 77
+
+
+def _ensure_ignore_server_binlog() -> str:
+    """Circular-replication corpus: every 5th transaction's events carry
+    a FOREIGN origin server_id in their headers (the shape a relay in a
+    multi-primary ring logs for writes that originated elsewhere)."""
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+
+    binlog_dir = os.path.join(tempfile.gettempdir(), "cdc_e2e_binlog_ignore_server")
+    done_marker = binlog_dir + ".complete"
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        txns = generate_changelog(**_E2E_KNOBS)
+        write_binlog_files(
+            txns, binlog_dir, txns_per_file=40,
+            server_id_by_seq={
+                t.seq: _FOREIGN_SERVER_ID for t in txns if t.seq % 5 == 0
+            },
+        )
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    return binlog_dir
+
+
+def cdc_replay_ignore_server_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular-replication guard end-to-end (MySQL IGNORE_SERVER_IDS /
+    replicate-same-server-id=0 semantics, beyond-reference): the corpus
+    interleaves foreign-origin transactions (header server_id 77, every
+    5th seq) with own writes; ``ignore_server_ids`` must skip the
+    foreign rows while positions and GTID coverage advance over them.
+    Oracle: the sequential replay over the dual-written changelog with
+    the same every-5th-seq transactions excluded — a foreign row that
+    leaks through (or an own row wrongly dropped) hash-mismatches."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = _ensure_ignore_server_binlog()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_ignore_server_")
+    rep = Replayer(
+        spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4,
+        ignore_server_ids=(_FOREIGN_SERVER_ID,),
+    )
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 def cdc_replay_flashback_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time rewind (Iceberg RESTORE semantics; MariaDB
     ``mysqlbinlog --flashback`` analog): replay the full corpus in
@@ -781,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
     out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
+    out["cdc_replay_ignore_server_e2e"] = cdc_replay_ignore_server_e2e
     out["cdc_replay_truncate_e2e"] = cdc_replay_truncate_e2e
     return out
 
@@ -842,6 +897,14 @@ def oracle_sql() -> dict[str, str]:
         src=(
             f"(SELECT * FROM read_parquet('{_E2E_ORACLE_PARQUET}')"
             " WHERE txn_ord < 40)"
+        )
+    )
+    # circular-replication guard: the foreign-origin transactions (every
+    # 5th seq in the corpus) must not contribute to final state
+    out["cdc_replay_ignore_server_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
+        src=(
+            f"(SELECT * FROM read_parquet('{_E2E_ORACLE_PARQUET}')"
+            " WHERE seq % 5 <> 0)"
         )
     )
     # truncate fence: first-delivery txn_ord of the TRUNCATE row cuts the

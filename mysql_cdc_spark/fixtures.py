@@ -501,6 +501,7 @@ def write_binlog_files(
     failover: tuple[int, str] | None = None,
     sidecar: bool = False,
     text_wire: str = "varchar",
+    server_id_by_seq: dict[int, int] | None = None,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -618,7 +619,7 @@ def write_binlog_files(
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
                 row_metadata, alter_before_seq, rows_query, partitions,
-                failover, sidecar, text_wire, xa_plan,
+                failover, sidecar, text_wire, server_id_by_seq, xa_plan,
                 head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
@@ -634,7 +635,7 @@ def write_binlog_files(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
                  row_metadata, alter_before_seq, rows_query, partitions,
-                 failover, sidecar, text_wire, xa_plan,
+                 failover, sidecar, text_wire, server_id_by_seq, xa_plan,
                  head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
@@ -645,7 +646,7 @@ def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
      row_metadata, alter_before_seq, rows_query, partitions, failover,
-     sidecar, text_wire, *xa_extra) = job
+     sidecar, text_wire, server_id_by_seq, *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -668,6 +669,10 @@ def _write_one_file(job) -> str:
 
     _emit_verdicts(head_verdicts)
     for txn in chunk:
+        # circular-replication corpus: a txn that ORIGINATED on another
+        # server carries that server's id in every event header (how a
+        # relay in a multi-primary ring logs foreign writes)
+        writer.server_id = (server_id_by_seq or {}).get(txn.seq, server_id)
         cols = POST_COLUMNS if txn.evolved else PRE_COLUMNS
         table_id = TABLE_ID_POST if txn.evolved else TABLE_ID_PRE
         ctypes = [COLUMN_TYPES[c][0] for c in cols]
@@ -908,6 +913,8 @@ def _write_one_file(job) -> str:
                 )
         else:
             writer.write_xid(txn.seq, timestamp=txn.timestamp)
+    # control events at file end (verdicts, rotate) are the relay's own
+    writer.server_id = server_id
     _emit_verdicts(tail_verdicts)
     if fidx + 1 < n_files:
         writer.write_rotate(f"{file_prefix}.{fidx + 2:06d}")

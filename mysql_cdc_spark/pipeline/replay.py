@@ -185,6 +185,7 @@ class Replayer:
         history: object | None = None,
         xa: str = "local",
         gc_keep: int | None = None,
+        ignore_server_ids: tuple[int, ...] = (),
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -257,7 +258,22 @@ class Replayer:
         ledger — the next batch rewinds to it (covered transactions
         drop via the GTID anti-join) and applies the transaction once its
         verdict arrives, however many batches later. Streams without XA
-        pay one C-level substring scan per segment."""
+        pay one C-level substring scan per segment.
+
+        ``ignore_server_ids``: the circular-replication guard — MySQL's
+        ``IGNORE_SERVER_IDS``/``replicate-same-server-id=0`` semantics. In
+        a multi-primary ring every relay re-logs foreign writes under the
+        ORIGINATING server's header id; a consumer tailing its own relay
+        must skip events that originated on servers it already consumes
+        directly, or rows apply twice (or loop forever). Change rows whose
+        header ``server_id`` is listed are dropped AFTER decode and the
+        transaction gate but BEFORE dedup/merge; positions and the GTID
+        ledger still advance over them (skip-and-advance, exactly like a
+        replica's SQL thread discarding an event after the IO thread
+        stored it) — so resume never re-reads skipped ranges. Batch
+        Replayer scope (like the statement fences); the streaming apply
+        tier consumes pre-decoded frames where the filter composes
+        upstream."""
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
@@ -272,6 +288,7 @@ class Replayer:
         self.spec = spec
         self.salt_buckets = salt_buckets
         self.row_image = row_image
+        self.ignore_server_ids = tuple(int(s) for s in ignore_server_ids)
         self.ledger = Ledger(store_dir)
         # Default sink is the bucket-pruned copy-on-write target: per-batch
         # IO is O(touched-bucket data), not O(table), which is the only
@@ -453,6 +470,13 @@ class Replayer:
             before_values="keys", xa_outcomes=xa_verdicts,
         )
         changes = gate_complete_transactions(changes)
+        if self.ignore_server_ids:
+            # circular-replication guard (see __init__): drop foreign-
+            # origin rows after the gate; the stats pass still walks every
+            # event, so positions and GTID coverage advance over them
+            changes = changes.filter(
+                ~F.col("server_id").isin(list(self.ignore_server_ids))
+            )
 
         covered = self.ledger.covered_gtid_set()
         if covered.uuid_sets:
