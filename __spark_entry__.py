@@ -234,6 +234,34 @@ def cdc_replay_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_e2e(spark, text_wire="text")
 
 
+def cdc_replay_redacted_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time masking end-to-end (beyond-reference): the replay runs
+    with ``column_transforms`` rewriting every digit in ``text`` to ``#``
+    before dedup/merge — the in-flight PII/number-masking shape of a
+    training-data ingest, where raw values must never reach the lake or
+    its history. Because the rewrite is per-row, deterministic, and
+    key-stable it commutes with last-writer-wins, so the oracle is the
+    plain sequential replay with the same regexp applied to the FINAL
+    state — any ordering interaction (or an unmasked row leaking
+    through) hash-mismatches."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = _ensure_e2e_binlog()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_redacted_")
+    rep = Replayer(
+        spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4,
+        column_transforms={"text": "regexp_replace(text, '[0-9]', '#')"},
+    )
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 _FOREIGN_SERVER_ID = 77
 
 
@@ -836,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
     out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
     out["cdc_replay_ignore_server_e2e"] = cdc_replay_ignore_server_e2e
+    out["cdc_replay_redacted_e2e"] = cdc_replay_redacted_e2e
     out["cdc_replay_truncate_e2e"] = cdc_replay_truncate_e2e
     return out
 
@@ -899,6 +928,14 @@ def oracle_sql() -> dict[str, str]:
             " WHERE txn_ord < 40)"
         )
     )
+    # ingest-time masking commutes with LWW (per-row, key-stable), so the
+    # oracle masks the plain replay's FINAL state ('g' = DuckDB's
+    # replace-all flag; Spark's regexp_replace is always global)
+    out["cdc_replay_redacted_e2e"] = f"""
+SELECT conv_id, turn_idx, role,
+       regexp_replace(text, '[0-9]', '#', 'g') AS text, tool, ts_ms
+FROM ({CDC_REPLAY_E2E_SQL})
+"""
     # circular-replication guard: the foreign-origin transactions (every
     # 5th seq in the corpus) must not contribute to final state
     out["cdc_replay_ignore_server_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(

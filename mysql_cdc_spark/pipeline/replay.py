@@ -186,6 +186,7 @@ class Replayer:
         xa: str = "local",
         gc_keep: int | None = None,
         ignore_server_ids: tuple[int, ...] = (),
+        column_transforms: dict[str, str] | None = None,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -273,7 +274,21 @@ class Replayer:
         stored it) — so resume never re-reads skipped ranges. Batch
         Replayer scope (like the statement fences); the streaming apply
         tier consumes pre-decoded frames where the filter composes
-        upstream."""
+        upstream.
+
+        ``column_transforms``: ingest-time column rewrites — ``{column:
+        SQL expression over the spec's column names}``, applied to every
+        change row's after-image between decode and dedup/merge (e.g.
+        ``{"text": "regexp_replace(text, '[0-9]', '#')"}`` for in-flight
+        PII/number masking of a training-data ingest: raw values never
+        reach the lake, its snapshots, change feed, or SCD2 history).
+        Expressions must be deterministic, per-row, and NULL-preserving
+        (a delete's absent after-image must stay NULL), and must not
+        touch primary-key columns — key rewrites would break dedup and
+        bucket placement; use a downstream view for those. Because the
+        rewrite is per-row and key-stable it commutes with last-writer-
+        wins, so the final table equals "replay then transform" exactly
+        (pinned by the ``cdc_replay_redacted_e2e`` oracle)."""
         self.spark = spark
         self.binlog_dir = binlog_dir
         self.store_dir = store_dir
@@ -289,6 +304,20 @@ class Replayer:
         self.salt_buckets = salt_buckets
         self.row_image = row_image
         self.ignore_server_ids = tuple(int(s) for s in ignore_server_ids)
+        if column_transforms:
+            key_hits = set(column_transforms) & set(spec.primary_key)
+            if key_hits:
+                raise ValueError(
+                    f"column_transforms must not rewrite primary-key "
+                    f"columns {sorted(key_hits)}: dedup and bucket "
+                    "placement key on the stored values"
+                )
+            unknown = set(column_transforms) - {c for c, _, _ in spec.columns}
+            if unknown:
+                raise ValueError(
+                    f"column_transforms for unknown columns: {sorted(unknown)}"
+                )
+        self.column_transforms = dict(column_transforms or {})
         self.ledger = Ledger(store_dir)
         # Default sink is the bucket-pruned copy-on-write target: per-batch
         # IO is O(touched-bucket data), not O(table), which is the only
@@ -515,6 +544,17 @@ class Replayer:
             "row_in_event", "after_present",
             *[f"after_{n}" for n, _, _ in spec.columns],
         )
+        if self.column_transforms:
+            # ingest-time rewrites (see __init__): bind the spec's logical
+            # names over the after-images so user expressions read
+            # naturally, evaluate, write back — all codegen projections,
+            # no extra exchange
+            temps = [c for c, _, _ in spec.columns if c not in keys]
+            for c in temps:
+                changes = changes.withColumn(c, F.col(f"after_{c}"))
+            for col, expr in self.column_transforms.items():
+                changes = changes.withColumn(f"after_{col}", F.expr(expr))
+            changes = changes.drop(*temps)
 
         phase_t = {}
 
