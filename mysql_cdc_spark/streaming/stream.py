@@ -50,21 +50,42 @@ def stream_apply(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     target: object | None = None,
+    ignore_server_ids: tuple[int, ...] = (),
+    column_transforms: dict[str, str] | None = None,
 ):
     """Run the apply tier as a Structured Streaming query; returns the
     StreamingQuery (caller awaits termination). Applies FULL row images
     (whole-row LWW); for binlog_row_image=MINIMAL use the batch path's
     ``Replayer(row_image="minimal")`` per-column merge.
 
+    ``ignore_server_ids`` / ``column_transforms``: the streaming twins of
+    the batch ``Replayer`` knobs (circular-replication guard; ingest-time
+    masking) — same semantics, applied per micro-batch before dedup so
+    skipped/unmasked values never reach the store. Spark's streaming
+    checkpoint still advances over skipped rows (the file offset is the
+    position, not the row), mirroring the batch path's skip-and-advance.
+
     Default sink: ``OrderedBucketedMergeTarget`` — the outrank guard and
     tombstones on the bucket-pruned CoW layout, so a steady-state trigger
     touching K conversations rewrites K buckets, not the table. Pass
     ``target=OrderedParquetMergeTarget(...)`` for the plain full-rewrite
     form."""
+    keys = list(spec.primary_key)
+    if column_transforms:
+        key_hits = set(column_transforms) & set(keys)
+        if key_hits:
+            raise ValueError(
+                f"column_transforms must not rewrite primary-key columns "
+                f"{sorted(key_hits)}"
+            )
+        unknown = set(column_transforms) - {c for c, _, _ in spec.columns}
+        if unknown:
+            raise ValueError(
+                f"column_transforms for unknown columns: {sorted(unknown)}"
+            )
     target = target or OrderedBucketedMergeTarget(
         store_dir, spec, order_cols=tuple(ORDER_COLS)
     )
-    keys = list(spec.primary_key)
     payload_cols = list(
         dict.fromkeys(
             ["op"]
@@ -81,7 +102,18 @@ def stream_apply(
 
     # transaction gate + key derivation, same operators as the batch path
     stream = stream.filter(F.col("xid").isNotNull())
+    if ignore_server_ids:
+        stream = stream.filter(
+            ~F.col("server_id").isin([int(s) for s in ignore_server_ids])
+        )
     stream = with_change_key(stream, keys)
+    if column_transforms:
+        temps = [c for c, _, _ in spec.columns if c not in keys]
+        for c in temps:
+            stream = stream.withColumn(c, F.col(f"after_{c}"))
+        for col, expr in column_transforms.items():
+            stream = stream.withColumn(f"after_{col}", F.expr(expr))
+        stream = stream.drop(*temps)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         net = last_writer_wins(

@@ -344,3 +344,57 @@ class TestWindowedMetrics:
         w = {tuple(r) for r in want.collect()}
         changes.unpersist()
         assert w and w == g
+
+
+class TestStreamKnobParity:
+    """ignore_server_ids / column_transforms on the streaming apply tier
+    mirror the batch Replayer semantics."""
+
+    def test_stream_transforms_mask_at_ingest(self, spark, txns, tmp_path):
+        import re
+
+        binlog = str(tmp_path / "kbinlog")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "kchangelog")
+        write_changelog(changes, changelog)
+
+        store = str(tmp_path / "kstore")
+        q = stream_apply(
+            spark, changelog, store, available_now=True,
+            column_transforms={"text": "regexp_replace(text, '[0-9]', '#')"},
+        )
+        q.awaitTermination(120)
+        got = _final_pdf(read_stream_state(spark, store))
+        want = apply_changelog_oracle(txns)
+        masked = [re.sub(r"[0-9]", "#", s) for s in want["text"].tolist()]
+        assert got["text"].tolist() == masked
+        assert not got["text"].str.contains(r"[0-9]").any()
+
+    def test_stream_ignore_server_ids(self, spark, txns, tmp_path):
+        foreign = {t.seq for t in txns if t.seq % 5 == 0}
+        binlog = str(tmp_path / "ibinlog")
+        write_binlog_files(
+            txns, binlog, txns_per_file=30,
+            server_id_by_seq={s: 66 for s in foreign},
+        )
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "ichangelog")
+        write_changelog(changes, changelog)
+
+        store = str(tmp_path / "istore")
+        q = stream_apply(
+            spark, changelog, store, available_now=True,
+            ignore_server_ids=(66,),
+        )
+        q.awaitTermination(120)
+        got = _final_pdf(read_stream_state(spark, store))
+        want = apply_changelog_oracle([t for t in txns if t.seq not in foreign])
+        assert got["text"].tolist() == want["text"].tolist()
+
+    def test_stream_key_transform_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="primary-key"):
+            stream_apply(
+                spark, str(tmp_path / "nochangelog"), str(tmp_path / "nostore"),
+                column_transforms={"conv_id": "upper(conv_id)"},
+            )
