@@ -311,6 +311,44 @@ def transcript_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_latency(_state(spark))
 
 
+_CONTEXT_TOKENS = 64   # training context budget (small to be non-vacuous
+                       # at fixture scale; the op is budget-parametric)
+
+
+def context_fit(state: DataFrame, budget: int = _CONTEXT_TOKENS) -> DataFrame:
+    """Context-window fit analysis: how much of each conversation fits a
+    ``budget``-token training context when turns stream in order — the
+    decision input for truncate-vs-split policies in a dialogue-SFT
+    pipeline. Tokens = whitespace words (the same cheap estimator the
+    corpus ops use).
+
+    Plan: one window exchange on ``conv_id`` (running token sum over
+    turn order) + one combinable aggregation on the same key.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = state.select(
+        "conv_id",
+        F.expr(r"size(split(trim(text), '\\s+'))").alias("n_tokens"),
+        F.sum(F.expr(r"size(split(trim(text), '\\s+'))")).over(w).alias("cum"),
+    )
+    return toks.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("cum") <= budget, 1).otherwise(0)).alias(
+            "turns_in_budget"
+        ),
+        (F.max("cum") <= budget).cast("int").alias("fits_budget"),
+    )
+
+
+def transcript_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return context_fit(_state(spark))
+
+
 _CHECKSUM_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]
 _CHECKSUM_CHUNKS = 16
 
@@ -429,6 +467,7 @@ QUERIES = {
     "transcript_turn_latency": transcript_turn_latency,
     "transcript_state_checksum": transcript_state_checksum,
     "transcript_repair_roundtrip": transcript_repair_roundtrip,
+    "transcript_context_fit": transcript_context_fit,
 }
 
 ORACLES = {
@@ -508,6 +547,22 @@ def _checksum_oracle() -> str:
 
 
 ORACLES["transcript_state_checksum"] = _checksum_oracle()
+
+ORACLES["transcript_context_fit"] = _STATE_SQL + f"""
+, toks AS (
+  SELECT conv_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum
+  FROM state
+)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(CASE WHEN cum <= {_CONTEXT_TOKENS} THEN 1 ELSE 0 END)::BIGINT
+         AS turns_in_budget,
+       (max(cum) <= {_CONTEXT_TOKENS})::INT AS fits_budget
+FROM toks GROUP BY conv_id
+"""
 
 # the corrected table the repair must converge the store to, computed
 # directly over the oracle's own sequential replay
