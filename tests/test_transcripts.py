@@ -145,3 +145,14 @@ def test_plan_shapes(state):
                               (T.conversation_stats, 2)):
         plan = fn(state)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= max_exchanges, fn.__name__
+
+
+def test_context_fit_budget_math(state):
+    out = _by(T.context_fit(state, budget=3), "conv_id")
+    # conv a tokens per turn: hi=1, "hello there"=2, thanks=1, bye=1
+    # cums: 1,3,4,5 -> turns_in_budget=2, total=5, doesn't fit
+    a = out["a"]
+    assert (a["n_turns"], a["total_tokens"]) == (4, 5)
+    assert a["turns_in_budget"] == 2 and a["fits_budget"] == 0
+    # conv c: single 1-token turn fits
+    assert out["c"]["fits_budget"] == 1 and out["c"]["turns_in_budget"] == 1
