@@ -349,6 +349,65 @@ def _h14_duck(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 14))::BIGINT)"
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    out_prefix: str = "doc",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pair mining over any (id, text) frame —
+    the reusable core behind ``minhash_lsh_neardup`` (documents table)
+    and ``transcripts.conversation_neardup`` (reassembled conversations).
+
+    Returns ``({out_prefix}_a, {out_prefix}_b, jaccard)`` with exact
+    verified Jaccard ≥ ``threshold``. See ``minhash_lsh_neardup`` for
+    the staging/scale rationale.
+    """
+    words = rf"split(lower(trim({text_col})), '\\s+')"
+    sh = _shingles(words, "spark")
+    mh = [
+        f"array_min(transform(shingles, k -> (k * {a} + {b}) % {_P61})) as mh{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    sig = (
+        df.selectExpr(f"{id_col} as _nd_id", f"{sh} as sh_text")
+        .selectExpr("_nd_id", f"transform(sh_text, s -> {_h14('s')}) as shingles")
+        .selectExpr("_nd_id", "shingles", *mh)
+        .persist()
+    )
+    band_cols = ", ".join(
+        f"named_struct('band', {b}, 'key', md5(concat_ws(',', mh{2*b}, mh{2*b+1})))"
+        for b in range(_BANDS)
+    )
+    # banded rows carry ONLY (id, band, key) — the shingle arrays never
+    # enter the bucket join; at corpus scale the exchange is ~40 B/doc/band
+    banded = sig.selectExpr("_nd_id", f"explode(array({band_cols})) as bk").selectExpr(
+        "_nd_id", "bk.band as band", "bk.key as key"
+    )
+    ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"
+    a = banded.selectExpr(f"_nd_id as {ca}", "band", "key")
+    b = banded.selectExpr(f"_nd_id as {cb}", "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(ca) < F.col(cb))
+        .select(ca, cb)
+        .distinct()
+    )
+    # verification joins attach shingles only to surviving candidates
+    sh_df = sig.select("_nd_id", "shingles")
+    return (
+        pairs.join(sh_df.selectExpr(f"_nd_id as {ca}", "shingles as sh_a"), ca)
+        .join(sh_df.selectExpr(f"_nd_id as {cb}", "shingles as sh_b"), cb)
+        .selectExpr(
+            ca,
+            cb,
+            "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate detection, the scale path for corpus
     dedup (shingle → minhash → band → bucket-join → verify):
@@ -371,87 +430,61 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
        keep ≥ 0.5.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(WORDS, "spark")
-    mh = [
-        f"array_min(transform(shingles, k -> (k * {a} + {b}) % {_P61})) as mh{i}"
-        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
-    ]
-    sig = (
-        docs.selectExpr("doc_id", f"{sh} as sh_text")
-        .selectExpr("doc_id", f"transform(sh_text, s -> {_h14('s')}) as shingles")
-        .selectExpr("doc_id", "shingles", *mh)
-        .persist()
-    )
-    band_cols = ", ".join(
-        f"named_struct('band', {b}, 'key', md5(concat_ws(',', mh{2*b}, mh{2*b+1})))"
-        for b in range(_BANDS)
-    )
-    # banded rows carry ONLY (doc_id, band, key) — the shingle arrays never
-    # enter the bucket join; at corpus scale the exchange is ~40 B/doc/band
-    banded = sig.selectExpr("doc_id", f"explode(array({band_cols})) as bk").selectExpr(
-        "doc_id", "bk.band as band", "bk.key as key"
-    )
-    a = banded.selectExpr("doc_id as doc_a", "band", "key")
-    b = banded.selectExpr("doc_id as doc_b", "band", "key")
-    pairs = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # verification joins attach shingles only to surviving candidates
-    sh_df = sig.select("doc_id", "shingles")
-    return (
-        pairs.join(sh_df.selectExpr("doc_id as doc_a", "shingles as sh_a"), "doc_a")
-        .join(sh_df.selectExpr("doc_id as doc_b", "shingles as sh_b"), "doc_b")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "round(size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b)), 4) as jaccard",
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
-def _minhash_sql() -> str:
-    sh = _shingles(WORDS_DUCK, "duck")
+def minhash_pairs_sql(
+    relation: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    out_prefix: str = "doc",
+) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs`` — same shingles, hash family,
+    banding, and verification over ``relation(id_col, text_col)``.
+    Emitted as a bare CTE chain + final SELECT (no leading ``WITH``), so
+    it composes after an existing ``WITH x AS (...),`` prefix or runs
+    standalone with ``"WITH " + minhash_pairs_sql(...)``."""
+    words = rf"regexp_split_to_array(lower(trim({text_col})), '\s+')"
+    sh = _shingles(words, "duck")
     mh = ", ".join(
         f"list_min(list_transform(shingles, k -> (k * {a} + {b}) % {_P61})) AS mh{i}"
         for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, shingles, {b} AS band, "
-        f"md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS key FROM sig"
+        f"SELECT _nd_id, shingles, {b} AS band, "
+        f"md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS key FROM nd_sig"
         for b in range(_BANDS)
     )
+    ca, cb = f"{out_prefix}_a", f"{out_prefix}_b"
     return f"""
-WITH docs_sh AS (
-  SELECT doc_id,
+nd_sh AS (
+  SELECT {id_col} AS _nd_id,
          list_transform({sh}, s -> {_h14_duck('s')}) AS shingles
-  FROM documents
-), sig AS (
-  SELECT doc_id, shingles, {mh} FROM docs_sh
-), banded AS (
+  FROM {relation}
+), nd_sig AS (
+  SELECT _nd_id, shingles, {mh} FROM nd_sh
+), nd_banded AS (
   {band_rows}
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), nd_pairs AS (
+  SELECT DISTINCT a._nd_id AS {ca}, b._nd_id AS {cb}
+  FROM nd_banded a JOIN nd_banded b
+    ON a.band = b.band AND a.key = b.key AND a._nd_id < b._nd_id
 )
-SELECT p.doc_a, p.doc_b,
+SELECT p.{ca}, p.{cb},
        round(len(list_intersect(sa.shingles, sb.shingles))
              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
              4) AS jaccard
-FROM pairs p
-JOIN docs_sh sa ON p.doc_a = sa.doc_id
-JOIN docs_sh sb ON p.doc_b = sb.doc_id
+FROM nd_pairs p
+JOIN nd_sh sa ON p.{ca} = sa._nd_id
+JOIN nd_sh sb ON p.{cb} = sb._nd_id
 WHERE round(len(list_intersect(sa.shingles, sb.shingles))
             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
-            4) >= 0.5
+            4) >= {threshold}
 """
 
 
-MINHASH_SQL = _minhash_sql()
+MINHASH_SQL = "WITH " + minhash_pairs_sql("documents", "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------

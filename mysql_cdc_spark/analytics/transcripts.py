@@ -282,6 +282,53 @@ def turn_latency(state: DataFrame) -> DataFrame:
     )
 
 
+def conversation_neardup(state: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Conversation-level near-duplicate detection: reassemble each
+    conversation into its ordered dialogue document, then mine
+    near-identical pairs with the corpus tier's MinHash+LSH pair miner
+    (``text.minhash_lsh_pairs`` — word-3-gram shingles → k=8 affine
+    minhashes → 4-band bucket join → exact-Jaccard verify ≥ threshold).
+
+    This is the dedup pass a dialogue-SFT pipeline runs over a live,
+    CDC-maintained transcript table: regenerated or branched
+    conversations (same history, one rewritten turn) are near-identical
+    documents that exact dedup misses — LSH surfaces them without ever
+    comparing conversations pairwise.
+
+    Plan: reassembly is one exchange on ``conv_id``; the LSH stages add
+    one exchange on (band, key) carrying 4×40 B per conversation and a
+    candidates-only verify join — no stage touches dialogue text after
+    shingling, so the op scales with conversations, not corpus bytes.
+    """
+    from .text import minhash_lsh_pairs
+
+    docs = reassemble(state).select("conv_id", "dialogue")
+    return minhash_lsh_pairs(
+        docs, "conv_id", "dialogue", threshold=threshold, out_prefix="conv"
+    )
+
+
+# deterministic fork construct for the harness: conversations whose id
+# ends in 0-4 get a regenerated branch — same history, turn 0 rewritten —
+# the exact shape near-dup must surface (and the others must NOT pair)
+_FORK_PRED = "right(conv_id, 1) IN ('0','1','2','3','4')"
+_FORK_SUFFIX = "~fork"
+_FORK_TEXT = "CASE WHEN turn_idx = 0 THEN text || ' regenerated variant' ELSE text END"
+
+
+def transcript_conversation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _state(spark)
+    forked = state.where(_FORK_PRED).selectExpr(
+        f"conv_id || '{_FORK_SUFFIX}' AS conv_id",
+        "turn_idx",
+        "role",
+        f"{_FORK_TEXT} AS text",
+        "tool",
+        "ts_ms",
+    )
+    return conversation_neardup(state.unionByName(forked))
+
+
 # ---------------------------------------------------------------------------
 # driver harness wrappers + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -468,6 +515,7 @@ QUERIES = {
     "transcript_state_checksum": transcript_state_checksum,
     "transcript_repair_roundtrip": transcript_repair_roundtrip,
     "transcript_context_fit": transcript_context_fit,
+    "transcript_conversation_neardup": transcript_conversation_neardup,
 }
 
 ORACLES = {
@@ -563,6 +611,28 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        (max(cum) <= {_CONTEXT_TOKENS})::INT AS fits_budget
 FROM toks GROUP BY conv_id
 """
+
+def _neardup_oracle() -> str:
+    from .text import minhash_pairs_sql
+
+    return _STATE_SQL + f"""
+, nd_src AS (
+  SELECT conv_id, turn_idx, role, text FROM state
+  UNION ALL
+  SELECT conv_id || '{_FORK_SUFFIX}' AS conv_id, turn_idx, role,
+         {_FORK_TEXT} AS text
+  FROM state WHERE {_FORK_PRED}
+), nd_docs AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+           AS dialogue
+  FROM nd_src GROUP BY conv_id
+), """ + minhash_pairs_sql(
+        "nd_docs", "conv_id", "dialogue", threshold=0.5, out_prefix="conv"
+    )
+
+
+ORACLES["transcript_conversation_neardup"] = _neardup_oracle()
 
 # the corrected table the repair must converge the store to, computed
 # directly over the oracle's own sequential replay

@@ -156,3 +156,47 @@ def test_context_fit_budget_math(state):
     assert a["turns_in_budget"] == 2 and a["fits_budget"] == 0
     # conv c: single 1-token turn fits
     assert out["c"]["fits_budget"] == 1 and out["c"]["turns_in_budget"] == 1
+
+
+_LONG = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon"
+)
+
+NEARDUP_ROWS = [
+    # x and y: identical 3-turn history except y's last turn is a
+    # regenerated variant -> near-dup pair (jaccard well above 0.5)
+    ("x", 0, "user", _LONG, "", 1_000),
+    ("x", 1, "assistant", _LONG + " indeed truly", "", 2_000),
+    ("x", 2, "user", _LONG, "", 3_000),
+    ("y", 0, "user", _LONG, "", 1_000),
+    ("y", 1, "assistant", _LONG + " indeed truly", "", 2_000),
+    ("y", 2, "user", _LONG + " but rewritten slightly", "", 3_000),
+    # z: disjoint vocabulary -> must pair with nothing
+    ("z", 0, "user", "completely unrelated words about spark plans "
+                     "and shuffle exchanges at petabyte corpus scale", "", 1_000),
+]
+
+
+def test_conversation_neardup_finds_fork_and_discriminates(spark):
+    st = spark.createDataFrame(pd.DataFrame(NEARDUP_ROWS, columns=COLS))
+    rows = T.conversation_neardup(st).collect()
+    pairs = {(r["conv_a"], r["conv_b"]) for r in rows}
+    assert pairs == {("x", "y")}
+    (j,) = [r["jaccard"] for r in rows]
+    assert 0.5 <= j < 1.0
+
+
+def test_conversation_neardup_threshold_is_exact_jaccard(spark):
+    st = spark.createDataFrame(pd.DataFrame(NEARDUP_ROWS, columns=COLS))
+    # raising the threshold above the pair's verified jaccard drops it:
+    # the LSH candidates are identical, so this pins the exact-verify gate
+    (j,) = [r["jaccard"] for r in T.conversation_neardup(st).collect()]
+    assert T.conversation_neardup(st, threshold=j + 0.01).count() == 0
+    assert T.conversation_neardup(st, threshold=j).count() == 1
+
+
+def test_conversation_neardup_no_python_udf(spark):
+    st = spark.createDataFrame(pd.DataFrame(NEARDUP_ROWS, columns=COLS))
+    plan = T.conversation_neardup(st)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
