@@ -396,6 +396,59 @@ def transcript_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_fit(_state(spark))
 
 
+_PACK_BUDGET = 256  # tokens per packed training sequence
+_PACK_SHARDS = 4    # greedy packing parallelism (raise at scale)
+
+
+def pack_conversations(
+    state: DataFrame, budget: int = _PACK_BUDGET, shards: int = _PACK_SHARDS
+) -> DataFrame:
+    """Pack whole conversations into fixed-token training sequences —
+    the dialogue-SFT twin of ``corpus.doc_pack_sequences``. The packing
+    unit is the conversation (a dialogue is never split mid-history),
+    sized by its total whitespace-token count; a conversation belongs to
+    the bin its cumulative range STARTS in, so a bin overflows by at
+    most one conversation — the standard streaming-packing trade.
+
+    Greedy packing is sequential, so the corpus shards first on
+    ``H(conv_id) % shards`` and packs independently per shard: waste is
+    bounded (≤1 underfull bin per shard) and parallelism is the shard
+    count. Plan: one exchange on ``conv_id`` (token rollup), one on
+    ``shard`` (running-sum window), one combinable aggregate — at 100 TB
+    raise ``shards``; nothing else changes.
+    """
+    from pyspark.sql import Window
+
+    shard_h = (
+        "cast(conv(substring(md5(concat('pack:', conv_id)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    per_conv = state.groupBy("conv_id").agg(
+        F.sum(F.expr(r"size(split(trim(text), '\\s+'))")).alias("n_tokens")
+    ).selectExpr("conv_id", f"{shard_h} % {shards} as shard", "n_tokens")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = per_conv.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(budget))
+    )
+    return (
+        binned.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_conversations"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(budget), 4).alias("fill_ratio"),
+        )
+        .select("shard", "bin_id", "n_conversations", "bin_tokens", "fill_ratio")
+    )
+
+
+def transcript_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_conversations(_state(spark))
+
+
 _CHECKSUM_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts_ms"]
 _CHECKSUM_CHUNKS = 16
 
@@ -516,6 +569,7 @@ QUERIES = {
     "transcript_repair_roundtrip": transcript_repair_roundtrip,
     "transcript_context_fit": transcript_context_fit,
     "transcript_conversation_neardup": transcript_conversation_neardup,
+    "transcript_pack": transcript_pack,
 }
 
 ORACLES = {
@@ -611,6 +665,26 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
        (max(cum) <= {_CONTEXT_TOKENS})::INT AS fits_budget
 FROM toks GROUP BY conv_id
 """
+
+ORACLES["transcript_pack"] = _STATE_SQL + f"""
+, per_conv AS (
+  SELECT conv_id,
+         (('0x' || substr(md5('pack:' || conv_id), 1, 15))::BIGINT)
+           % {_PACK_SHARDS} AS shard,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+           AS n_tokens
+  FROM state GROUP BY conv_id
+), c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id) AS cum
+  FROM per_conv
+)
+SELECT shard, ((cum - n_tokens) // {_PACK_BUDGET})::BIGINT AS bin_id,
+       count(*)::BIGINT AS n_conversations,
+       sum(n_tokens)::BIGINT AS bin_tokens,
+       round(sum(n_tokens) / {_PACK_BUDGET}, 4) AS fill_ratio
+FROM c GROUP BY shard, bin_id
+"""
+
 
 def _neardup_oracle() -> str:
     from .text import minhash_pairs_sql

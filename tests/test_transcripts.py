@@ -158,6 +158,29 @@ def test_context_fit_budget_math(state):
     assert out["c"]["fits_budget"] == 1 and out["c"]["turns_in_budget"] == 1
 
 
+def test_pack_conversations_budget_math(state):
+    # one shard so the greedy order is deterministic: a(5), b(2), c(1)
+    # cums 5,7,8 with budget=4 -> a starts in bin 0 (overflows by 1),
+    # b and c both start in bin 1
+    out = {(r["shard"], r["bin_id"]): r.asDict()
+           for r in T.pack_conversations(state, budget=4, shards=1).collect()}
+    assert out[(0, 0)]["n_conversations"] == 1
+    assert out[(0, 0)]["bin_tokens"] == 5
+    assert out[(0, 1)]["n_conversations"] == 2
+    assert out[(0, 1)]["bin_tokens"] == 3
+    assert out[(0, 1)]["fill_ratio"] == 0.75
+
+
+def test_pack_conversations_whole_and_planar(state):
+    # every conversation lands in exactly one bin (never split), and the
+    # plan stays join-free / UDF-free
+    df = T.pack_conversations(state, budget=4, shards=2)
+    total = sum(r["n_conversations"] for r in df.collect())
+    assert total == state.select("conv_id").distinct().count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
 _LONG = (
     "the quick brown fox jumps over the lazy dog while seven wizards "
     "brew strong potions under a pale winter moon"
