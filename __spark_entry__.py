@@ -641,6 +641,97 @@ def cdc_replay_failover_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BACKFILL_STATE_DIR = os.path.join(
+    tempfile.gettempdir(), "cdc_e2e_backfill_state"
+)
+_BACKFILL_CHUNKS = 2
+
+
+def cdc_incremental_snapshot_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (chunked, concurrent) snapshot end-to-end — the DBLog /
+    Debezium incremental-snapshot algorithm (Replayer.snapshot_chunk,
+    beyond-reference): a store started MID-STREAM (FromPosition at the
+    midpoint, missing all earlier history) backfills the pre-existing
+    rows in key-hash chunks read from a live, ADVANCING source, while
+    the change stream keeps applying between chunks. Each chunk survives
+    only for keys untouched by events applied in its (low, high]
+    watermark window — a mid-window DELETE voids the row instead of
+    being resurrected. The oracle is the plain full-replay oracle: the
+    backfilled store must converge to the EXACT state a from-scratch
+    replay produces."""
+    import zlib as _zlib
+
+    from mysql_cdc_spark.fixtures import (
+        apply_changelog_oracle,
+        generate_changelog,
+    )
+    from mysql_cdc_spark.pipeline.replay import Replayer
+    from mysql_cdc_spark.pipeline.start import FromPosition
+
+    done = _BACKFILL_STATE_DIR + ".complete"
+    if not os.path.exists(done):
+        binlog_dir = _ensure_e2e_binlog("mysql", "full", "full")
+        txns = generate_changelog(**_E2E_KNOBS)
+        store = tempfile.mkdtemp(prefix="cdc_entry_backfill_store_")
+        scout = Replayer(spark, binlog_dir, tempfile.mkdtemp(
+            prefix="cdc_entry_backfill_scout_"))
+        files = scout.pending_files()
+        k = max(1, len(files) // 2)
+        rep = Replayer(
+            spark, binlog_dir, store, salt_buckets=4,
+            start=FromPosition(
+                files[k - 1],
+                os.path.getsize(os.path.join(binlog_dir, files[k - 1])),
+            ),
+        )
+
+        def _chunk_df(upto_txns: int, chunk_id: int):
+            src = apply_changelog_oracle(txns[:upto_txns])
+            src = src[
+                src["conv_id"].map(
+                    lambda c: _zlib.crc32(c.encode()) % _BACKFILL_CHUNKS
+                )
+                == chunk_id
+            ].copy()
+            # carry ts as epoch millis: timestamp reconstruction must not
+            # depend on the session timezone
+            src["ts_ms"] = src["ts"].astype("int64") // 1_000_000
+            pdf = src.drop(columns=["ts"]).reset_index(drop=True)
+            return spark.createDataFrame(pdf).select(
+                "conv_id", "turn_idx", "role", "text", "tool",
+                F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            )
+
+        phase2 = files[k:]
+        plan = [
+            phase2[(i * len(phase2)) // _BACKFILL_CHUNKS:
+                   ((i + 1) * len(phase2)) // _BACKFILL_CHUNKS]
+            for i in range(_BACKFILL_CHUNKS)
+        ]
+        consumed = k
+        for i, grp in enumerate(plan):
+            low = rep.backfill_watermark()
+            consumed += len(grp)
+            chunk = _chunk_df(consumed * 40, i)  # source is ahead of the store
+            if grp:
+                rep.run_batch(grp)
+            rep.snapshot_chunk(chunk, low, chunk_id=i)
+        rep.replay()
+        (
+            rep.read_state()
+            .select(
+                "conv_id", "turn_idx", "role", "text",
+                F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+            )
+            .write.mode("overwrite")
+            .parquet(_BACKFILL_STATE_DIR)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return spark.read.parquet(_BACKFILL_STATE_DIR)
+
+
 _E2E_MULTI_BINLOG_DIR = os.path.join(
     tempfile.gettempdir(), "cdc_e2e_binlog_multitable"
 )
@@ -866,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_ignore_server_e2e"] = cdc_replay_ignore_server_e2e
     out["cdc_replay_redacted_e2e"] = cdc_replay_redacted_e2e
     out["cdc_replay_truncate_e2e"] = cdc_replay_truncate_e2e
+    out["cdc_incremental_snapshot_e2e"] = cdc_incremental_snapshot_e2e
     return out
 
 
@@ -950,4 +1042,7 @@ FROM ({CDC_REPLAY_E2E_SQL})
     out["cdc_replay_truncate_e2e"] = CDC_REPLAY_TRUNCATE_SQL_TEMPLATE.format(
         src=f"read_parquet('{_TRUNC_ORACLE_PARQUET}')"
     )
+    # incremental snapshot: the backfilled mid-stream store must converge
+    # to the exact full-replay state, so the oracle is the standard one
+    out["cdc_incremental_snapshot_e2e"] = CDC_REPLAY_E2E_SQL
     return out

@@ -449,6 +449,178 @@ class Replayer:
         )
         return version
 
+    # -- incremental (chunked, concurrent) snapshot --------------------------
+
+    def backfill_watermark(self) -> int:
+        """Low watermark for an incremental-snapshot chunk: the last
+        committed batch id. Record this BEFORE reading the chunk from the
+        source table (see ``snapshot_chunk`` for the full protocol)."""
+        last = self.ledger.last()
+        if last is None:
+            raise ValueError(
+                "incremental snapshot backfills a LIVE store; use "
+                "bootstrap() to seed a fresh one"
+            )
+        return last.batch_id
+
+    def completed_chunks(self) -> set:
+        """Chunk ids already committed by ``snapshot_chunk`` — the resume
+        bookkeeping: a crashed backfill skips these and re-runs the rest."""
+        return {
+            e.metrics["backfill_chunk"]
+            for e in self.ledger.entries()
+            if e.metrics and "backfill_chunk" in e.metrics
+        }
+
+    def _window_touched_keys(self, since_batch_id: int) -> DataFrame:
+        """Keys changed by events that APPLIED in batches after
+        ``since_batch_id`` — the DBLog dedup window. Recomputed from the
+        binlog bytes (keys-only decode over the window's segment files)
+        rather than the state diff, because a delete of a key the store
+        never held leaves no trace in the change feed yet MUST void that
+        key's backfill row (resurrection guard). Filtering mirrors
+        ``run_batch`` exactly: transaction gate, covered-GtidSet anti-join
+        *as of the low watermark*, position in (low, high], foreign
+        server ids dropped — so "touched" is precisely "applied"."""
+        from ..binlog.decoder import _segment_sort_key, list_dir_entries
+
+        spec = self.spec
+        keys = list(spec.primary_key)
+        low = next(
+            e for e in self.ledger.entries() if e.batch_id == since_batch_id
+        )
+        high_file, high_pos = self.ledger.max_position()
+        covered_low = GtidSet()
+        for e in self.ledger.entries():
+            if e.batch_id <= since_batch_id and e.gtid_set_text:
+                covered_low = covered_low.union(GtidSet.parse(e.gtid_set_text))
+
+        names = sorted(list_dir_entries(self.binlog_dir), key=_segment_sort_key)
+        lo_k = _segment_sort_key(low.max_file) if low.max_file else None
+        hi_k = _segment_sort_key(high_file)
+        window_files = [
+            n for n in names
+            if (lo_k is None or _segment_sort_key(n) >= lo_k)
+            and _segment_sort_key(n) <= hi_k
+        ]
+        if not window_files:
+            return self.spark.createDataFrame(
+                [], ", ".join(f"{k} {d}" for k, d, _ in spec.columns
+                              if k in keys)
+            )
+        glob = (
+            "{" + ",".join(window_files) + "}"
+            if len(window_files) > 1 else window_files[0]
+        )
+        xa_verdicts = None
+        if self.xa == "batch":
+            xa_verdicts = (self._xa_scan_job(window_files) or {}).get(
+                "verdicts"
+            ) or None
+        ev = decode_binlog_dir(
+            self.spark, self.binlog_dir, spec, path_filter=glob,
+            before_values="keys", xa_outcomes=xa_verdicts,
+        )
+        ev = gate_complete_transactions(ev)
+        if self.ignore_server_ids:
+            ev = ev.filter(
+                ~F.col("server_id").isin(list(self.ignore_server_ids))
+            )
+        if covered_low.uuid_sets:
+            intervals = self.spark.createDataFrame(
+                covered_low.to_intervals(), "uuid string, start long, end long"
+            )
+            ev = filter_covered_gtids(ev, intervals)
+        if low.max_file:
+            ev = ev.filter(
+                _after_position_predicate(low.max_file, int(low.max_pos))
+            )
+        ev = ev.filter(
+            ~_after_position_predicate(high_file, int(high_pos))
+        )
+        return with_change_key(ev, keys).select(*keys).distinct()
+
+    def snapshot_chunk(
+        self, chunk_df: DataFrame, since_batch_id: int, chunk_id: object = None
+    ) -> int:
+        """Apply one incremental-snapshot chunk — the DBLog / Debezium
+        incremental-snapshot algorithm (beyond-reference: backfill a
+        table's pre-existing rows WITHOUT pausing the change stream; the
+        reference, like most binlog clients, can only start mid-stream and
+        lose history or block on a full dump first).
+
+        Protocol per chunk::
+
+            low = rep.backfill_watermark()      # 1. low watermark
+            chunk = <SELECT chunk FROM source>  # 2. consistent chunk read
+            rep.replay()                        # 3. consume PAST the read
+            rep.snapshot_chunk(chunk, low)      # 4. dedup + merge
+
+        Step 3 is the high watermark: every source transaction that could
+        have affected the chunk read must be consumed before the chunk
+        applies. The chunk row for a key then survives only if the key is
+        (a) absent from the store and (b) untouched by any event that
+        applied in the (low, high] window — (b) is what makes a
+        mid-window DELETE void the row instead of being resurrected, and
+        window events themselves carry the newer image, so a surviving
+        chunk row can never mask a change (rows merge at order tuple 0:
+        any real event outranks them, same contract as ``bootstrap``).
+
+        Each chunk commits as its own ledger entry (idempotent MERGE +
+        append, the store's normal atomicity point) tagged with
+        ``chunk_id``, so a crashed backfill resumes via
+        ``completed_chunks``. Scale: the touched-key scan is a keys-only
+        decode of just the window's segments (the cheap decode form), the
+        two anti-joins are key-partitioned, and the MERGE is the normal
+        bucket-pruned sink — a chunk costs one small batch, and chunks
+        can be sized to keep the window (and its scan) short.
+
+        Caveats (documented, conservative): with MINIMAL row images a
+        window-touched key whose history predates the seed backfills only
+        the columns the window events carried; an XA transaction still
+        pending at apply time voids its keys' rows for this pass (re-run
+        the chunk after the verdict lands to converge).
+        """
+        spec = self.spec
+        keys = list(spec.primary_key)
+        state_keys = self.read_state().select(*keys)
+        touched = self._window_touched_keys(since_batch_id)
+        survivors = (
+            chunk_df.select(
+                *[F.col(n).cast(d).alias(n) for n, d, _ in spec.columns]
+            )
+            .join(state_keys, on=keys, how="left_anti")
+            .join(touched, on=keys, how="left_anti")
+        )
+        net = survivors.select(
+            *[F.col(k) for k in keys],
+            F.lit("insert").alias("op"),
+            *[
+                F.col(n).alias(f"after_{n}")
+                for n, _, _ in spec.columns
+                if n not in keys
+            ],
+            *[F.lit(0).cast("long").alias(c) for c in ORDER_COLS],
+        )
+        rows = net.count()
+        last = self.ledger.last()
+        version = self.target.merge(
+            self.spark, net, self.ledger.current_snapshot_version()
+        )
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=self.ledger.next_batch_id(),
+                gtid_set_text=last.gtid_set_text,
+                max_file=last.max_file,
+                max_pos=int(last.max_pos),
+                snapshot_version=version,
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics={"backfill_chunk": chunk_id, "backfill_rows": rows},
+            )
+        )
+        return version
+
     # -- one micro-batch ----------------------------------------------------
 
     def _net_from_changes(self, changes: DataFrame) -> DataFrame:

@@ -81,6 +81,13 @@ def seed_ledger(strategy: StartStrategy, binlog_dir: str, store_dir: str) -> Non
         return
 
     gtid_text, max_file, max_pos = start_state(strategy, binlog_dir)
+    if not gtid_text and max_file:
+        # FromPosition carries no GTID state, but the position predicate
+        # alone cannot drop a redelivered old transaction that reappears
+        # at a LATER position — a replica attached at position P has
+        # executed the GTIDs before P, so seed them as covered (same
+        # hardening as Replayer.bootstrap; header-only bounded scan).
+        gtid_text = covered_gtids_until(binlog_dir, max_file, max_pos)
     ledger.append(
         LedgerEntry(
             batch_id=0,
