@@ -13,8 +13,12 @@ is the DDL text itself. Debezium and Maxwell solve this with a DDL
 parser feeding a schema registry; this module is that step for the
 additive evolution the north star requires ("new columns like tool").
 
-Scope: **additive** ``ALTER TABLE ... ADD COLUMN`` only. A non-additive
-clause (DROP/MODIFY/CHANGE/RENAME COLUMN) on the *tracked* table raises
+Scope: **additive** ``ALTER TABLE ... ADD COLUMN`` plus **widening**
+``MODIFY COLUMN`` / same-name ``CHANGE`` (the Iceberg type-promotion
+rule: int-family growth, string-family growth, equal-scale DECIMAL
+precision growth — value-preserving at a stable position and decode
+kind). Any other clause (DROP/RENAME COLUMN, narrowing or
+kind-changing MODIFY, column moves) on the *tracked* table raises
 ``UnsupportedDdl`` — silently mis-decoding rows against a stale spec
 would corrupt state; failing loudly is the only safe behavior. DDL on
 other tables is ignored.
@@ -45,8 +49,9 @@ from .reader import (
 
 
 class UnsupportedDdl(ValueError):
-    """A DDL statement on the tracked table that additive evolution
-    cannot represent (DROP/MODIFY/CHANGE/RENAME COLUMN, etc.)."""
+    """A DDL statement on the tracked table that additive/widening
+    evolution cannot represent (DROP/RENAME COLUMN, narrowing or
+    kind-changing MODIFY/CHANGE, column moves, etc.)."""
 
 
 @dataclass(frozen=True)
@@ -60,6 +65,19 @@ class AddColumn:
 
 
 @dataclass(frozen=True)
+class ModifyColumn:
+    """``MODIFY COLUMN c <type>`` (or same-name ``CHANGE c c <type>``).
+    Only *widening* retypes are applicable — see ``evolve_spec``."""
+
+    name: str
+    type_text: str
+    spark_ddl: str
+    kind: str
+    first: bool = False
+    after: str | None = None
+
+
+@dataclass(frozen=True)
 class AlterTable:
     database: str | None  # None = statement used the session default db
     table: str
@@ -70,6 +88,7 @@ class AlterTable:
     # discovery; evolve_spec raises iff the statement targets the
     # tracked table
     errors: tuple[str, ...] = ()
+    modifies: tuple[ModifyColumn, ...] = ()
 
 
 _IDENT = r"(?:`(?:[^`]|``)+`|[A-Za-z0-9_$]+)"
@@ -143,8 +162,15 @@ _COLUMN_DEF = re.compile(
 )
 
 # clause heads additive evolution cannot apply to the tracked table
+# (MODIFY/CHANGE are handled separately: widening retypes apply, the
+# rest land here via parse_alter's explicit checks)
 _UNSUPPORTED_HEAD = re.compile(
-    r"^(DROP|MODIFY|CHANGE|RENAME|ALTER)\b", re.IGNORECASE
+    r"^(DROP|RENAME|ALTER)\b", re.IGNORECASE
+)
+
+_MODIFY_CLAUSE = re.compile(r"^MODIFY\s+(?:COLUMN\s+)?", re.IGNORECASE)
+_CHANGE_CLAUSE = re.compile(
+    r"^CHANGE\s+(?:COLUMN\s+)?(" + _IDENT + r")\s+", re.IGNORECASE
 )
 
 # clause heads that are schema-neutral for decode (indexes, constraints,
@@ -219,6 +245,7 @@ def parse_alter(sql: str) -> AlterTable | None:
     body = sql[head.end() :].strip().rstrip(";").strip()
 
     adds: list[AddColumn] = []
+    modifies: list[ModifyColumn] = []
     unsupported: list[str] = []
     errors: list[str] = []
     for clause in _split_clauses(body):
@@ -241,12 +268,36 @@ def parse_alter(sql: str) -> AlterTable | None:
             continue
         if _NEUTRAL_HEAD.match(clause):
             continue
+        mmod = _MODIFY_CLAUSE.match(clause)
+        mchg = None if mmod else _CHANGE_CLAUSE.match(clause)
+        if mmod or mchg:
+            # CHANGE old new <type> is a MODIFY iff old == new; a true
+            # rename re-maps names positionally and stays unsupported
+            rest = clause[(mmod or mchg).end() :].strip()
+            try:
+                base, first, after = _strip_attrs(rest)
+                (col,) = _parse_column_defs(base)
+                if mchg and _unquote(mchg.group(1)) != col.name:
+                    unsupported.append("CHANGE")
+                    continue
+                modifies.append(
+                    ModifyColumn(
+                        col.name, col.type_text, col.spark_ddl, col.kind,
+                        first=first, after=after,
+                    )
+                )
+            except UnsupportedDdl as exc:
+                errors.append(str(exc))
+            continue
         mu = _UNSUPPORTED_HEAD.match(clause)
         if mu:
             unsupported.append(mu.group(1).upper())
             continue
         unsupported.append(clause.split(None, 1)[0].upper())
-    return AlterTable(db, table, tuple(adds), tuple(unsupported), tuple(errors))
+    return AlterTable(
+        db, table, tuple(adds), tuple(unsupported), tuple(errors),
+        tuple(modifies),
+    )
 
 
 _AFTER_ATTR = re.compile(r"\s+AFTER\s+(" + _IDENT + r")", re.IGNORECASE)
@@ -279,6 +330,39 @@ def _strip_attrs(coldef: str) -> tuple[str, bool, str | None]:
     return coldef[: m.end()], first, after
 
 
+_DECIMAL_DDL = re.compile(r"^decimal\((\d+),(\d+)\)$", re.IGNORECASE)
+
+
+def _is_widening(old: tuple, new: ModifyColumn) -> bool:
+    """True iff retyping column ``old = (name, spark_ddl, kind)`` to
+    ``new`` is value-preserving for every already-decoded row AND every
+    future row: same decode kind (the byte parser follows TABLE_MAP
+    metadata per event, so kind is what must stay stable), and a storage
+    dtype that contains the old one. The int family (TINYINT..BIGINT)
+    and the string family (CHAR/VARCHAR/TEXT) already share one storage
+    dtype, so those widenings are dtype no-ops; DECIMAL allows precision
+    growth at equal scale."""
+    _, old_ddl, old_kind = old
+    if new.kind != old_kind:
+        return False
+    if new.spark_ddl == old_ddl:
+        return True
+    ranks = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
+             "float": 1, "double": 2}
+    ro, rn = ranks.get(old_ddl.lower()), ranks.get(new.spark_ddl.lower())
+    if ro is not None and rn is not None:
+        return rn >= ro and (old_ddl.lower() in ("float", "double")) == (
+            new.spark_ddl.lower() in ("float", "double")
+        )
+    mo, mn = _DECIMAL_DDL.match(old_ddl), _DECIMAL_DDL.match(new.spark_ddl)
+    if mo and mn:
+        return (
+            int(mn.group(1)) >= int(mo.group(1))
+            and int(mn.group(2)) == int(mo.group(2))
+        )
+    return False
+
+
 def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
     """Fold parsed ``AlterTable`` statements (stream order) into an
     evolved TableSpec. Adds land at their declared position — the end
@@ -286,12 +370,17 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
     decode tier maps positionally when TABLE_MAP carries no names
     (MINIMAL metadata): a mid-table insertion folded as an end-append
     would silently mis-decode every column after the insertion point.
-    Raises ``UnsupportedDdl`` on a non-additive clause (or a column def
-    the decode tier cannot map) for the tracked table."""
+    ``MODIFY COLUMN`` (and same-name ``CHANGE``) applies iff the retype
+    is *widening* (``_is_widening``) and keeps the column's position —
+    the Iceberg type-promotion rule (int→long, decimal precision growth)
+    expressed over MySQL DDL. Raises ``UnsupportedDdl`` on a
+    non-additive clause, a narrowing/kind-changing MODIFY, or a column
+    def the decode tier cannot map, for the tracked table."""
     from .decoder import TableSpec
 
     cols = list(spec.columns)
     have = {c[0] for c in cols}
+    changed = False
     for alter in alters:
         if alter is None:
             continue
@@ -322,6 +411,32 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
                 f"unmappable ADD COLUMN on tracked table {spec.table!r}: "
                 + "; ".join(alter.errors)
             )
+        for mod in alter.modifies:
+            if mod.first or mod.after is not None:
+                raise UnsupportedDdl(
+                    f"MODIFY COLUMN {mod.name!r} with FIRST/AFTER moves the "
+                    f"column mid-table on tracked table {spec.table!r}; "
+                    "positional (MINIMAL-metadata) decode needs stable "
+                    "column positions"
+                )
+            names = [c[0] for c in cols]
+            if mod.name not in names:
+                raise UnsupportedDdl(
+                    f"MODIFY COLUMN {mod.name!r}: no such column on "
+                    f"tracked table {spec.table!r}"
+                )
+            idx = names.index(mod.name)
+            if not _is_widening(cols[idx], mod):
+                raise UnsupportedDdl(
+                    f"MODIFY COLUMN {mod.name!r} {mod.type_text} is not a "
+                    f"widening retype of {cols[idx][1]!r}/{cols[idx][2]!r} "
+                    f"on tracked table {spec.table!r} (widening promotions "
+                    "only: int family, string family, equal-scale DECIMAL "
+                    "precision growth)"
+                )
+            if cols[idx][1] != mod.spark_ddl:
+                cols[idx] = (mod.name, mod.spark_ddl, mod.kind)
+                changed = True
         for add in alter.adds:
             if add.name in have:  # IF NOT EXISTS / redelivered DDL
                 continue
@@ -351,7 +466,7 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
                 )
             cols.insert(idx, (add.name, add.spark_ddl, add.kind))
             have.add(add.name)
-    if len(cols) == len(spec.columns):
+    if len(cols) == len(spec.columns) and not changed:
         return spec
     return TableSpec(
         database=spec.database,

@@ -208,6 +208,97 @@ def test_evolve_nonexistent_after_column_raises():
         )
 
 
+# ------------------------------------------------ widening MODIFY/CHANGE
+
+def _dec_spec():
+    from mysql_cdc_spark.binlog.decoder import TableSpec
+
+    return TableSpec(
+        database="chat", table="transcripts",
+        columns=(
+            ("conv_id", "string", "str"),
+            ("turn_idx", "int", "int"),
+            ("amount", "decimal(10,2)", "decimal"),
+        ),
+        primary_key=("conv_id", "turn_idx"),
+    )
+
+
+def test_parse_modify_and_change_same_name():
+    a = parse_alter(
+        "ALTER TABLE transcripts MODIFY COLUMN turn_idx BIGINT NOT NULL, "
+        "CHANGE COLUMN text text LONGTEXT"
+    )
+    assert not a.unsupported and not a.adds
+    assert [(m.name, m.spark_ddl) for m in a.modifies] == [
+        ("turn_idx", "bigint"), ("text", "string"),
+    ]
+
+
+def test_parse_change_rename_stays_unsupported():
+    a = parse_alter("ALTER TABLE transcripts CHANGE COLUMN text body LONGTEXT")
+    assert a.unsupported == ("CHANGE",) and not a.modifies
+
+
+def test_evolve_widening_int_family():
+    pre = transcripts_pre_spec()  # turn_idx is spec dtype 'int'
+    ev = evolve_spec(
+        pre, [parse_alter("ALTER TABLE chat.transcripts MODIFY turn_idx BIGINT")]
+    )
+    assert dict((c[0], c[1]) for c in ev.columns)["turn_idx"] == "bigint"
+    assert [c[0] for c in ev.columns] == [c[0] for c in pre.columns]  # no move
+
+
+def test_evolve_widening_string_and_decimal():
+    pre = transcripts_pre_spec()  # text is already 'string'
+    same = evolve_spec(
+        pre,
+        [parse_alter("ALTER TABLE chat.transcripts MODIFY text LONGTEXT")],
+    )
+    assert same is pre  # string-family growth is a dtype no-op
+    ev = evolve_spec(
+        _dec_spec(),
+        [parse_alter("ALTER TABLE chat.transcripts MODIFY amount DECIMAL(14,2)")],
+    )
+    assert dict((c[0], c[1]) for c in ev.columns)["amount"] == "decimal(14,2)"
+
+
+@pytest.mark.parametrize(
+    "ddl",
+    [
+        "ALTER TABLE chat.transcripts MODIFY conv_id INT",         # kind change
+        "ALTER TABLE chat.transcripts MODIFY amount DECIMAL(8,2)",  # narrowing
+        "ALTER TABLE chat.transcripts MODIFY amount DECIMAL(14,4)", # scale change
+    ],
+)
+def test_evolve_non_widening_modify_raises(ddl):
+    with pytest.raises(UnsupportedDdl, match="not a widening"):
+        evolve_spec(_dec_spec(), [parse_alter(ddl)])
+
+
+def test_evolve_modify_placement_and_missing_column_raise():
+    pre = transcripts_pre_spec()
+    with pytest.raises(UnsupportedDdl, match="FIRST/AFTER"):
+        evolve_spec(
+            pre,
+            [parse_alter(
+                "ALTER TABLE chat.transcripts MODIFY turn_idx BIGINT AFTER text"
+            )],
+        )
+    with pytest.raises(UnsupportedDdl, match="no such column"):
+        evolve_spec(
+            pre, [parse_alter("ALTER TABLE chat.transcripts MODIFY ghost BIGINT")]
+        )
+
+
+def test_evolve_modify_on_other_table_ignored():
+    pre = transcripts_pre_spec()
+    assert (
+        evolve_spec(pre, [parse_alter("ALTER TABLE other MODIFY text INT")])
+        is pre
+    )
+
+
 def test_unmappable_type_on_other_table_ignored():
     """An ALTER on an untracked table with a type the decode tier can't
     map must not crash discovery — errors are recorded, not raised."""
