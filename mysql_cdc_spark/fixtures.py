@@ -76,6 +76,9 @@ def transcripts_pre_spec():
 # (row_metadata="minimal" streams carry no TABLE_MAP names, so this
 # QUERY event is the only in-stream record of the new column's name)
 EVOLUTION_DDL = "ALTER TABLE `chat`.`transcripts` ADD COLUMN `tool` VARCHAR(64) NULL"
+# widening retype (INT -> BIGINT): the server rewrites the table at ALTER
+# time, so TABLE_MAPs logged after it carry LONGLONG for the column
+WIDEN_DDL = "ALTER TABLE `chat`.`transcripts` MODIFY COLUMN `turn_idx` BIGINT NOT NULL"
 
 
 TOOLS = [None, "search", "python", "browser", "calculator"]
@@ -502,6 +505,7 @@ def write_binlog_files(
     sidecar: bool = False,
     text_wire: str = "varchar",
     server_id_by_seq: dict[int, int] | None = None,
+    widen_after_seq: int | None = None,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -634,9 +638,9 @@ def write_binlog_files(
             _write_one_file(
                 (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
                  source_uuid, server_id, write_begin_query, provider, row_image,
-                 row_metadata, alter_before_seq, rows_query, partitions,
-                 failover, sidecar, text_wire, server_id_by_seq, xa_plan,
-                 head_verdicts[fidx], tail_verdicts[fidx])
+                 row_metadata, alter_before_seq, widen_after_seq, rows_query,
+                 partitions, failover, sidecar, text_wire, server_id_by_seq,
+                 xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
     return paths
@@ -645,8 +649,9 @@ def write_binlog_files(
 def _write_one_file(job) -> str:
     (chunk, outdir, fidx, n_files, txns_per_file, file_prefix,
      source_uuid, server_id, write_begin_query, provider, row_image,
-     row_metadata, alter_before_seq, rows_query, partitions, failover,
-     sidecar, text_wire, server_id_by_seq, *xa_extra) = job
+     row_metadata, alter_before_seq, widen_after_seq, rows_query,
+     partitions, failover, sidecar, text_wire, server_id_by_seq,
+     *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
     )
@@ -698,6 +703,14 @@ def _write_one_file(job) -> str:
             # global first evolved one and lives in exactly one chunk)
             writer.write_query(EVOLUTION_DDL, database="chat",
                                timestamp=txn.timestamp)
+        if widen_after_seq is not None and txn.seq == widen_after_seq:
+            # widening retype: the MODIFY is logged once; every TABLE_MAP
+            # from this txn on carries LONGLONG for turn_idx (the server
+            # rewrote the table)
+            writer.write_query(WIDEN_DDL, database="chat",
+                               timestamp=txn.timestamp)
+        if widen_after_seq is not None and txn.seq >= widen_after_seq:
+            ctypes[cols.index("turn_idx")] = ColumnType.LONGLONG
         if txn.ops and txn.ops[0].kind == "truncate":
             # TRUNCATE TABLE is an implicit-commit statement: the server
             # logs its own GTID + one QUERY event — no BEGIN, no

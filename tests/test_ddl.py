@@ -463,6 +463,44 @@ def test_minimal_metadata_replay_equals_oracle(spark, minimal_stream, tmp_path):
     )
 
 
+def test_minimal_metadata_widening_replay(spark, tmp_path):
+    """A mid-stream widening MODIFY (INT -> BIGINT on the key column):
+    the server rewrites the table, so TABLE_MAPs after the ALTER carry
+    LONGLONG while earlier ones carry LONG — the decode must follow each
+    event's own metadata, the registry must fold the retype into the
+    spec (turn_idx -> bigint), and the final state must still equal the
+    sequential oracle per-turn under the widened schema."""
+    txns = generate_changelog(
+        n_conversations=16, max_turns=5, n_extra_ops=60, seed=23,
+        evolve_after_frac=0.4, duplicate_txns=3,
+    )
+    widen_at = max(t.seq for t in txns) * 2 // 3
+    outdir = str(tmp_path / "binlog")
+    write_binlog_files(
+        txns, outdir, txns_per_file=25, row_metadata="minimal",
+        widen_after_seq=widen_at,
+    )
+    rep = Replayer(
+        spark, outdir, str(tmp_path / "store"),
+        spec=transcripts_pre_spec(), discover_ddl=True,
+    )
+    assert dict((c[0], c[1]) for c in rep.spec.columns)["turn_idx"] == "bigint"
+    rep.replay(files_per_batch=2)
+    state = (
+        rep.read_state().orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+    oracle = apply_changelog_oracle(txns)
+    assert len(state) == len(oracle) > 0
+    for col in ["conv_id", "turn_idx", "role", "text", "tool"]:
+        assert state[col].tolist() == oracle[col].tolist(), f"column {col}"
+    import pyspark.sql.types as T
+
+    assert isinstance(
+        rep.read_state().schema["turn_idx"].dataType, T.LongType
+    )
+
+
 def test_multi_table_ddl_isolation(spark, tmp_path):
     """One MINIMAL-metadata stream carrying TWO tables, each evolved by
     its own ALTER: per-table DDL discovery must apply each statement to
