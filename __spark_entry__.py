@@ -78,7 +78,7 @@ def _ensure_e2e_oracle_parquet() -> str:
 def _ensure_e2e_binlog(
     provider: str = "mysql", row_image: str = "full",
     row_metadata: str = "full", compress: str | None = None,
-    text_wire: str = "varchar",
+    text_wire: str = "varchar", widen: bool = False,
 ) -> str:
     """Deterministic e2e binlog corpus for one mode, cached across calls
     (the driver may invoke each variant more than once)."""
@@ -88,7 +88,8 @@ def _ensure_e2e_binlog(
         tempfile.gettempdir(),
         f"cdc_e2e_binlog_{provider}_{row_image}_{row_metadata}"
         + (f"_{compress}" if compress else "")
-        + (f"_{text_wire}" if text_wire != "varchar" else ""),
+        + (f"_{text_wire}" if text_wire != "varchar" else "")
+        + ("_widen" if widen else ""),
     )
     done_marker = binlog_dir + ".complete"
     if not os.path.exists(done_marker):
@@ -100,6 +101,9 @@ def _ensure_e2e_binlog(
             txns, binlog_dir, txns_per_file=40,
             provider=provider, row_image=row_image, row_metadata=row_metadata,
             text_wire=text_wire,
+            widen_after_seq=(
+                max(t.seq for t in txns) * 2 // 3 if widen else None
+            ),
         )
         if compress == "zlib":
             # rewrite each file as a MariaDB log_bin_compress=ON stream
@@ -131,7 +135,7 @@ def _ensure_e2e_binlog(
 def _replay_e2e(
     spark: SparkSession, provider: str = "mysql", row_image: str = "full",
     row_metadata: str = "full", compress: str | None = None,
-    text_wire: str = "varchar",
+    text_wire: str = "varchar", widen: bool = False,
 ) -> DataFrame:
     """Shared e2e body: deterministic transcript changelog →
     binlog-format bytes (per provider / row-image / row-metadata mode) →
@@ -142,7 +146,7 @@ def _replay_e2e(
 
     _ensure_e2e_oracle_parquet()
     binlog_dir = _ensure_e2e_binlog(
-        provider, row_image, row_metadata, compress, text_wire
+        provider, row_image, row_metadata, compress, text_wire, widen
     )
     tmp = tempfile.mkdtemp(prefix=f"cdc_entry_{provider}_{row_image}_{row_metadata}_")
     # MINIMAL row metadata: TABLE_MAP carries no column names, so the
@@ -210,6 +214,21 @@ def cdc_replay_ddl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds — any column the DDL path misnames or misplaces
     hash-mismatches."""
     return _replay_e2e(spark, provider="mysql", row_metadata="minimal")
+
+
+def cdc_replay_widen_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening schema evolution end-to-end: a mid-stream ``MODIFY COLUMN
+    turn_idx BIGINT`` on a ``binlog_row_metadata=MINIMAL`` stream — the
+    server rewrites the table at ALTER time, so TABLE_MAPs before the
+    statement carry LONG and after it LONGLONG. Decode must follow each
+    event's own metadata across the boundary, the DDL registry must fold
+    the retype (Iceberg type-promotion rule) into the spec, and the
+    final state — now under the widened key dtype — must equal the
+    sequential-replay oracle (whose turn_idx is cast to BIGINT to match
+    the promoted schema)."""
+    return _replay_e2e(
+        spark, provider="mysql", row_metadata="minimal", widen=True
+    )
 
 
 def cdc_replay_compressed_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_minimal_e2e"] = cdc_replay_minimal_e2e
     out["cdc_replay_mariadb_e2e"] = cdc_replay_mariadb_e2e
     out["cdc_replay_ddl_e2e"] = cdc_replay_ddl_e2e
+    out["cdc_replay_widen_e2e"] = cdc_replay_widen_e2e
     out["cdc_replay_compressed_e2e"] = cdc_replay_compressed_e2e
     out["cdc_replay_payload_e2e"] = cdc_replay_payload_e2e
     out["cdc_replay_xa_e2e"] = cdc_replay_xa_e2e
@@ -977,6 +997,13 @@ def oracle_sql() -> dict[str, str]:
     # MINIMAL row *metadata* (nameless TABLE_MAPs + DDL-discovered schema)
     # also leaves the logical stream unchanged — same oracle again
     out["cdc_replay_ddl_e2e"] = CDC_REPLAY_E2E_SQL
+    # widening MODIFY promotes turn_idx to BIGINT engine-side; the
+    # logical stream is unchanged, so the same replay wrapped with the
+    # promoted dtype is the oracle
+    out["cdc_replay_widen_e2e"] = f"""
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, role, text, tool, ts_ms
+FROM ({CDC_REPLAY_E2E_SQL})
+"""
     # log_bin_compress=ON changes only the on-disk byte form (zlib event
     # tails) — the logical stream, and therefore the oracle, is identical
     out["cdc_replay_compressed_e2e"] = CDC_REPLAY_E2E_SQL
