@@ -264,8 +264,17 @@ class _FileDecoder:
         xa_outcomes: Optional[dict] = None,
         attach_origin_query: bool = False,
         attach_partition_id: bool = False,
+        on_error: str = "fail",
+        quarantine_dir: Optional[str] = None,
     ):
         self.spec = spec
+        # dead-letter policy (Debezium event.processing.failure.handling.
+        # mode analog): 'quarantine' skips undecodable ROW events, records
+        # them (src_file/pos/gtid/error) and keeps decoding at the next
+        # length-prefixed frame; 'fail' raises like the reference.
+        self.on_error = on_error
+        self.quarantine_dir = quarantine_dir
+        self.quarantine: list[dict] = []
         # batch-wide XA verdict map {xid_key: bool} — resolves two-phase
         # prepares whose XA COMMIT/ROLLBACK lives in another file
         self.xa_outcomes = xa_outcomes
@@ -392,7 +401,7 @@ class _FileDecoder:
     ) -> Iterator[pd.DataFrame]:
         src_file = os.path.basename(path)
         self.src_file = src_file
-        reader = BinlogFileReader(content, src_file)
+        reader = BinlogFileReader(content, src_file, on_error=self.on_error)
         spec = self.spec
         n_canon = len(self.canonical)
         nulls = (None,) * n_canon
@@ -608,6 +617,24 @@ class _FileDecoder:
                     cur_gtid_source = None
                     cur_gtid_seq = None
                     cur_origin = None
+            elif kind == "quarantine":
+                # dead-letter record: event-scoped loss — the rest of the
+                # enclosing transaction still applies (the frame chain is
+                # intact; only this event's rows are unrecoverable). The
+                # record carries everything a re-drive needs: exact
+                # (file, pos) plus the enclosing GTID for first-delivery
+                # bookkeeping after an upstream fix re-emits the txn.
+                self.quarantine.append(
+                    {
+                        "src_file": src_file,
+                        "pos": int(pos),
+                        "event_type": int(event["event_type"]),
+                        "payload_len": int(event["payload_len"]),
+                        "gtid_source": cur_gtid_source,
+                        "gtid_seq": cur_gtid_seq,
+                        "error": event["error"],
+                    }
+                )
             elif kind == "rows_query":
                 cur_origin = event["query"]
             elif kind == "incident":
@@ -627,8 +654,47 @@ class _FileDecoder:
         # un-committed tail (transaction cut by file end / crash): emit with
         # xid NULL so the transaction-complete gate can drop it
         emit_txn(None)
+        if self.quarantine_dir is not None:
+            self._write_quarantine(src_file)
         if self.n_rows:
             yield self._flush_frame()
+
+    def _write_quarantine(self, src_file: str) -> None:
+        """Persist this segment's dead-letter records as one parquet file
+        named after the segment — executor-side, deterministic, so a task
+        retry (or a resume re-decoding the same segment) overwrites rather
+        than duplicates, and a clean re-decode after an upstream fix
+        removes the stale record. Tiny by construction (corruption is the
+        exception), so one file per poisoned segment is the right grain."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        path = f"{self.quarantine_dir.rstrip('/')}/{src_file}.parquet"
+        if "://" in path:
+            filesystem, p = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, p = pafs.LocalFileSystem(), path
+        mine = [r for r in self.quarantine if r["src_file"] == src_file]
+        if not mine:
+            try:
+                filesystem.delete_file(p)
+            except (FileNotFoundError, OSError):
+                pass
+            return
+        filesystem.create_dir(os.path.dirname(p), recursive=True)
+        table = pa.table(
+            {
+                "src_file": pa.array([r["src_file"] for r in mine], pa.string()),
+                "pos": pa.array([r["pos"] for r in mine], pa.int64()),
+                "event_type": pa.array([r["event_type"] for r in mine], pa.int32()),
+                "payload_len": pa.array([r["payload_len"] for r in mine], pa.int32()),
+                "gtid_source": pa.array([r["gtid_source"] for r in mine], pa.string()),
+                "gtid_seq": pa.array([r["gtid_seq"] for r in mine], pa.int64()),
+                "error": pa.array([r["error"] for r in mine], pa.string()),
+            }
+        )
+        pq.write_table(table, p, filesystem=filesystem)
 
 
 def decode_binlog_dir(
@@ -641,6 +707,8 @@ def decode_binlog_dir(
     xa_outcomes: Optional[dict] = None,
     attach_origin_query: bool = False,
     attach_partition_id: bool = False,
+    on_error: str = "fail",
+    quarantine_dir: Optional[str] = None,
 ) -> DataFrame:
     """binlog directory → change-event DataFrame (distributed decode).
 
@@ -688,14 +756,29 @@ def decode_binlog_dir(
                 if vectorized:
                     from .vector import decode_segment_fast
 
-                    frames = decode_segment_fast(
-                        content, name, spec, before_values=before_values,
-                        xa_outcomes=xa_outcomes,
-                        attach_origin_query=attach_origin_query,
-                        attach_partition_id=attach_partition_id,
-                    )
+                    try:
+                        frames = decode_segment_fast(
+                            content, name, spec, before_values=before_values,
+                            xa_outcomes=xa_outcomes,
+                            attach_origin_query=attach_origin_query,
+                            attach_partition_id=attach_partition_id,
+                        )
+                    except Exception:
+                        # under the dead-letter policy a poisoned segment
+                        # re-decodes on the scalar path, which quarantines
+                        # at event grain; without it the error propagates
+                        if on_error != "quarantine":
+                            raise
+                        frames = None
                 if frames is not None:
                     yield from frames
+                    if quarantine_dir is not None:
+                        # fast path decoded the segment clean — drop any
+                        # stale dead-letter record a prior run left behind
+                        _FileDecoder(
+                            spec, on_error=on_error,
+                            quarantine_dir=quarantine_dir,
+                        )._write_quarantine(name)
                 else:
                     # scalar fallback: constructs the fast path can't
                     # express (rare types, partial images, wide tables)
@@ -703,6 +786,8 @@ def decode_binlog_dir(
                         spec, xa_outcomes=xa_outcomes,
                         attach_origin_query=attach_origin_query,
                         attach_partition_id=attach_partition_id,
+                        on_error=on_error,
+                        quarantine_dir=quarantine_dir,
                     )
                     yield from decoder.decode_file(path, content)
 

@@ -28,6 +28,8 @@ from .constants import (
     EVENT_HEADER_SIZE,
     FIRST_EVENT_POSITION,
     MAGIC_NUMBER,
+    ROW_EVENTS_V1,
+    ROW_EVENTS_V2,
     ChecksumType,
     ColumnType,
     EventType,
@@ -707,11 +709,14 @@ class BinlogFileReader:
     (checksum type and table-map cache, event_parser.rs:25-31).
     """
 
-    def __init__(self, content: bytes, filename: str = ""):
+    def __init__(self, content: bytes, filename: str = "", on_error: str = "fail"):
         if content[:FIRST_EVENT_POSITION] != MAGIC_NUMBER:
             raise ValueError("Invalid binary log file header")
+        if on_error not in ("fail", "quarantine"):
+            raise ValueError(f"on_error must be 'fail' or 'quarantine': {on_error}")
         self.content = content
         self.filename = filename
+        self.on_error = on_error
         self.checksum_type = ChecksumType.NONE
         self.table_map: dict[int, dict] = {}
         # payload-keyed memo: servers re-emit an identical TABLE_MAP before
@@ -753,22 +758,65 @@ class BinlogFileReader:
                 # is exact (binlog/compressed.py)
                 from .compressed import inflate_transaction_payload
 
-                inner = inflate_transaction_payload(payload)
+                try:
+                    inner = inflate_transaction_payload(payload)
+                except Exception as e:
+                    # a torn wrapper loses its whole (atomic) transaction —
+                    # quarantine it as one record, or fail like before
+                    if self.on_error != "quarantine":
+                        raise
+                    yield header, pos, "quarantine", self._quarantine_event(
+                        etype, payload, e
+                    )
+                    pos = payload_end
+                    continue
                 ipos, m = 0, len(inner)
                 while ipos + EVENT_HEADER_SIZE <= m:
                     (its, ietype, isid, ilen, _inext, iflags) = parse_event_header(
                         inner, ipos
                     )
                     ibody = inner[ipos + EVENT_HEADER_SIZE : ipos + ilen]
-                    kind, event = self._parse(ietype, isid, ibody, ilen)
+                    kind, event = self._parse_guarded(ietype, isid, ibody, ilen)
                     yield (its, ietype, isid, ilen, _next_pos, iflags), pos, kind, event
                     ipos += ilen
                 pos = payload_end
                 continue
 
-            kind, event = self._parse(etype, server_id, payload, event_length)
+            kind, event = self._parse_guarded(etype, server_id, payload, event_length)
             yield header, pos, kind, event
             pos = payload_end
+
+    def _quarantine_event(self, etype: int, payload: bytes, exc: Exception) -> dict:
+        return {
+            "event_type": int(etype),
+            "payload_len": len(payload),
+            "error": f"{type(exc).__name__}: {exc}",
+        }
+
+    def _parse_guarded(self, etype: int, server_id: int, payload: bytes, event_length: int):
+        """``_parse`` with the dead-letter policy applied (Debezium's
+        ``event.processing.failure.handling.mode``). Only ROW events are
+        quarantinable: their loss is scoped to their own rows, and the
+        length-prefixed frame chain lets decoding resume at the next
+        header. Structural events (FDE, TABLE_MAP, GTID, QUERY, XID, …)
+        still raise — a corrupt one would silently mis-decode or
+        mis-associate everything after it, which is worse than stopping."""
+        if self.on_error != "quarantine":
+            return self._parse(etype, server_id, payload, event_length)
+        try:
+            return self._parse(etype, server_id, payload, event_length)
+        except BinlogEncryptionError:
+            raise  # not corruption: the stream is unreadable by design
+        except Exception as e:
+            plain = COMPRESSED_TO_PLAIN.get(etype, etype)
+            row_scoped = (
+                plain in ROW_EVENTS_V1
+                or plain in ROW_EVENTS_V2
+                or etype == EventType.MYSQL_PARTIAL_UPDATE_ROWS
+            )
+            if not row_scoped:
+                raise
+            return "quarantine", self._quarantine_event(etype, payload, e)
 
     def _parse(self, etype: int, server_id: int, payload: bytes, event_length: int):
         E = EventType

@@ -73,7 +73,7 @@ def _after_position_predicate(max_file: str, max_pos: int):
 
 
 def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl,
-                          xa_outcomes=None):
+                          xa_outcomes=None, on_error="fail"):
     """Fallback stats for segments outside the vectorized fast path:
     scalar decode, then the same filters/aggregation in pandas."""
     import numpy as np
@@ -82,7 +82,7 @@ def _scalar_segment_stats(content, name, spec, intervals, min_pos_excl,
     from ..binlog.decoder import _FileDecoder
 
     cols = ["src_file", "gtid_source", "gtid_seq", "pos", "xid", "ts"]
-    d = _FileDecoder(spec, xa_outcomes=xa_outcomes)
+    d = _FileDecoder(spec, xa_outcomes=xa_outcomes, on_error=on_error)
     frames = [f[cols] for f in d.decode_file(name, content)]
     pdf = (
         pd.concat(frames, ignore_index=True)
@@ -187,6 +187,7 @@ class Replayer:
         gc_keep: int | None = None,
         ignore_server_ids: tuple[int, ...] = (),
         column_transforms: dict[str, str] | None = None,
+        on_decode_error: str = "fail",
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -304,6 +305,28 @@ class Replayer:
         self.salt_buckets = salt_buckets
         self.row_image = row_image
         self.ignore_server_ids = tuple(int(s) for s in ignore_server_ids)
+        # dead-letter policy (Debezium event.processing.failure.handling.
+        # mode analog). 'fail' (default) stops the batch on any undecodable
+        # event — byte-exact parity with the reference. 'quarantine' skips
+        # undecodable ROW events: their (file, pos, gtid, error) records
+        # land under <store>/quarantine/ (read_quarantine()), the rest of
+        # the stream — including the rest of the same transaction — still
+        # applies, and the ledger advances past them, so one poisoned
+        # event at 10^10 can't wedge the pipeline. Structural events
+        # (FDE/TABLE_MAP/GTID/QUERY/XID) always fail: a corrupt one would
+        # mis-decode everything after it. Re-drive after an upstream fix:
+        # the record's exact position + flashback/chunk re-sync.
+        if on_decode_error not in ("fail", "quarantine"):
+            raise ValueError(
+                f"on_decode_error must be 'fail' or 'quarantine': "
+                f"{on_decode_error}"
+            )
+        self.on_decode_error = on_decode_error
+        self.quarantine_dir = (
+            os.path.join(store_dir, "quarantine")
+            if on_decode_error == "quarantine"
+            else None
+        )
         if column_transforms:
             key_hits = set(column_transforms) & set(spec.primary_key)
             if key_hits:
@@ -520,6 +543,8 @@ class Replayer:
         ev = decode_binlog_dir(
             self.spark, self.binlog_dir, spec, path_filter=glob,
             before_values="keys", xa_outcomes=xa_verdicts,
+            on_error=self.on_decode_error,
+            quarantine_dir=self.quarantine_dir,
         )
         ev = gate_complete_transactions(ev)
         if self.ignore_server_ids:
@@ -669,6 +694,8 @@ class Replayer:
         changes = decode_binlog_dir(
             spark, self.binlog_dir, spec, path_filter=glob,
             before_values="keys", xa_outcomes=xa_verdicts,
+            on_error=self.on_decode_error,
+            quarantine_dir=self.quarantine_dir,
         )
         changes = gate_complete_transactions(changes)
         if self.ignore_server_ids:
@@ -1182,6 +1209,7 @@ class Replayer:
             "path string",
         )
         scalar_mode = os.environ.get("SPARK_CDC_SCALAR_DECODE", "") == "1"
+        on_error = self.on_decode_error
 
         def stats_fn(batches):
             import os as _os
@@ -1205,14 +1233,23 @@ class Replayer:
                     content = _read_bytes(path)
                     frame = None
                     if not scalar_mode:
-                        frame = segment_row_stats(
-                            content, name, spec, intervals, min_pos_excl,
-                            xa_outcomes=xa_verdicts,
-                        )
+                        try:
+                            frame = segment_row_stats(
+                                content, name, spec, intervals, min_pos_excl,
+                                xa_outcomes=xa_verdicts,
+                            )
+                        except Exception:
+                            # a poisoned segment re-walks on the scalar
+                            # path, which applies the dead-letter policy
+                            # at event grain (the same fallback the merge
+                            # decode takes, so the two passes agree)
+                            if on_error != "quarantine":
+                                raise
+                            frame = None
                     if frame is None:
                         frame = _scalar_segment_stats(
                             content, name, spec, intervals, min_pos_excl,
-                            xa_outcomes=xa_verdicts,
+                            xa_outcomes=xa_verdicts, on_error=on_error,
                         )
                     if len(frame):
                         yield frame
@@ -1337,6 +1374,27 @@ class Replayer:
         if version is None:
             version = self.ledger.current_snapshot_version()
         return self.target.read(self.spark, version)
+
+    def read_quarantine(self) -> DataFrame:
+        """Dead-letter records accumulated under
+        ``on_decode_error='quarantine'``: one row per skipped undecodable
+        ROW event — (src_file, pos, event_type, payload_len, gtid_source,
+        gtid_seq, error). Empty when the store is clean (or the policy is
+        'fail'). The (src_file, pos) pair is the re-drive handle: after an
+        upstream fix re-emits the bytes, re-decoding the segment rewrites
+        (or removes) its record, and the enclosing GTID tells the ledger
+        whether the transaction as a whole was ever covered."""
+        schema = (
+            "src_file string, pos long, event_type int, payload_len int, "
+            "gtid_source string, gtid_seq long, error string"
+        )
+        qdir = os.path.join(self.store_dir, "quarantine")
+        if "://" not in qdir and not os.path.isdir(qdir):
+            return self.spark.createDataFrame([], schema)
+        try:
+            return self.spark.read.schema(schema).parquet(qdir)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
 
     def rebucket(self, new_buckets: int, bucket_cols: tuple | None = None) -> int:
         """Re-scale the target's bucket layout between batches (see
