@@ -188,6 +188,7 @@ class Replayer:
         ignore_server_ids: tuple[int, ...] = (),
         column_transforms: dict[str, str] | None = None,
         on_decode_error: str = "fail",
+        audit: object | None = None,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -378,6 +379,21 @@ class Replayer:
         if xa not in ("local", "batch"):
             raise ValueError("xa must be 'local' or 'batch'")
         self.xa = xa
+        # Write-audit-publish (pipeline/audit.py): data-quality checks run
+        # against the STAGED snapshot after the merge writes it and before
+        # the ledger append publishes it — Iceberg's WAP window, which this
+        # store's write/publish split exposes naturally. A rejection
+        # unlinks the staged version(s) and raises; nothing becomes
+        # readable state. Requires a snapshot target (something with an
+        # unpublished version to unlink) — a sink that commits internally
+        # has no WAP window here; use its own branch/WAP mechanism.
+        if audit is not None and not hasattr(self.target, "snapshot_path"):
+            raise TypeError(
+                "audit requires a snapshot target (ParquetMergeTarget "
+                "family): an internally-committing sink has no staged "
+                "version to audit or roll back"
+            )
+        self.audit = audit
         if start is not None:
             from .start import seed_ledger
 
@@ -985,6 +1001,36 @@ class Replayer:
             phase_t["decode_lww_merge_s"] = merge_out["seconds"]
         net_rows = -1  # avoid a second action; lineage covers observability
         t_phase = time.time()
+
+        # -- write-audit-publish window (pipeline/audit.py): the staged
+        # snapshot exists on disk but the ledger does not name it yet.
+        # Audit it now; a rejection unlinks every version this batch
+        # staged (merge, or truncate+merge on a fence batch) and raises
+        # with the store untouched — no ledger entry, no history rows, no
+        # view refresh, so a retry after the upstream fix starts clean.
+        if self.audit is not None:
+            from .audit import AuditContext
+
+            ctx = AuditContext(
+                spark=spark,
+                batch_id=batch_id,
+                staged=self.target.read(spark, new_version),
+                previous=self.target.read(spark, current_version),
+                changes=changes,
+                primary_key=tuple(spec.primary_key),
+            )
+            try:
+                self.audit(ctx)
+            except BaseException:
+                import shutil
+
+                for v in range(current_version + 1, new_version + 1):
+                    shutil.rmtree(
+                        self.target.snapshot_path(v), ignore_errors=True
+                    )
+                raise
+            phase_t["audit_s"] = round(time.time() - t_phase, 2)
+            t_phase = time.time()
 
         # -- optional SCD2 history sink, BEFORE the ledger append: a crash
         # between history commit and ledger leaves the batch un-acked, and
