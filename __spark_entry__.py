@@ -751,6 +751,112 @@ def cdc_incremental_snapshot_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_BACKFILL_STATE_DIR)
 
 
+# quarantine corpus: own knobs without duplicate redelivery — a duplicate
+# copy of the poisoned transaction would re-supply the skipped rows and
+# make the expected state delivery-order-dependent
+_QUAR_KNOBS = dict(n_conversations=20, n_extra_ops=60, seed=7, duplicate_txns=0)
+_QUAR_ORACLE_PARQUET = os.path.join(
+    tempfile.gettempdir(), "cdc_replay_quarantine_changelog.parquet"
+)
+
+
+def _quarantine_poison_txn(txns):
+    """Deterministic target: a mid-stream txn whose ops are all one kind —
+    the fixture writer flushes same-kind runs as ONE rows event, so
+    corrupting that event removes exactly this txn's operations."""
+    for t in txns[len(txns) // 2 :]:
+        if t.ops and len({op.kind for op in t.ops}) == 1:
+            return t
+    raise AssertionError("fixture produced no single-run txn")
+
+
+def _ensure_quarantine_binlog() -> str:
+    """The base corpus with ONE rows event's body overwritten by 0xFF —
+    an undecodable frame whose header (and therefore the length-prefixed
+    chain) stays intact."""
+    import glob as _glob
+
+    from mysql_cdc_spark.binlog.constants import EVENT_HEADER_SIZE
+    from mysql_cdc_spark.binlog.reader import BinlogFileReader
+    from mysql_cdc_spark.fixtures import generate_changelog, write_binlog_files
+
+    binlog_dir = os.path.join(
+        tempfile.gettempdir(), "cdc_e2e_binlog_quarantine"
+    )
+    done = binlog_dir + ".complete"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        txns = generate_changelog(**_QUAR_KNOBS)
+        write_binlog_files(txns, binlog_dir, txns_per_file=40)
+        t = _quarantine_poison_txn(txns)
+        ev_kind = {
+            "insert": "write_rows", "update": "update_rows",
+            "delete": "delete_rows",
+        }[t.ops[0].kind]
+        target = None
+        for path in sorted(_glob.glob(os.path.join(binlog_dir, "*"))):
+            with open(path, "rb") as f:
+                content = f.read()
+            cur = None
+            for header, pos, k, event in BinlogFileReader(content):
+                if k in ("mysql_gtid", "mariadb_gtid"):
+                    cur = event.get("transaction_id") or event.get("sequence")
+                elif k == ev_kind and cur == t.seq:
+                    target = (path, pos, header[3])
+                    break
+            if target:
+                break
+        path, pos, elen = target
+        with open(path, "r+b") as f:
+            start = pos + EVENT_HEADER_SIZE + 10  # keep table_id+flags+extra
+            f.seek(start)
+            f.write(b"\xff" * (pos + elen - 4 - start))
+        with open(done, "w") as f:
+            f.write("ok")
+    return binlog_dir
+
+
+def _ensure_quarantine_oracle_parquet() -> str:
+    """Dual-write the logical changelog MINUS the poisoned transaction:
+    what a quarantine replay of the corrupted corpus must reconstruct."""
+    from mysql_cdc_spark.fixtures import generate_changelog, write_changelog_parquet
+
+    txns = generate_changelog(**_QUAR_KNOBS)
+    t = _quarantine_poison_txn(txns)
+    return write_changelog_parquet(
+        [x for x in txns if x.seq != t.seq], _QUAR_ORACLE_PARQUET
+    )
+
+
+def cdc_replay_quarantine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter policy end-to-end (``on_decode_error='quarantine'``,
+    Debezium's event.processing.failure.handling.mode analog;
+    beyond-reference — binlog_reader.rs stops on any malformed frame):
+    one rows event in the corpus is byte-corrupted, the replay must skip
+    exactly that event's operations, record it under <store>/quarantine/,
+    and apply everything else — the oracle replays the logical changelog
+    with the poisoned transaction absent, so both over- and under-
+    skipping hash-mismatch."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    binlog_dir = _ensure_quarantine_binlog()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_quarantine_")
+    rep = Replayer(
+        spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4,
+        on_decode_error="quarantine",
+    )
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    assert rep.read_quarantine().count() == 1  # exactly the poisoned event
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 _E2E_MULTI_BINLOG_DIR = os.path.join(
     tempfile.gettempdir(), "cdc_e2e_binlog_multitable"
 )
@@ -978,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_redacted_e2e"] = cdc_replay_redacted_e2e
     out["cdc_replay_truncate_e2e"] = cdc_replay_truncate_e2e
     out["cdc_incremental_snapshot_e2e"] = cdc_incremental_snapshot_e2e
+    out["cdc_replay_quarantine_e2e"] = cdc_replay_quarantine_e2e
     return out
 
 
@@ -1072,4 +1179,10 @@ FROM ({CDC_REPLAY_E2E_SQL})
     # incremental snapshot: the backfilled mid-stream store must converge
     # to the exact full-replay state, so the oracle is the standard one
     out["cdc_incremental_snapshot_e2e"] = CDC_REPLAY_E2E_SQL
+    # dead-letter policy: the logical stream MINUS the poisoned
+    # transaction (its own dual-written changelog, duplicate-free knobs)
+    _ensure_quarantine_oracle_parquet()
+    out["cdc_replay_quarantine_e2e"] = E2E_REPLAY_SQL_TEMPLATE.format(
+        src=f"read_parquet('{_QUAR_ORACLE_PARQUET}')"
+    )
     return out
