@@ -52,6 +52,7 @@ def stream_apply(
     target: object | None = None,
     ignore_server_ids: tuple[int, ...] = (),
     column_transforms: dict[str, str] | None = None,
+    audit: object | None = None,
 ):
     """Run the apply tier as a Structured Streaming query; returns the
     StreamingQuery (caller awaits termination). Applies FULL row images
@@ -64,6 +65,16 @@ def stream_apply(
     skipped/unmasked values never reach the store. Spark's streaming
     checkpoint still advances over skipped rows (the file offset is the
     position, not the row), mirroring the batch path's skip-and-advance.
+
+    ``audit``: the streaming twin of ``Replayer(audit=...)`` (write-
+    audit-publish, pipeline/audit.py). A rejection unlinks the trigger's
+    snapshot and FAILS the query — Spark never checkpoints the trigger,
+    so a restart after the upstream fix replays it cleanly (the outrank
+    guard makes the re-merge idempotent). One honesty note vs the batch
+    tier: this store has no ledger, so the snapshot directory itself is
+    the publish — a concurrent reader can glimpse the unaudited version
+    for the audit's duration; the batch ``Replayer`` audits inside a
+    true ledger gap with no such window.
 
     Default sink: ``OrderedBucketedMergeTarget`` — the outrank guard and
     tombstones on the bucket-pruned CoW layout, so a steady-state trigger
@@ -86,6 +97,11 @@ def stream_apply(
     target = target or OrderedBucketedMergeTarget(
         store_dir, spec, order_cols=tuple(ORDER_COLS)
     )
+    if audit is not None and not hasattr(target, "snapshot_path"):
+        raise TypeError(
+            "audit requires a snapshot target: an internally-committing "
+            "sink has no staged version to audit or roll back"
+        )
     payload_cols = list(
         dict.fromkeys(
             ["op"]
@@ -124,7 +140,27 @@ def stream_apply(
         # same net-change idempotently (equal rank → incoming wins → same
         # row), and an out-of-order older file cannot outrank stored state
         current = _current_version(store_dir)
-        target.merge(batch_df.sparkSession, net, current)
+        new_version = target.merge(batch_df.sparkSession, net, current)
+        if audit is not None:
+            from ..pipeline.audit import AuditContext
+
+            ctx = AuditContext(
+                spark=batch_df.sparkSession,
+                batch_id=batch_id,
+                staged=target.read(batch_df.sparkSession, new_version),
+                previous=target.read(batch_df.sparkSession, current),
+                changes=batch_df,
+                primary_key=tuple(spec.primary_key),
+            )
+            try:
+                audit(ctx)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(
+                    target.snapshot_path(new_version), ignore_errors=True
+                )
+                raise  # fail the query: the trigger is never checkpointed
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -398,3 +398,68 @@ class TestStreamKnobParity:
                 spark, str(tmp_path / "nochangelog"), str(tmp_path / "nostore"),
                 column_transforms={"conv_id": "upper(conv_id)"},
             )
+
+
+class TestStreamAudit:
+    """Streaming twin of Replayer(audit=...): a rejected trigger unlinks
+    its snapshot and fails the query; a restart with a passing audit
+    replays it cleanly (the trigger was never checkpointed)."""
+
+    def _changelog(self, spark, txns, tmp_path):
+        binlog = str(tmp_path / "abinlog")
+        write_binlog_files(txns, binlog, txns_per_file=30)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "achangelog")
+        write_changelog(changes, changelog)
+        return changelog
+
+    def test_passing_audit_publishes(self, spark, txns, tmp_path):
+        from mysql_cdc_spark.pipeline import audit as A
+
+        changelog = self._changelog(spark, txns, tmp_path)
+        store = str(tmp_path / "astore")
+        q = stream_apply(
+            spark, changelog, store, available_now=True,
+            audit=A.all_of(A.unique_key(), A.not_null("text")),
+        )
+        q.awaitTermination(120)
+        got = _final_pdf(read_stream_state(spark, store))
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
+
+    def test_rejection_fails_query_and_retry_is_clean(self, spark, txns, tmp_path):
+        from mysql_cdc_spark.pipeline import audit as A
+
+        changelog = self._changelog(spark, txns, tmp_path)
+        store = str(tmp_path / "rstore")
+        # pre-evolution rows carry NULL tool: the first trigger must reject
+        q = stream_apply(
+            spark, changelog, store, available_now=True,
+            audit=A.not_null("tool"),
+        )
+        with pytest.raises(Exception) as ei:
+            q.awaitTermination(120)
+        assert "tool" in str(ei.value)
+        assert read_stream_state(spark, store).count() == 0
+
+        q2 = stream_apply(
+            spark, changelog, store, available_now=True,
+            audit=A.unique_key(),
+        )
+        q2.awaitTermination(120)
+        got = _final_pdf(read_stream_state(spark, store))
+        want = apply_changelog_oracle(txns)
+        assert got["text"].tolist() == want["text"].tolist()
+
+    def test_audit_requires_snapshot_target(self, spark, txns, tmp_path):
+        from mysql_cdc_spark.pipeline import audit as A
+
+        class OpaqueSink:
+            def merge(self, *a):
+                return 0
+
+        with pytest.raises(TypeError):
+            stream_apply(
+                spark, str(tmp_path / "c"), str(tmp_path / "s"),
+                target=OpaqueSink(), audit=A.unique_key(),
+            )
