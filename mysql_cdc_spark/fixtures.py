@@ -622,9 +622,9 @@ def write_binlog_files(
                 txns[fidx * txns_per_file : (fidx + 1) * txns_per_file],
                 outdir, fidx, n_files, txns_per_file, file_prefix,
                 source_uuid, server_id, write_begin_query, provider, row_image,
-                row_metadata, alter_before_seq, rows_query, partitions,
-                failover, sidecar, text_wire, server_id_by_seq, xa_plan,
-                head_verdicts[fidx], tail_verdicts[fidx],
+                row_metadata, alter_before_seq, widen_after_seq, rows_query,
+                partitions, failover, sidecar, text_wire, server_id_by_seq,
+                xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
         ]
