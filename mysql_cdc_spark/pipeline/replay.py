@@ -1442,6 +1442,163 @@ class Replayer:
         except Exception:
             return self.spark.createDataFrame([], schema)
 
+    def redrive_quarantine(self) -> int:
+        """Re-apply previously-quarantined events after the upstream bytes
+        were repaired in place (the dead-letter-queue reprocessing step:
+        Kafka DLQ replay / Debezium re-snapshot-the-gap analog). Returns
+        the number of change events re-driven (0 = nothing resolved).
+
+        Only the POISONED segments are re-decoded (path-filtered listing —
+        at 10^10 events this touches the handful of bad files, never the
+        corpus), and only rows at the recorded (src_file, pos) positions
+        are applied. Re-driving is out-of-order application — later
+        events for the same keys may already be in the table — so it
+        requires an order-carrying target (``OrderedParquetMergeTarget``
+        / ``OrderedBucketedMergeTarget``): the outrank guard applies a
+        re-driven row only where it still wins. Choose one when deploying
+        with ``on_decode_error='quarantine'`` if re-drive matters.
+
+        Commits one ledger entry: the re-driven transactions' GTIDs join
+        the covered set (a later redelivery of the same bytes is a
+        no-op), the read high-water mark is unchanged, and resolved
+        dead-letter records are cleared by the re-decode itself (a clean
+        segment decode rewrites-or-removes its record file). Records
+        whose bytes are STILL broken re-quarantine and stay pending.
+        Audited like any publish when ``audit`` is set."""
+        rows = self.read_quarantine().collect()  # tiny by construction
+        if not rows:
+            return 0
+        if not hasattr(self.target, "read_with_order"):
+            raise TypeError(
+                "redrive_quarantine needs an order-carrying target "
+                "(OrderedParquetMergeTarget / OrderedBucketedMergeTarget): "
+                "re-driving applies events out of order, and only the "
+                "outrank guard can do that without regressing newer state"
+            )
+        spark = self.spark
+        spec = self.spec
+        t0 = time.time()
+        files = sorted({r["src_file"] for r in rows})
+        glob = "{" + ",".join(files) + "}" if len(files) > 1 else files[0]
+        xa_verdicts = None
+        if self.xa == "batch":
+            xa_verdicts = (self._xa_scan_job(files) or {}).get("verdicts") or None
+        ev = decode_binlog_dir(
+            spark, self.binlog_dir, spec, path_filter=glob,
+            before_values="keys", xa_outcomes=xa_verdicts,
+            on_error="quarantine", quarantine_dir=self.quarantine_dir,
+        )
+        ev = gate_complete_transactions(ev)
+        if self.ignore_server_ids:
+            ev = ev.filter(
+                ~F.col("server_id").isin(list(self.ignore_server_ids))
+            )
+        # keep ONLY rows at the recorded dead-letter positions
+        positions = spark.createDataFrame(
+            [(r["src_file"], int(r["pos"])) for r in rows],
+            "src_file string, pos long",
+        )
+        ev = ev.join(F.broadcast(positions), on=["src_file", "pos"], how="left_semi")
+        keys = list(spec.primary_key)
+        ev = with_change_key(ev, keys)
+        changes = ev.select(
+            *keys,
+            "src_file", "pos", "next_pos", "ts", "server_id", "op",
+            "gtid_source", "gtid_seq", "xid", "table_id", "db", "tbl",
+            "row_in_event", "after_present",
+            *[f"after_{n}" for n, _, _ in spec.columns],
+        )
+        if self.column_transforms:
+            temps = [c for c, _, _ in spec.columns if c not in keys]
+            for c in temps:
+                changes = changes.withColumn(c, F.col(f"after_{c}"))
+            for col, expr in self.column_transforms.items():
+                changes = changes.withColumn(f"after_{col}", F.expr(expr))
+            changes = changes.drop(*temps)
+
+        # one action for counts + applied gtids (bounded by the record set)
+        applied = (
+            changes.groupBy("src_file", "pos", "gtid_source", "gtid_seq")
+            .count()
+            .collect()
+        )
+        n_events = sum(r["count"] for r in applied)
+        if n_events == 0:
+            return 0  # bytes still broken (re-quarantined) — stay pending
+
+        batch_id = self.ledger.next_batch_id()
+        current_version = self.ledger.current_snapshot_version()
+        merge_fn = (
+            self.target.merge_partial
+            if self.row_image == "minimal"
+            else self.target.merge
+        )
+        new_version = merge_fn(spark, self._net_from_changes(changes), current_version)
+
+        if self.audit is not None:
+            from .audit import AuditContext
+
+            ctx = AuditContext(
+                spark=spark, batch_id=batch_id,
+                staged=self.target.read(spark, new_version),
+                previous=self.target.read(spark, current_version),
+                changes=changes, primary_key=tuple(spec.primary_key),
+            )
+            try:
+                self.audit(ctx)
+            except BaseException:
+                import shutil
+
+                shutil.rmtree(
+                    self.target.snapshot_path(new_version), ignore_errors=True
+                )
+                raise
+
+        stats = [
+            {
+                "gtid_source": r["gtid_source"],
+                "starts": [r["gtid_seq"]] if r["gtid_seq"] is not None else [],
+                "ends": [r["gtid_seq"]] if r["gtid_seq"] is not None else [],
+            }
+            for r in applied
+        ]
+        covered = self.ledger.covered_gtid_set()
+        merged_set = covered.union(self._gtid_set_from_islands(stats))
+        max_file, max_pos = self.ledger.max_position()
+        seconds = time.time() - t0
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=batch_id,
+                gtid_set_text=str(merged_set),
+                max_file=max_file,
+                max_pos=int(max_pos),
+                snapshot_version=new_version,
+                committed_at=Ledger.now(),
+                partition_lineage=[
+                    {
+                        "src_file": r["src_file"],
+                        "events": int(r["count"]),
+                        "min_pos": int(r["pos"]),
+                        "max_pos": int(r["pos"]),
+                    }
+                    for r in applied
+                ],
+                metrics={
+                    "events": int(n_events),
+                    "seconds": round(seconds, 3),
+                    "events_per_sec": (
+                        round(n_events / seconds, 1) if seconds else 0.0
+                    ),
+                    "redrive": True,
+                },
+            )
+        )
+        for view in self.views:
+            view.refresh(spark, self.target, new_version)
+        if self.gc_keep and hasattr(self.target, "gc"):
+            self.target.gc(keep_latest=self.gc_keep)
+        return int(n_events)
+
     def rebucket(self, new_buckets: int, bucket_cols: tuple | None = None) -> int:
         """Re-scale the target's bucket layout between batches (see
         ``BucketedParquetMergeTarget.rebucket``) and commit it as a

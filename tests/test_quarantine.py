@@ -217,3 +217,73 @@ def test_structural_corruption_still_fails(spark, tmp_path):
     )
     with pytest.raises(Exception):
         rep.replay()
+
+
+def test_redrive_after_upstream_fix(spark, tmp_path):
+    """DLQ reprocessing: fix the bytes in place, redrive_quarantine()
+    re-applies exactly the dead events through the outrank guard, clears
+    the records, covers the gtids, and converges to the clean-replay
+    oracle."""
+    from mysql_cdc_spark.fixtures import apply_changelog_oracle
+    from mysql_cdc_spark.pipeline.target import OrderedBucketedMergeTarget
+
+    txns = _gen_txns()
+    t = _find_single_run_txn(txns)
+    kind = _KIND_OF[t.ops[0].kind]
+    d = str(tmp_path / "binlog")
+    write_binlog_files(txns, d, txns_per_file=25)
+    path, pos, elen = _locate_event(d, t.seq, kind)
+    with open(path, "rb") as f:
+        clean = f.read()
+    _corrupt(path, pos, elen)
+
+    store = str(tmp_path / "store")
+    rep = Replayer(
+        spark, d, store, salt_buckets=2,
+        target=OrderedBucketedMergeTarget(store, buckets=8),
+        on_decode_error="quarantine",
+    )
+    rep.replay()
+    assert rep.read_quarantine().count() == 1
+
+    # bytes still broken: redrive stays pending, record survives
+    assert rep.redrive_quarantine() == 0
+    assert rep.read_quarantine().count() == 1
+
+    # upstream fix lands in place
+    with open(path, "wb") as f:
+        f.write(clean)
+    n = rep.redrive_quarantine()
+    assert n == len(t.ops)
+    assert rep.read_quarantine().count() == 0
+
+    got = _state_pdf(rep)
+    want = apply_changelog_oracle(txns)
+    assert got["text"].tolist() == want["text"].tolist()
+
+    # the re-driven txn's gtid is covered now; nothing left to redrive
+    last = rep.ledger.last()
+    assert last.metrics.get("redrive") is True
+    covered = rep.ledger.covered_gtid_set()
+    src = [s for s in covered.uuid_sets][0]
+    assert covered.contains(src, t.seq)
+    assert rep.redrive_quarantine() == 0
+
+    # and a fresh resume applies nothing new (exactly-once holds)
+    rep2 = Replayer(
+        spark, d, store, salt_buckets=2,
+        target=OrderedBucketedMergeTarget(store, buckets=8),
+        on_decode_error="quarantine",
+    )
+    rep2.replay()
+    assert _state_pdf(rep2)["text"].tolist() == want["text"].tolist()
+
+
+def test_redrive_requires_ordered_target(spark, poisoned, tmp_path):
+    rep = Replayer(
+        spark, poisoned["dir_a"], str(tmp_path / "s"), salt_buckets=2,
+        on_decode_error="quarantine",
+    )
+    rep.replay()
+    with pytest.raises(TypeError):
+        rep.redrive_quarantine()
