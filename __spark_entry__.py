@@ -335,6 +335,41 @@ def cdc_replay_ignore_server_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_mor_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read end-to-end (beyond-reference — Iceberg v2
+    equality-delete semantics, pipeline/mor.py): every batch appends the
+    net change rows as per-bucket delta files (write IO = O(changes),
+    nothing rewritten), reads fold base ∪ deltas per key under a delete
+    fence with per-column carried-bit resolution, and a mid-replay
+    ``Replayer.compact()`` folds the first half's chains into fresh base
+    files as a zero-event maintenance commit — so the final state is
+    resolved across base + post-compact deltas. The logical stream is
+    identical to the plain replay → same sequential-replay oracle; a
+    mis-folded delta chain, a delete resurrected across the fence, or a
+    compact that loses/duplicates rows all hash-mismatch."""
+    from mysql_cdc_spark.pipeline.mor import MergeOnReadBucketedTarget
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = _ensure_e2e_binlog()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_mor_")
+    store = os.path.join(tmp, "store")
+    rep = Replayer(
+        spark, binlog_dir, store, salt_buckets=4,
+        target=MergeOnReadBucketedTarget(store, buckets=16),
+    )
+    pend = rep.pending_files()
+    half = max(1, len(pend) // 2)
+    rep.run_batch(pend[:half])
+    rep.compact(min_deltas=1)  # fold the first half's chains into base
+    rep.replay(files_per_batch=max(1, len(pend) - half))
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 def cdc_replay_flashback_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time rewind (Iceberg RESTORE semantics; MariaDB
     ``mysqlbinlog --flashback`` analog): replay the full corpus in
@@ -1079,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_failover_e2e"] = cdc_replay_failover_e2e
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
+    out["cdc_replay_mor_e2e"] = cdc_replay_mor_e2e
     out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
     out["cdc_replay_ignore_server_e2e"] = cdc_replay_ignore_server_e2e
     out["cdc_replay_redacted_e2e"] = cdc_replay_redacted_e2e
@@ -1145,6 +1181,9 @@ FROM ({CDC_REPLAY_E2E_SQL})
     # (blob packlength + charset TLV) — the logical stream, and therefore
     # the oracle, is identical
     out["cdc_replay_text_e2e"] = CDC_REPLAY_E2E_SQL
+    # merge-on-read changes only the sink's storage layout — the logical
+    # stream, and therefore the oracle, is identical to the plain replay
+    out["cdc_replay_mor_e2e"] = CDC_REPLAY_E2E_SQL
     # flashback rewinds the table to the first one-file batch's state:
     # the oracle replays only the transactions that file delivered
     # (files chunk txns in delivery order, 40 per file)

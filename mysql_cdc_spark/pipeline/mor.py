@@ -1,0 +1,345 @@
+"""Merge-on-read bucketed target — the steady-state write path for
+high-frequency micro-batches.
+
+``BucketedParquetMergeTarget`` (copy-on-write) rewrites every *touched*
+bucket in full: a batch that upserts 100 rows into a 10^8-row bucket
+reads and writes 10^8 rows. That is the right trade for large catch-up
+batches (read amplification zero, write amortized), but at steady state —
+a tail job committing every few seconds, each batch touching a handful of
+hot conversations — write amplification dominates: per-batch IO is
+O(touched-bucket data) however small the change set is.
+
+``MergeOnReadBucketedTarget`` flips the trade, the same way Iceberg v2's
+merge-on-read does with equality-delete files (format spec §Delete
+Formats; Hudi's MOR table type is the same idea):
+
+- ``merge`` writes the batch's **net change rows themselves** — key,
+  op, after-image, carried-column mask — as a *delta file* per touched
+  bucket under the new snapshot, and splices the manifest. Per-batch
+  write IO is O(net change rows): nothing existing is read or rewritten.
+  A delete is an **equality delete** (key + op='delete'); an upsert is
+  an insert-or-replace keyed row. Each delta row carries ``_seq`` = the
+  snapshot version that wrote it, so apply order is total per key.
+- ``read`` resolves base ∪ deltas per bucket: a key-partitioned window
+  computes the key's last delete fence, surviving contributions fold
+  per column by carried-bit ``max_by`` (one exchange total — the window
+  and the aggregate share the key hash partitioning). Buckets with no
+  deltas take a fast path: plain base scan, no shuffle.
+- ``compact`` is the maintenance op that bounds read amplification:
+  rewrite the buckets whose delta chain grew past a threshold into a
+  fresh base (resolved once, deltas cleared), committed as a normal
+  snapshot version — Iceberg's ``rewrite_data_files`` /
+  ``rewrite_position_delete_files`` analog. Untouched buckets are
+  carried by manifest reference (metadata-only).
+
+Semantics are pinned equal to the copy-on-write targets (tests/
+test_mor_target.py): full and MINIMAL (carried-mask) row images, deletes
+with later re-inserts, additive schema evolution mid-chain, truncate,
+time travel, rebucket, manifest-aware GC.
+
+Scale shape at 10^10 rows: a steady-state batch touching K hot
+conversations writes O(rows-in-batch) bytes instead of O(K × bucket
+size); reads between compactions pay one extra key-partitioned fold
+over (touched base buckets + their deltas); ``compact(min_deltas=N)``
+runs on whatever cadence bounds the chain (e.g. hourly), costing one
+touched-bucket rewrite — exactly the IO the CoW path would have paid on
+*every* batch. Crash safety is unchanged: data lands under the new
+snapshot dir first, the manifest write is the snapshot's internal commit
+point, the pipeline commit point stays the ledger append, and a torn
+snapshot is an invisible orphan the retry overwrites.
+
+Reference parity note: the reference (rusuly/mysql_cdc) stops at decoded
+events (README.md:61) — every sink here is beyond-reference engineering;
+this one exists because the north rule's 10^10-event steady state makes
+write amplification the binding constraint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .target import BucketedParquetMergeTarget, empty_state_df
+
+
+class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
+    """Bucketed snapshot store whose merges append per-bucket delta files
+    (equality deletes + keyed upserts) and whose reads fold them — see
+    module docstring. Drop-in for ``Replayer(target=...)``."""
+
+    # manifest entry per bucket: {"base": relpath|None, "deltas": [relpath]}
+    # (apply order = list order; each file's rows carry their own _seq)
+
+    def _load_manifest(self, version: int) -> dict:
+        if version <= 0:
+            return {}
+        with open(self._manifest_path(version)) as f:
+            raw = json.load(f)
+        out = {}
+        for k, v in raw.items():
+            if isinstance(v, str):  # plain-bucketed manifest (pre-conversion
+                # snapshot, e.g. a store that started CoW): base-only entry
+                v = {"base": v, "deltas": []}
+            out[int(k)] = {"base": v.get("base"), "deltas": list(v["deltas"])}
+        return out
+
+    # -- read (resolve) ------------------------------------------------------
+
+    def _pad(self, df: DataFrame) -> DataFrame:
+        for name, ddl, _ in self.spec.columns:
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(ddl))
+        return df
+
+    def _scan(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        full = sorted(os.path.join(self.store_dir, p) for p in set(paths))
+        return self._pad(
+            spark.read.option("mergeSchema", "true").parquet(*full)
+        )
+
+    def read(self, spark: SparkSession, version: int, bucket_ids=None) -> DataFrame:
+        manifest = self._load_manifest(version)
+        if bucket_ids is not None:
+            manifest = {b: e for b, e in manifest.items() if b in bucket_ids}
+        spec_cols = [n for n, _, _ in self.spec.columns]
+        if not manifest:
+            return empty_state_df(spark, self.spec)
+
+        plain_bases = [
+            e["base"] for e in manifest.values() if not e["deltas"] and e["base"]
+        ]
+        folded = {b: e for b, e in manifest.items() if e["deltas"]}
+
+        parts = []
+        if plain_bases:  # fast path: no deltas → no fold, no shuffle
+            parts.append(self._scan(spark, plain_bases).select(*spec_cols))
+        if folded:
+            base_paths = [e["base"] for e in folded.values() if e["base"]]
+            delta_paths = [p for e in folded.values() for p in e["deltas"]]
+            sides = []
+            if base_paths:
+                sides.append(
+                    self._scan(spark, base_paths).select(
+                        *spec_cols, "_seq",
+                        F.lit("upsert").alias("_op"),
+                        F.lit(-1).cast("long").alias("_cm"),
+                    )
+                )
+            sides.append(
+                self._scan(spark, delta_paths).select(
+                    *spec_cols, "_seq", "_op", "_cm"
+                )
+            )
+            u = sides[0]
+            for s in sides[1:]:
+                u = u.unionByName(s)
+            parts.append(self._resolve(u).select(*spec_cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _resolve(self, u: DataFrame) -> DataFrame:
+        """Fold (base ∪ deltas) rows to final per-key images. One exchange:
+        the delete-fence window and the per-column aggregate both hash-
+        partition on the key, so Spark plans a single shuffle. Per column,
+        the winner is the highest-_seq surviving contribution that CARRIED
+        the column (its mask bit set) — ``max_by`` skips rows whose
+        ordering expression is null, which encodes the carried-bit filter
+        without a second pass. A key whose last contribution is a delete
+        folds to nothing."""
+        keys = list(self.spec.primary_key)
+        w = Window.partitionBy(*keys)
+        fence = F.max(
+            F.when(F.col("_op") == "delete", F.col("_seq")).otherwise(F.lit(-1))
+        ).over(w)
+        live = u.withColumn("_fence", fence).filter(
+            (F.col("_op") != "delete") & (F.col("_seq") > F.col("_fence"))
+        )
+        aggs = []
+        for ci, (c, _d, _k) in enumerate(self.spec.columns):
+            if c in keys:
+                continue
+            carried = F.shiftright(F.col("_cm"), ci).bitwiseAND(F.lit(1)) == 1
+            aggs.append(
+                F.max_by(F.col(c), F.when(carried, F.col("_seq"))).alias(c)
+            )
+        return live.groupBy(*keys).agg(*aggs)
+
+    # -- write (append deltas) -------------------------------------------------
+
+    def _append_delta(
+        self, net: DataFrame, current_version: int, mask_col
+    ) -> int:
+        self._adopt_layout(current_version)
+        spec = self.spec
+        keys = list(spec.primary_key)
+        new_version = current_version + 1
+        snap = self.snapshot_path(new_version)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)  # orphan from a crashed batch — retry overwrites
+        delta = net.select(
+            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+            *[
+                F.col(f"after_{c}").cast(d).alias(c)
+                for c, d, _ in spec.columns
+                if c not in keys
+            ],
+            F.col("op").alias("_op"),
+            mask_col.cast("long").alias("_cm"),
+            F.lit(new_version).cast("long").alias("_seq"),
+        ).persist()  # consumed twice: touched-bucket pre-pass + delta write
+        try:
+            touched = sorted(
+                r["_b"]
+                for r in delta.select(self._bucket_expr().alias("_b"))
+                .distinct()
+                .collect()
+            )
+            delta_dir = os.path.join(snap, "delta")
+            if touched:
+                (
+                    delta.withColumn("_bucket", self._bucket_expr())
+                    .repartition(max(1, len(touched)), F.col("_bucket"))
+                    .write.partitionBy("_bucket")
+                    .parquet(delta_dir)
+                )
+            manifest = self._load_manifest(current_version)
+            for b in touched:
+                d = os.path.join(delta_dir, f"_bucket={b}")
+                if not os.path.isdir(d):
+                    continue  # empty partition writes no dir
+                entry = manifest.get(b, {"base": None, "deltas": []})
+                entry["deltas"] = entry["deltas"] + [
+                    os.path.relpath(d, self.store_dir)
+                ]
+                manifest[b] = entry
+            self._write_meta(new_version, manifest)
+            return new_version
+        finally:
+            delta.unpersist()
+
+    def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
+        return self._append_delta(net, current_version, F.lit(-1))
+
+    def merge_partial(
+        self, spark: SparkSession, net: DataFrame, current_version: int
+    ) -> int:
+        return self._append_delta(net, current_version, F.col("carried_mask"))
+
+    def _write_meta(self, version: int, manifest: dict) -> None:
+        """Layout first, manifest last (atomic rename) — the manifest write
+        stays the snapshot's internal commit point, same as the parent."""
+        snap = self.snapshot_path(version)
+        os.makedirs(snap, exist_ok=True)
+        with open(self._layout_path(version), "w") as f:
+            json.dump(
+                {"buckets": self.buckets, "bucket_cols": list(self.bucket_cols)}, f
+            )
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(b): e for b, e in sorted(manifest.items())}, f)
+        os.replace(tmp, self._manifest_path(version))
+
+    # -- base rewrite (compact / rebucket) --------------------------------------
+
+    def _commit_buckets(
+        self, merged: DataFrame, touched: list, current_version: int,
+        carry_over: bool = True,
+    ) -> int:
+        """Write ``merged`` as fresh BASE data for ``touched`` buckets
+        (delta chains cleared) and splice the manifest. Used by ``compact``
+        and by the inherited ``rebucket`` (whose resolved full read comes
+        through the overridden ``read``)."""
+        new_version = current_version + 1
+        snap = self.snapshot_path(new_version)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        data_dir = os.path.join(snap, "data")
+        (
+            merged.withColumn("_seq", F.lit(new_version).cast("long"))
+            .withColumn("_bucket", self._bucket_expr())
+            .repartition(max(1, len(touched)), F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(data_dir)
+        )
+        manifest = {}
+        if carry_over:
+            manifest = {
+                b: e
+                for b, e in self._load_manifest(current_version).items()
+                if b not in set(touched)
+            }
+        for b in touched:
+            bucket_dir = os.path.join(data_dir, f"_bucket={b}")
+            if os.path.isdir(bucket_dir):  # a fully-deleted bucket writes no dir
+                manifest[b] = {
+                    "base": os.path.relpath(bucket_dir, self.store_dir),
+                    "deltas": [],
+                }
+        self._write_meta(new_version, manifest)
+        return new_version
+
+    def compact(
+        self,
+        spark: SparkSession,
+        current_version: int,
+        min_deltas: int = 1,
+        bucket_ids=None,
+    ) -> int:
+        """Fold delta chains back into base files for every bucket whose
+        chain length ≥ ``min_deltas`` (optionally restricted to
+        ``bucket_ids``) and commit the rewrite as snapshot version+1;
+        other buckets are carried by manifest reference. Returns the new
+        version, or ``current_version`` unchanged if no bucket qualifies
+        (no empty commit). Run on a cadence (or delta-count trigger) that
+        bounds read amplification; each compaction pays exactly the
+        touched-bucket rewrite the CoW path pays per batch."""
+        self.read_session = spark
+        self._adopt_layout(current_version)
+        manifest = self._load_manifest(current_version)
+        chosen = [
+            b
+            for b, e in manifest.items()
+            if len(e["deltas"]) >= max(1, min_deltas)
+            and (bucket_ids is None or b in bucket_ids)
+        ]
+        if not chosen:
+            return current_version
+        resolved = self.read(spark, current_version, bucket_ids=set(chosen))
+        return self._commit_buckets(resolved, sorted(chosen), current_version)
+
+    def delta_stats(self, version: int) -> dict:
+        """{bucket: chain length} for monitoring / compact triggers."""
+        return {
+            b: len(e["deltas"]) for b, e in self._load_manifest(version).items()
+        }
+
+    # -- maintenance -------------------------------------------------------------
+
+    def gc(self, keep_latest: int) -> None:
+        """Drop snapshot dirs neither among the newest ``keep_latest`` nor
+        referenced (base OR delta) by any kept manifest."""
+        if not keep_latest:
+            return
+        root = os.path.join(self.store_dir, "snapshots")
+        snaps = sorted(os.listdir(root))
+        keep = set(snaps[-keep_latest:])
+        referenced = set()
+        for name in keep:
+            mp = os.path.join(root, name, "manifest.json")
+            if not os.path.exists(mp):
+                continue
+            version = int(name.lstrip("v"))
+            for e in self._load_manifest(version).values():
+                for rel in ([e["base"]] if e["base"] else []) + e["deltas"]:
+                    parts = os.path.normpath(rel).split(os.sep)
+                    if len(parts) >= 2 and parts[0] == "snapshots":
+                        referenced.add(parts[1])
+        for name in snaps:
+            if name not in keep and name not in referenced:
+                shutil.rmtree(os.path.join(root, name))

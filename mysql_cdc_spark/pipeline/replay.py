@@ -1637,6 +1637,47 @@ class Replayer:
             self.target.gc(keep_latest=self.gc_keep)
         return new_version
 
+    def compact(self, min_deltas: int = 1, bucket_ids=None) -> int:
+        """Fold a merge-on-read target's delta chains back into base files
+        (see ``MergeOnReadBucketedTarget.compact``) and commit the rewrite
+        as a zero-event maintenance batch, exactly like ``rebucket``: the
+        ledger's read high-water mark and covered GTID set are unchanged,
+        only the snapshot version advances — so the next merge's
+        ``current_version`` is the compacted snapshot and a crash anywhere
+        leaves the pre-compact chain live. Run it on whatever cadence (or
+        ``delta_stats`` trigger) bounds read amplification. Returns the
+        new snapshot version (unchanged if no chain met ``min_deltas`` —
+        then no ledger entry is written either)."""
+        if not hasattr(self.target, "compact"):
+            raise TypeError(
+                f"{type(self.target).__name__} has no delta chains to "
+                "compact; compact() needs MergeOnReadBucketedTarget"
+            )
+        version = self.ledger.current_snapshot_version()
+        new_version = self.target.compact(
+            self.spark, version, min_deltas=min_deltas, bucket_ids=bucket_ids
+        )
+        if new_version == version:
+            return version  # no-op: no chain met the threshold
+        last = self.ledger.last()
+        self.ledger.append(
+            LedgerEntry(
+                batch_id=self.ledger.next_batch_id(),
+                gtid_set_text=last.gtid_set_text if last else "",
+                max_file=last.max_file if last else "",
+                max_pos=last.max_pos if last else 0,
+                snapshot_version=new_version,
+                committed_at=Ledger.now(),
+                partition_lineage=[],
+                metrics={"maintenance": "compact", "min_deltas": int(min_deltas)},
+            )
+        )
+        for view in self.views:
+            view.refresh(self.spark, self.target, new_version)
+        if self.gc_keep and hasattr(self.target, "gc"):
+            self.target.gc(keep_latest=self.gc_keep)
+        return new_version
+
     def state_at_batch(self, batch_id: int) -> DataFrame:
         """State as of a committed batch — the snapshot version its ledger
         entry names. Every commit point is a readable state, which is what
