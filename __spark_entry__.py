@@ -370,6 +370,32 @@ def cdc_replay_mor_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_replay_purge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten end-to-end (beyond-reference; GDPR art. 17):
+    replay the standard corpus, then ``Replayer.purge_keys`` two
+    conversations — a delete MERGE pruned to their buckets, committed as
+    a zero-event maintenance batch, with ``erase=True`` dropping every
+    retained file that held the rows (bucket-granular gc). The oracle is
+    the plain sequential replay with the purged conversations excluded —
+    an unpurged row leaking through, or an unrelated row lost to the
+    erase gc, hash-mismatches. Physical file-level erasure and history/
+    MoR variants are pinned in tests/test_purge.py."""
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = _ensure_e2e_binlog()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_purge_")
+    rep = Replayer(spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4)
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    rep.purge_keys("conv_id IN ('conv-00003', 'conv-00007')")
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 def cdc_replay_flashback_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time rewind (Iceberg RESTORE semantics; MariaDB
     ``mysqlbinlog --flashback`` analog): replay the full corpus in
@@ -1115,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
     out["cdc_replay_mor_e2e"] = cdc_replay_mor_e2e
+    out["cdc_replay_purge_e2e"] = cdc_replay_purge_e2e
     out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
     out["cdc_replay_ignore_server_e2e"] = cdc_replay_ignore_server_e2e
     out["cdc_replay_redacted_e2e"] = cdc_replay_redacted_e2e
@@ -1184,6 +1211,12 @@ FROM ({CDC_REPLAY_E2E_SQL})
     # merge-on-read changes only the sink's storage layout — the logical
     # stream, and therefore the oracle, is identical to the plain replay
     out["cdc_replay_mor_e2e"] = CDC_REPLAY_E2E_SQL
+    # the purge removes two conversations AFTER the full replay; the
+    # oracle replays everything and excludes them at the end
+    out["cdc_replay_purge_e2e"] = f"""
+SELECT * FROM ({CDC_REPLAY_E2E_SQL})
+WHERE conv_id NOT IN ('conv-00003', 'conv-00007')
+"""
     # flashback rewinds the table to the first one-file batch's state:
     # the oracle replays only the transactions that file delivered
     # (files chunk txns in delivery order, 40 per file)

@@ -321,25 +321,13 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
 
     # -- maintenance -------------------------------------------------------------
 
-    def gc(self, keep_latest: int) -> None:
-        """Drop snapshot dirs neither among the newest ``keep_latest`` nor
-        referenced (base OR delta) by any kept manifest."""
-        if not keep_latest:
-            return
-        root = os.path.join(self.store_dir, "snapshots")
-        snaps = sorted(os.listdir(root))
-        keep = set(snaps[-keep_latest:])
-        referenced = set()
-        for name in keep:
-            mp = os.path.join(root, name, "manifest.json")
-            if not os.path.exists(mp):
-                continue
-            version = int(name.lstrip("v"))
-            for e in self._load_manifest(version).values():
-                for rel in ([e["base"]] if e["base"] else []) + e["deltas"]:
-                    parts = os.path.normpath(rel).split(os.sep)
-                    if len(parts) >= 2 and parts[0] == "snapshots":
-                        referenced.add(parts[1])
-        for name in snaps:
-            if name not in keep and name not in referenced:
-                shutil.rmtree(os.path.join(root, name))
+    def _manifest_refs(self, version: int) -> set:
+        """Live bucket-dir paths at ``version``: base AND delta files (the
+        parent's bucket-granular ``gc`` uses this — unreferenced delta
+        dirs are pruned the moment a compaction folds them away)."""
+        out = set()
+        for e in self._load_manifest(version).values():
+            if e["base"]:
+                out.add(e["base"])
+            out.update(e["deltas"])
+        return out

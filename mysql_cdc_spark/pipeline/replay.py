@@ -1678,6 +1678,118 @@ class Replayer:
             self.target.gc(keep_latest=self.gc_keep)
         return new_version
 
+    def purge_keys(self, predicate: str, erase: bool = True) -> int:
+        """Right-to-be-forgotten purge (GDPR art. 17 / CCPA delete): remove
+        every current row matching ``predicate`` (a SQL boolean expression
+        over the table's columns, e.g. ``"conv_id IN ('conv-00007')"``)
+        from the live state, the SCD2 history sink if one is attached, and
+        — with ``erase=True`` — from every *retained file* of both stores.
+
+        Committed as a zero-event maintenance batch like ``rebucket``/
+        ``compact``: the read high-water mark and covered GTID set are
+        unchanged (a purge is not a source event — redelivered duplicates
+        of old transactions stay suppressed by the GTID anti-join; only
+        genuinely NEW source events can re-create a purged key), views
+        refresh through the normal change feed so derived aggregates shed
+        the purged rows' contributions, and only the snapshot version
+        advances. Returns the new version (unchanged if nothing matched).
+
+        Physical erasure, per sink family:
+
+        - copy-on-write (Parquet/Bucketed): the delete-merge itself
+          rewrites exactly the buckets holding matching keys; the rows
+          then survive only in OLDER snapshots, which ``erase=True`` drops
+          (``gc(keep_latest=1)``) — destroying time travel *by design*;
+          pass ``erase=False`` to defer erasure to routine gc/retention.
+        - merge-on-read: the delete lands as delta rows, so the purged
+          images still sit in retained base/delta files — the purge
+          therefore force-compacts the touched buckets (base rewritten
+          without the keys, chains cleared) before the erase gc.
+        - ordered (streaming) targets are refused: their delete tombstones
+          persist the key itself past the merge, so field-level erasure
+          doesn't hold — purge through the batch tier that owns the store.
+
+        The quarantine DLQ is untouched: its records are *undecodable
+        bytes* (no key to match); audit its contents separately via
+        ``read_quarantine`` before relying on a purge for compliance.
+
+        Scale shape at 10^10 rows: one predicate scan of current state
+        (O(table) read — a compliance op, not a hot path), then a delete
+        MERGE + compaction pruned to the matched keys' buckets
+        (O(touched-bucket data)), then metadata-only gc."""
+        if hasattr(self.target, "read_with_order"):
+            raise TypeError(
+                "purge_keys on an ordered (streaming) target would leave "
+                "key-bearing tombstones behind; purge via a snapshot-target "
+                "Replayer over the same store family"
+            )
+        spec = self.target.spec
+        keys = list(spec.primary_key)
+        version = self.ledger.current_snapshot_version()
+        state = self.target.read(self.spark, version)
+        doomed = state.filter(F.expr(predicate)).select(*keys).persist()
+        try:
+            n_purged = doomed.count()
+            if n_purged == 0:
+                return version
+            net = doomed.select(
+                *keys,
+                F.lit("delete").alias("op"),
+                *[
+                    F.lit(None).cast(d).alias(f"after_{c}")
+                    for c, d, _ in spec.columns
+                ],
+            )
+            new_version = self.target.merge(self.spark, net, version)
+            if hasattr(self.target, "compact"):
+                # merge-on-read: the delete is only a delta — rewrite the
+                # touched buckets' bases so no retained file keeps the rows
+                touched = set(self.target._touched_buckets(doomed))
+                new_version = self.target.compact(
+                    self.spark, new_version, min_deltas=1, bucket_ids=touched
+                )
+            h_version = None
+            if self.history is not None:
+                h_version = self.history.purge_keys(
+                    self.spark, doomed, self.history.current_version()
+                )
+            last = self.ledger.last()
+            self.ledger.append(
+                LedgerEntry(
+                    batch_id=self.ledger.next_batch_id(),
+                    gtid_set_text=last.gtid_set_text if last else "",
+                    max_file=last.max_file if last else "",
+                    max_pos=last.max_pos if last else 0,
+                    snapshot_version=new_version,
+                    committed_at=Ledger.now(),
+                    partition_lineage=[],
+                    metrics={
+                        "maintenance": "purge",
+                        "rows_purged": int(n_purged),
+                        "erase": bool(erase),
+                        **(
+                            {"history_version": int(h_version)}
+                            if h_version is not None
+                            else {}
+                        ),
+                    },
+                )
+            )
+            # views shed the purged contributions through the normal
+            # change feed BEFORE older snapshots are erased
+            for view in self.views:
+                view.refresh(self.spark, self.target, new_version)
+            if erase:
+                if hasattr(self.target, "gc"):
+                    self.target.gc(keep_latest=1)
+                if self.history is not None:
+                    self.history.gc(keep_latest=1)
+            elif self.gc_keep and hasattr(self.target, "gc"):
+                self.target.gc(keep_latest=self.gc_keep)
+            return new_version
+        finally:
+            doomed.unpersist()
+
     def state_at_batch(self, batch_id: int) -> DataFrame:
         """State as of a committed batch — the snapshot version its ledger
         entry names. Every commit point is a readable state, which is what

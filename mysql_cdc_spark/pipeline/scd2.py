@@ -254,3 +254,27 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
 
     def read_history(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         return self.read(spark, self.current_version() if version is None else version)
+
+    def purge_keys(
+        self, spark: SparkSession, keys_df: DataFrame, current_version: int
+    ) -> int:
+        """Right-to-be-forgotten over the HISTORY table: remove every
+        stored version row for the given keys (a history sink retains the
+        full image of each superseded row — a state-only purge would leave
+        the data recoverable here). Bucket-pruned: the keys hash to their
+        buckets, only those buckets' history is read and rewritten without
+        the matching rows; untouched buckets carry by manifest reference.
+        The caller (``Replayer.purge_keys``) follows with ``gc`` so no
+        retained file keeps the rows. Returns the new history version."""
+        keys = list(self.base_spec.primary_key)
+        probe = keys_df.select(*keys).persist()
+        try:
+            touched = self._touched_buckets(probe)
+            if not touched:
+                return current_version
+            kept = self.read(
+                spark, current_version, bucket_ids=set(touched)
+            ).join(probe, on=keys, how="left_anti")
+            return self._commit_buckets(kept, touched, current_version)
+        finally:
+            probe.unpersist()

@@ -631,29 +631,56 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
             self.buckets, self.bucket_cols = old
             raise
 
+    def _manifest_refs(self, version: int) -> set:
+        """Store-relative bucket-dir paths the manifest at ``version``
+        references (subclasses with richer entries override)."""
+        return set(self._load_manifest(version).values())
+
     def gc(self, keep_latest: int) -> None:
-        """Drop snapshot dirs that are neither among the newest
-        ``keep_latest`` nor referenced by any kept manifest (old versions
-        stay alive while a live bucket still points into them)."""
+        """Retain the newest ``keep_latest`` versions fully readable and
+        physically remove everything else — at BUCKET-DIR granularity, not
+        just whole snapshot dirs (Iceberg's expire-snapshots +
+        remove-orphan-files in one pass): a snapshot dir that a kept
+        manifest still points into survives, but the *unreferenced* bucket
+        dirs inside it (superseded copies of since-rewritten buckets) are
+        deleted. This is what makes ``Replayer.purge_keys``'s erasure
+        guarantee hold — without the inner prune, a carried-over old
+        snapshot dir would keep the purged keys' pre-delete bucket files."""
         if not keep_latest:
             return
-        import json
-
         root = os.path.join(self.store_dir, "snapshots")
         snaps = sorted(os.listdir(root))
         keep = set(snaps[-keep_latest:])
-        referenced = set()
+        live = set()
         for name in keep:
-            mp = os.path.join(root, name, "manifest.json")
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    for rel in json.load(f).values():
-                        parts = os.path.normpath(rel).split(os.sep)
-                        if len(parts) >= 2 and parts[0] == "snapshots":
-                            referenced.add(parts[1])
+            if os.path.exists(os.path.join(root, name, "manifest.json")):
+                live |= {
+                    os.path.normpath(r)
+                    for r in self._manifest_refs(int(name.lstrip("v")))
+                }
+        live_snap_names = {
+            p.split(os.sep)[1]
+            for p in live
+            if p.split(os.sep)[0] == "snapshots" and len(p.split(os.sep)) > 1
+        }
         for name in snaps:
-            if name not in keep and name not in referenced:
-                shutil.rmtree(os.path.join(root, name))
+            snap = os.path.join(root, name)
+            if name not in keep and name not in live_snap_names:
+                shutil.rmtree(snap)
+                continue
+            for sub in ("data", "delta"):
+                d = os.path.join(snap, sub)
+                if not os.path.isdir(d):
+                    continue
+                for bd in os.listdir(d):
+                    p = os.path.join(d, bd)
+                    if not (os.path.isdir(p) and bd.startswith("_bucket=")):
+                        continue  # committer markers (_SUCCESS etc.)
+                    rel = os.path.normpath(os.path.relpath(p, self.store_dir))
+                    if rel not in live:
+                        shutil.rmtree(p)
+                if not any(e.startswith("_bucket=") for e in os.listdir(d)):
+                    shutil.rmtree(d)
 
 
 class OrderedParquetMergeTarget(ParquetMergeTarget):
