@@ -172,27 +172,15 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
 
     # -- write (append deltas) -------------------------------------------------
 
-    def _append_delta(
-        self, net: DataFrame, current_version: int, mask_col
-    ) -> int:
-        self._adopt_layout(current_version)
-        spec = self.spec
-        keys = list(spec.primary_key)
+    def _commit_delta(self, delta: DataFrame, current_version: int) -> int:
+        """Write a ready (schema'd) delta frame partitioned by bucket under
+        snapshot version+1 and splice the manifest; the shared commit path
+        for the _seq-ordered and order-tuple-ordered (subclass) sinks."""
         new_version = current_version + 1
         snap = self.snapshot_path(new_version)
         if os.path.exists(snap):
             shutil.rmtree(snap)  # orphan from a crashed batch — retry overwrites
-        delta = net.select(
-            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
-            *[
-                F.col(f"after_{c}").cast(d).alias(c)
-                for c, d, _ in spec.columns
-                if c not in keys
-            ],
-            F.col("op").alias("_op"),
-            mask_col.cast("long").alias("_cm"),
-            F.lit(new_version).cast("long").alias("_seq"),
-        ).persist()  # consumed twice: touched-bucket pre-pass + delta write
+        delta = delta.persist()  # consumed twice: touched pre-pass + write
         try:
             touched = sorted(
                 r["_b"]
@@ -222,6 +210,26 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
             return new_version
         finally:
             delta.unpersist()
+
+    def _append_delta(
+        self, net: DataFrame, current_version: int, mask_col
+    ) -> int:
+        self._adopt_layout(current_version)
+        spec = self.spec
+        keys = list(spec.primary_key)
+        new_version = current_version + 1
+        delta = net.select(
+            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+            *[
+                F.col(f"after_{c}").cast(d).alias(c)
+                for c, d, _ in spec.columns
+                if c not in keys
+            ],
+            F.col("op").alias("_op"),
+            mask_col.cast("long").alias("_cm"),
+            F.lit(new_version).cast("long").alias("_seq"),
+        )
+        return self._commit_delta(delta, current_version)
 
     def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
         return self._append_delta(net, current_version, F.lit(-1))
@@ -331,3 +339,239 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
                 out.add(e["base"])
             out.update(e["deltas"])
         return out
+
+
+class OrderedMergeOnReadTarget(MergeOnReadBucketedTarget):
+    """Order-aware merge-on-read — the streaming apply tier's
+    write-amplification fix.
+
+    ``OrderedBucketedMergeTarget`` (copy-on-write) gives the file-stream
+    source its cross-trigger guarantees — an incoming row only replaces
+    stored state when its ORDER TUPLE outranks it, deletes persist as
+    tombstones so an out-of-order old insert cannot resurrect a row — but
+    each trigger still rewrites every touched bucket. This class keeps the
+    exact outrank semantics while writing only the trigger's net change
+    rows as per-bucket delta files.
+
+    The one representation: base and delta rows share a single schema —
+    spec columns + ``_op`` (upsert/delete) + ``_ord_<col>`` longs — so a
+    compacted base is literally a folded delta chain (winning row per key,
+    tombstones included), and resolution is ONE ``max_by`` over the order
+    tuple per key: later triggers' deltas do not outrank by arrival (no
+    ``_seq``), they outrank only if their order tuple says so, which is
+    what makes redelivered old decode outputs harmless however late they
+    arrive. Ties (exact redelivery) carry identical payloads, so
+    ``max_by``'s tie choice is immaterial.
+
+    MINIMAL row images are refused like the ordered CoW sink (the outrank
+    guard replaces whole rows; per-column carried-bit folding under
+    reordering would need per-column order tuples). ``prune_tombstones``
+    ages tombstones below the caller's redelivery low-watermark out via a
+    full compacting rewrite, same contract as the CoW ordered sinks."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        spec=None,
+        buckets: int = 64,
+        bucket_cols: tuple | None = None,
+        order_cols: tuple[str, ...] = ("gtid_seq", "pos", "row_in_event"),
+    ):
+        from ..binlog.decoder import TRANSCRIPTS
+
+        super().__init__(store_dir, spec or TRANSCRIPTS, buckets, bucket_cols)
+        self.order_cols = list(order_cols)
+
+    def _ord_names(self) -> list[str]:
+        return [f"_ord_{c}" for c in self.order_cols]
+
+    # -- read (resolve by order tuple) ----------------------------------------
+
+    def read_with_order(
+        self, spark: SparkSession, version: int, bucket_ids=None
+    ) -> DataFrame:
+        """Winning stored form per key — spec columns + order tuple +
+        tombstone flag — folded across base and deltas. Buckets without
+        deltas skip the fold (their base is already one winner per key)."""
+        manifest = self._load_manifest(version)
+        if bucket_ids is not None:
+            manifest = {b: e for b, e in manifest.items() if b in bucket_ids}
+        spec_cols = [n for n, _, _ in self.spec.columns]
+        ords = self._ord_names()
+        out_cols = [*spec_cols, *ords, "_deleted"]
+        if not manifest:
+            df = empty_state_df(spark, self.spec)
+            for o in ords:
+                df = df.withColumn(o, F.lit(None).cast("long"))
+            return df.withColumn("_deleted", F.lit(False))
+
+        plain = [e["base"] for e in manifest.values() if not e["deltas"] and e["base"]]
+        folded = {b: e for b, e in manifest.items() if e["deltas"]}
+        parts = []
+        if plain:
+            parts.append(
+                self._scan_ordered(spark, plain).select(
+                    *spec_cols, *ords,
+                    (F.col("_op") == "delete").alias("_deleted"),
+                )
+            )
+        if folded:
+            paths = [e["base"] for e in folded.values() if e["base"]]
+            paths += [p for e in folded.values() for p in e["deltas"]]
+            u = self._scan_ordered(spark, paths)
+            rank = F.struct(*[F.col(o) for o in ords])
+            payload = F.struct(
+                F.col("_op"),
+                *[F.col(c) for c in spec_cols],
+                *[F.col(o) for o in ords],
+            )
+            keys = list(self.spec.primary_key)
+            parts.append(
+                u.groupBy(*keys)
+                .agg(F.max_by(payload, rank).alias("_win"))
+                .select(
+                    *[F.col(f"_win.{c}").alias(c) for c in spec_cols if c not in keys],
+                    *keys,
+                    *[F.col(f"_win.{o}").alias(o) for o in ords],
+                    (F.col("_win._op") == "delete").alias("_deleted"),
+                )
+                .select(*out_cols)
+            )
+        out = parts[0].select(*out_cols)
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _scan_ordered(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        df = self._scan(spark, paths)
+        for o in self._ord_names():
+            if o not in df.columns:
+                df = df.withColumn(o, F.lit(None).cast("long"))
+        return df
+
+    def read(self, spark: SparkSession, version: int, bucket_ids=None) -> DataFrame:
+        return (
+            self.read_with_order(spark, version, bucket_ids)
+            .filter(~F.col("_deleted"))
+            .select(*[n for n, _, _ in self.spec.columns])
+        )
+
+    def _read_full(self, spark: SparkSession, version: int) -> DataFrame:
+        return self.read_with_order(spark, version)
+
+    # -- write ------------------------------------------------------------------
+
+    def merge(self, spark: SparkSession, net: DataFrame, current_version: int) -> int:
+        """Same net contract as the ordered CoW sinks (key cols + ``op`` +
+        ``after_<col>`` + order columns); writes only delta files."""
+        self._adopt_layout(current_version)
+        spec = self.spec
+        keys = list(spec.primary_key)
+        delta = net.select(
+            *[F.col(k).cast(d).alias(k) for k, d, _ in spec.columns if k in keys],
+            *[
+                F.col(f"after_{c}").cast(d).alias(c)
+                for c, d, _ in spec.columns
+                if c not in keys
+            ],
+            F.col("op").alias("_op"),
+            *[
+                F.col(c).cast("long").alias(o)
+                for c, o in zip(self.order_cols, self._ord_names())
+            ],
+        )
+        return self._commit_delta(delta, current_version)
+
+    def merge_partial(self, spark, net, current_version):
+        raise ValueError(
+            "MINIMAL row images need whole-row state the outrank guard "
+            "cannot reconstruct per column; use the batch path "
+            "(Replayer(row_image='minimal')) for MINIMAL streams"
+        )
+
+    def _commit_buckets(
+        self, merged: DataFrame, touched: list, current_version: int,
+        carry_over: bool = True,
+    ) -> int:
+        """Write ``merged`` (winning rows INCLUDING tombstones, in the
+        shared spec+_op+_ord schema) as fresh base data; used by
+        ``compact``, the inherited ``rebucket`` (via ``_read_full``), and
+        ``prune_tombstones``. Accepts either the ``_deleted``-flag form
+        (from ``read_with_order``) or the ``_op`` form."""
+        new_version = current_version + 1
+        if "_deleted" in merged.columns:
+            merged = merged.withColumn(
+                "_op",
+                F.when(F.col("_deleted"), F.lit("delete")).otherwise(
+                    F.lit("upsert")
+                ),
+            ).drop("_deleted")
+        snap = self.snapshot_path(new_version)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        data_dir = os.path.join(snap, "data")
+        (
+            merged.withColumn("_bucket", self._bucket_expr())
+            .repartition(max(1, len(touched)), F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(data_dir)
+        )
+        manifest = {}
+        if carry_over:
+            manifest = {
+                b: e
+                for b, e in self._load_manifest(current_version).items()
+                if b not in set(touched)
+            }
+        for b in touched:
+            bucket_dir = os.path.join(data_dir, f"_bucket={b}")
+            if os.path.isdir(bucket_dir):
+                manifest[b] = {
+                    "base": os.path.relpath(bucket_dir, self.store_dir),
+                    "deltas": [],
+                }
+        self._write_meta(new_version, manifest)
+        return new_version
+
+    def compact(
+        self,
+        spark: SparkSession,
+        current_version: int,
+        min_deltas: int = 1,
+        bucket_ids=None,
+    ) -> int:
+        """Fold delta chains into base files — tombstones are KEPT (a
+        compacted-away delete could be outranked into resurrection by a
+        late redelivered insert otherwise); ``prune_tombstones`` is the op
+        that ages them out under a redelivery watermark."""
+        self._adopt_layout(current_version)
+        manifest = self._load_manifest(current_version)
+        chosen = [
+            b
+            for b, e in manifest.items()
+            if len(e["deltas"]) >= max(1, min_deltas)
+            and (bucket_ids is None or b in bucket_ids)
+        ]
+        if not chosen:
+            return current_version
+        resolved = self.read_with_order(spark, current_version, set(chosen))
+        return self._commit_buckets(resolved, sorted(chosen), current_version)
+
+    def prune_tombstones(
+        self, spark: SparkSession, current_version: int, min_live_order: int
+    ) -> int:
+        """Tombstone GC under the caller's redelivery low-watermark (see
+        ``OrderedParquetMergeTarget.prune_tombstones`` — NULL-ordered
+        tombstones always survive); a full compacting rewrite, every
+        bucket fresh."""
+        self._adopt_layout(current_version)
+        df = self.read_with_order(spark, current_version)
+        lead = self._ord_names()[0]
+        kept = df.filter(
+            (~F.col("_deleted"))
+            | F.col(lead).isNull()
+            | (F.col(lead) >= F.lit(min_live_order))
+        )
+        return self._commit_buckets(
+            kept, list(range(self.buckets)), current_version, carry_over=False
+        )

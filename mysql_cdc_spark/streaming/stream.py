@@ -260,13 +260,25 @@ def _current_version(store_dir: str) -> int:
 
 def read_stream_state(spark: SparkSession, store_dir: str, spec: TableSpec = TRANSCRIPTS) -> DataFrame:
     """Current streamed state, auto-detecting the snapshot layout: a
-    bucketed store's snapshots carry a manifest.json, a plain ordered
-    store's are bare parquet directories."""
+    bucketed store's snapshots carry a manifest.json (dict-valued entries
+    mean the merge-on-read layout), a plain ordered store's are bare
+    parquet directories."""
+    import json
     import os
 
     version = _current_version(store_dir)
     manifest = os.path.join(
         store_dir, "snapshots", f"v{version:08d}", "manifest.json"
     )
-    cls = OrderedBucketedMergeTarget if os.path.exists(manifest) else OrderedParquetMergeTarget
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            entries = json.load(f)
+        if any(isinstance(v, dict) for v in entries.values()):
+            from ..pipeline.mor import OrderedMergeOnReadTarget
+
+            cls = OrderedMergeOnReadTarget
+        else:
+            cls = OrderedBucketedMergeTarget
+    else:
+        cls = OrderedParquetMergeTarget
     return cls(store_dir, spec).read(spark, version)
