@@ -245,3 +245,76 @@ class TestStreaming:
             .reset_index(drop=True)
         )
         assert state["text"].tolist() == oracle["text"].tolist()
+
+
+class TestProperty:
+    """For ANY random sequence of keyed upsert/delete events chopped into
+    arbitrary merge batches in arbitrary order (redelivery included), the
+    merge-on-read fold must equal the ordered CoW sink's state — the two
+    implementations are independent (outrank-at-write vs
+    outrank-at-read), so agreement pins both."""
+
+    def test_random_sequences_match_ordered_cow(self, spark, tmp_path):
+        import random
+
+        from mysql_cdc_spark.pipeline.target import OrderedBucketedMergeTarget
+
+        for case in range(4):
+            rnd = random.Random(1000 + case)
+            events = []
+            for seq in range(1, rnd.randint(10, 30)):
+                conv = f"c{rnd.randint(0, 4)}"
+                turn = rnd.randint(0, 2)
+                if rnd.random() < 0.25:
+                    events.append(
+                        (conv, turn, "delete", None, None, None, None,
+                         seq, seq * 10, 0)
+                    )
+                else:
+                    events.append(
+                        (conv, turn, "upsert", "user", f"v{seq}", None, TS,
+                         seq, seq * 10, 0)
+                    )
+            # chop into batches, shuffle batch order, duplicate one batch
+            rnd.shuffle(events)
+            batches = [
+                events[i : i + rnd.randint(1, 4)]
+                for i in range(0, len(events), 3)
+            ]
+            batches = [b for b in batches if b]
+            if len(batches) > 1:
+                batches.append(batches[rnd.randrange(len(batches))])  # redelivery
+            # one row per key per merge call (the net contract): split
+            # batches further so no batch holds two events for one key
+            def split(b):
+                out, seen = [[]], set()
+                for row in b:
+                    k = (row[0], row[1])
+                    if k in seen:
+                        out.append([])
+                        seen = set()
+                    out[-1].append(row)
+                    seen.add(k)
+                return out
+
+            cow = OrderedBucketedMergeTarget(
+                str(tmp_path / f"cow{case}"), TRANSCRIPTS, buckets=4
+            )
+            mor = _mor(tmp_path / f"mor{case}", buckets=4)
+            vc = vm = 0
+            for b in batches:
+                for piece in split(b):
+                    vc = cow.merge(spark, _net(spark, piece), vc)
+                    vm = mor.merge(spark, _net(spark, piece), vm)
+            if case % 2:
+                vm = mor.compact(spark, vm, min_deltas=1)
+            cols = ["conv_id", "turn_idx", "text"]
+            c = (
+                cow.read(spark, vc).select(*cols).toPandas()
+                .sort_values(cols).reset_index(drop=True)
+            )
+            m = (
+                mor.read(spark, vm).select(*cols).toPandas()
+                .sort_values(cols).reset_index(drop=True)
+            )
+            assert c.equals(m), f"case {case}: MoR state diverged from CoW"
