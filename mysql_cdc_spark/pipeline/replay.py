@@ -1657,6 +1657,13 @@ class Replayer:
         new_version = self.target.compact(
             self.spark, version, min_deltas=min_deltas, bucket_ids=bucket_ids
         )
+        if self.history is not None and hasattr(self.history, "compact"):
+            # a merge-on-read history store versions independently; fold
+            # its chains on the same maintenance cadence
+            self.history.compact(
+                self.spark, self.history.current_version(),
+                min_deltas=min_deltas,
+            )
         if new_version == version:
             return version  # no-op: no chain met the threshold
         last = self.ledger.last()

@@ -24,6 +24,12 @@ current row is only closed by a batch-first event that *outranks* its
 commit and the ledger append re-applies as a no-op. The pipeline commit
 point stays the Replayer's ledger append; the history store versions
 independently (its manifest write is its internal commit point).
+
+``Scd2HistoryMorStore`` (bottom of module) moves the storage tier to the
+merge-on-read layout: since history per bucket grows without bound, the
+copy-on-write rewrite's per-batch cost grows with table age — the
+delta-append form keeps it O(batch) forever, with ``compact`` bounding
+read amplification.
 """
 
 from __future__ import annotations
@@ -168,6 +174,30 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
     def _apply_batch_cached(
         self, spark: SparkSession, d: DataFrame, current_version: int
     ) -> int:
+        pieces = self._batch_pieces(spark, d, current_version)
+        if pieces is None:
+            return current_version
+        touched, kept, _closed, fresh = pieces
+        ddl = {n: dd for n, dd, _ in self.spec.columns}
+        out_cols = [n for n, _, _ in self.spec.columns]
+        merged = (
+            kept.select(*[F.col(c).cast(ddl[c]).alias(c) for c in out_cols])
+            .unionByName(
+                fresh.select(*[F.col(c).cast(ddl[c]).alias(c) for c in out_cols])
+            )
+        )
+        return self._commit_buckets(merged, touched, current_version)
+
+    def _batch_pieces(
+        self, spark: SparkSession, d: DataFrame, current_version: int
+    ):
+        """Shared batch computation: returns ``(touched, kept, closed,
+        fresh)`` — ``kept`` = ALL stored rows of the touched buckets with
+        this batch's closes applied (what the copy-on-write commit
+        rewrites), ``closed`` = ONLY the rows the batch actually closed
+        (what the merge-on-read commit appends as superseding deltas),
+        ``fresh`` = the batch's new history rows. None when the batch
+        touches nothing."""
         keys = list(self.base_spec.primary_key)
         oc = self.order_cols
         ordv = F.struct(*[F.col(c) for c in oc])
@@ -193,7 +223,7 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
 
         touched = self._touched_buckets(firsts)
         if not touched:
-            return current_version
+            return None
         state = self.read(spark, current_version, bucket_ids=set(touched))
 
         joined = state.join(firsts, on=keys, how="left")
@@ -223,6 +253,15 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
             .otherwise(F.col("closed_by_delete"))
             .alias("closed_by_delete"),
         )
+        closed = joined.filter(closes).select(
+            *keys,
+            "version",
+            *self.value_cols,
+            *[F.col(f"valid_from_{c}") for c in oc],
+            *[F.col(f"_first_{c}").alias(f"valid_to_{c}") for c in oc],
+            F.lit(False).alias("is_current"),
+            (F.col("_first_op") == "delete").alias("closed_by_delete"),
+        )
 
         prev_max = state.groupBy(*keys).agg(F.max("version").alias("_pmax"))
         fresh = (
@@ -242,15 +281,7 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
             )
         )
 
-        ddl = {n: d for n, d, _ in self.spec.columns}
-        out_cols = [n for n, _, _ in self.spec.columns]
-        merged = (
-            kept.select(*[F.col(c).cast(ddl[c]).alias(c) for c in out_cols])
-            .unionByName(
-                fresh.select(*[F.col(c).cast(ddl[c]).alias(c) for c in out_cols])
-            )
-        )
-        return self._commit_buckets(merged, touched, current_version)
+        return touched, kept, closed, fresh
 
     def read_history(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         return self.read(spark, self.current_version() if version is None else version)
@@ -278,3 +309,79 @@ class Scd2HistoryStore(BucketedParquetMergeTarget):
             return self._commit_buckets(kept, touched, current_version)
         finally:
             probe.unpersist()
+
+
+class Scd2HistoryMorStore(Scd2HistoryStore):
+    """SCD2 history on the merge-on-read layout — the append-shaped fix
+    for the history tier's write amplification.
+
+    History is append-mostly: each batch adds O(batch) new rows and
+    updates (closes) at most one stored row per touched key, yet the
+    copy-on-write store rewrites every touched bucket's FULL history per
+    batch — and history per bucket grows without bound, so at 10^10
+    events the per-batch cost grows linearly with table age. This store
+    appends exactly the batch's effect instead: the new history rows plus
+    superseding images of only the rows the batch closed, as per-bucket
+    delta files. Read-time resolution folds per HISTORY-ROW identity —
+    ``(key cols, valid_from order tuple)`` — last write wins, so a close
+    supersedes its open row; ``compact`` (inherited) folds chains into
+    base on whatever cadence bounds read amplification, and
+    ``Replayer.compact`` runs it alongside the main target's.
+
+    Same ``apply_batch`` contract and idempotence argument as the CoW
+    store (the batch computation is shared — ``_batch_pieces``); equality
+    across both stores is pinned in tests/test_scd2_mor.py."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        # the fold identity is the history ROW (key + valid_from tuple),
+        # not the conversation key: a close must supersede exactly its
+        # own open row. Bucket placement stays by the base keys (a
+        # primary-key prefix), so touched-bucket math is unchanged.
+        row_pk = tuple(self.base_spec.primary_key) + tuple(
+            f"valid_from_{c}" for c in self.order_cols
+        )
+        self.spec = TableSpec(
+            database=self.spec.database,
+            table=self.spec.table,
+            columns=self.spec.columns,
+            primary_key=row_pk,
+        )
+
+    # storage tier: borrow the merge-on-read machinery wholesale
+    from .mor import MergeOnReadBucketedTarget as _MOR
+
+    _load_manifest = _MOR._load_manifest
+    _manifest_refs = _MOR._manifest_refs
+    _pad = _MOR._pad
+    _scan = _MOR._scan
+    read = _MOR.read
+    _resolve = _MOR._resolve
+    _commit_delta = _MOR._commit_delta
+    _write_meta = _MOR._write_meta
+    _commit_buckets = _MOR._commit_buckets
+    compact = _MOR.compact
+    delta_stats = _MOR.delta_stats
+    gc = _MOR.gc
+    del _MOR
+
+    def _apply_batch_cached(
+        self, spark: SparkSession, d: DataFrame, current_version: int
+    ) -> int:
+        pieces = self._batch_pieces(spark, d, current_version)
+        if pieces is None:
+            return current_version
+        _touched, _kept, closed, fresh = pieces
+        ddl = {n: dd for n, dd, _ in self.spec.columns}
+        out_cols = [n for n, _, _ in self.spec.columns]
+        new_version = current_version + 1
+        delta = (
+            closed.select(*[F.col(c).cast(ddl[c]).alias(c) for c in out_cols])
+            .unionByName(
+                fresh.select(*[F.col(c).cast(ddl[c]).alias(c) for c in out_cols])
+            )
+            .withColumn("_op", F.lit("upsert"))
+            .withColumn("_cm", F.lit(-1).cast("long"))
+            .withColumn("_seq", F.lit(new_version).cast("long"))
+        )
+        return self._commit_delta(delta, current_version)
