@@ -189,6 +189,7 @@ class Replayer:
         column_transforms: dict[str, str] | None = None,
         on_decode_error: str = "fail",
         audit: object | None = None,
+        auto_compact: int | None = None,
     ):
         """``start``: optional start strategy (pipeline.start: FromStart /
         FromEnd / FromPosition / FromGtid — ST3, binlog_options.rs:33-85);
@@ -394,6 +395,19 @@ class Replayer:
                 "version to audit or roll back"
             )
         self.audit = audit
+        # auto_compact: for merge-on-read targets, fold any bucket whose
+        # delta chain reached this length after each batch — bounds read
+        # amplification without an external maintenance scheduler; each
+        # fold is the ledger-coordinated zero-event batch compact() runs
+        if auto_compact is not None:
+            if not hasattr(self.target, "compact"):
+                raise TypeError(
+                    "auto_compact needs a merge-on-read target "
+                    "(MergeOnReadBucketedTarget family)"
+                )
+            if auto_compact < 1:
+                raise ValueError("auto_compact must be >= 1")
+        self.auto_compact = auto_compact
         if start is not None:
             from .start import seed_ledger
 
@@ -1411,6 +1425,12 @@ class Replayer:
                 rewound = [n for n in rewound if n in keep]
             fpb = files_per_batch or max(1, len(new))
             result.batches.append(self.run_batch(rewound + new[:fpb]))
+            if self.auto_compact is not None:
+                stats = self.target.delta_stats(
+                    self.ledger.current_snapshot_version()
+                )
+                if any(n >= self.auto_compact for n in stats.values()):
+                    self.compact(min_deltas=self.auto_compact)
             first = False
         return result
 

@@ -416,3 +416,33 @@ class TestMaintenance:
         assert sorted(os.listdir(snap)) == ["bucketing.json", "manifest.json"]
         assert tgt.read(spark, v2).count() == 0
         assert tgt.read(spark, v).count() > 0  # time travel intact
+
+
+class TestAutoCompact:
+    def test_replay_bounds_chains(self, spark, changelog, tmp_path):
+        """Replayer(auto_compact=N): after every batch any chain at length
+        >= N folds, so the post-replay store never carries a chain longer
+        than N-1 deltas on top of the last fold; state still matches the
+        oracle and the ledger records the maintenance batches."""
+        _, outdir, oracle = changelog
+        store = str(tmp_path / "auto")
+        tgt = _mor(store)
+        rep = Replayer(
+            spark, outdir, store, target=tgt, auto_compact=2,
+        )
+        rep.replay(files_per_batch=1)
+        stats = tgt.delta_stats(rep.ledger.current_snapshot_version())
+        assert max(stats.values(), default=0) < 2
+        kinds = [
+            (e.metrics or {}).get("maintenance") for e in rep.ledger.entries()
+        ]
+        assert "compact" in kinds
+        state = _state_pdf(rep)
+        assert state["text"].tolist() == oracle["text"].tolist()
+
+    def test_requires_mor_target(self, spark, changelog, tmp_path):
+        _, outdir, _ = changelog
+        with pytest.raises(TypeError, match="auto_compact"):
+            Replayer(
+                spark, outdir, str(tmp_path / "cow"), auto_compact=2,
+            )
