@@ -335,6 +335,60 @@ def cdc_replay_ignore_server_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEFAULT_E2E_DDL = (
+    "ALTER TABLE `chat`.`transcripts` ADD COLUMN `tool` VARCHAR(64) "
+    "NULL DEFAULT 'none'"
+)
+
+
+def cdc_replay_default_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instant-ADD-COLUMN DEFAULT semantics end-to-end: the mid-stream
+    evolution adds ``tool`` with ``DEFAULT 'none'`` on a
+    ``binlog_row_metadata=MINIMAL`` stream, so the DDL registry must
+    extract the literal default and the replay tier must decode the
+    column as ``'none'`` for every event logged while it did not yet
+    exist (MySQL backfills existing rows with the default at ALTER time)
+    — while post-evolution events keep their explicit values, including
+    explicit NULLs. The oracle replays the logical changelog and applies
+    the default exactly to winning PRE-evolution rows (the dual-written
+    ``evolved`` flag), so both over-defaulting (a post-ALTER NULL turned
+    'none') and under-defaulting (a pre-ALTER row left NULL)
+    hash-mismatch."""
+    from mysql_cdc_spark.fixtures import (
+        generate_changelog,
+        transcripts_pre_spec,
+        write_binlog_files,
+    )
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    _ensure_e2e_oracle_parquet()
+    binlog_dir = os.path.join(tempfile.gettempdir(), "cdc_e2e_binlog_default")
+    done_marker = binlog_dir + ".complete"
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(binlog_dir, ignore_errors=True)
+        txns = generate_changelog(**_E2E_KNOBS)
+        write_binlog_files(
+            txns, binlog_dir, txns_per_file=40, row_metadata="minimal",
+            evolution_ddl=_DEFAULT_E2E_DDL,
+        )
+        with open(done_marker, "w") as f:
+            f.write("ok")
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_default_")
+    rep = Replayer(
+        spark, binlog_dir, os.path.join(tmp, "store"), salt_buckets=4,
+        spec=transcripts_pre_spec(), discover_ddl=True,
+    )
+    pend = rep.pending_files()
+    rep.replay(files_per_batch=max(1, (len(pend) + 1) // 2))
+    return rep.read_state().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce(F.col("tool"), F.lit("")).alias("tool"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
 def cdc_replay_mor_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read end-to-end (beyond-reference — Iceberg v2
     equality-delete semantics, pipeline/mor.py): every batch appends the
@@ -1141,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdc_replay_multitable_e2e"] = cdc_replay_multitable_e2e
     out["cdc_replay_text_e2e"] = cdc_replay_text_e2e
     out["cdc_replay_mor_e2e"] = cdc_replay_mor_e2e
+    out["cdc_replay_default_e2e"] = cdc_replay_default_e2e
     out["cdc_replay_purge_e2e"] = cdc_replay_purge_e2e
     out["cdc_replay_flashback_e2e"] = cdc_replay_flashback_e2e
     out["cdc_replay_ignore_server_e2e"] = cdc_replay_ignore_server_e2e
@@ -1211,6 +1266,28 @@ FROM ({CDC_REPLAY_E2E_SQL})
     # merge-on-read changes only the sink's storage layout — the logical
     # stream, and therefore the oracle, is identical to the plain replay
     out["cdc_replay_mor_e2e"] = CDC_REPLAY_E2E_SQL
+    # instant ADD COLUMN DEFAULT: winning rows from PRE-evolution events
+    # (evolved = false in the dual-written changelog) read the added
+    # column as the literal default; post-evolution values — including
+    # explicit NULLs — pass through unchanged
+    out["cdc_replay_default_e2e"] = f"""
+WITH ops AS (
+  SELECT * FROM read_parquet('{_E2E_ORACLE_PARQUET}')
+), first_occ AS (
+  SELECT seq, min(txn_ord) AS txn_ord FROM ops GROUP BY seq
+), applied AS (
+  SELECT o.* FROM ops o JOIN first_occ f USING (seq, txn_ord)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY seq DESC, op_ord DESC) AS rn
+  FROM applied
+)
+SELECT conv_id, turn_idx, role, text,
+       coalesce(CASE WHEN NOT evolved AND tool IS NULL THEN 'none'
+                     ELSE tool END, '') AS tool,
+       ts_ms
+FROM ranked WHERE rn = 1 AND kind <> 'delete'
+"""
     # the purge removes two conversations AFTER the full replay; the
     # oracle replays everything and excludes them at the end
     out["cdc_replay_purge_e2e"] = f"""

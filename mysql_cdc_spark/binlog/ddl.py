@@ -62,6 +62,15 @@ class AddColumn:
     kind: str  # TableSpec decode kind, e.g. "str"
     first: bool = False  # ADD COLUMN ... FIRST
     after: str | None = None  # ADD COLUMN ... AFTER <col>
+    # DEFAULT literal as SQL text ('... ' strings keep their quotes), or
+    # None for no/NULL default. MySQL's instant ADD COLUMN backfills
+    # existing rows with the default, so pre-ALTER events must decode the
+    # column as this value — threaded into TableSpec.defaults.
+    default: str | None = None
+    # an expression default (CURRENT_TIMESTAMP, (uuid()), ...) — its
+    # backfill value is the ALTER's execution-time result, which the
+    # stream does not carry; unsupported on the tracked table
+    default_is_expr: bool = False
 
 
 @dataclass(frozen=True)
@@ -259,9 +268,14 @@ def parse_alter(sql: str) -> AlterTable | None:
                     # MySQL grammar allows no FIRST/AFTER in the grouped form
                     adds.extend(_parse_column_defs(rest[1 : rest.rindex(")")]))
                 else:
-                    base, first, after = _strip_attrs(rest)
+                    base, first, after, default, is_expr = _strip_attrs(rest)
                     (col,) = _parse_column_defs(base)
-                    adds.append(replace(col, first=first, after=after))
+                    adds.append(
+                        replace(
+                            col, first=first, after=after,
+                            default=default, default_is_expr=is_expr,
+                        )
+                    )
             except UnsupportedDdl as exc:
                 # defer: DDL on untracked tables must not crash discovery
                 errors.append(str(exc))
@@ -275,7 +289,9 @@ def parse_alter(sql: str) -> AlterTable | None:
             # rename re-maps names positionally and stays unsupported
             rest = clause[(mmod or mchg).end() :].strip()
             try:
-                base, first, after = _strip_attrs(rest)
+                # MODIFY's DEFAULT changes future inserts only (no
+                # backfill of existing rows) — extracted and dropped
+                base, first, after, _default, _is_expr = _strip_attrs(rest)
                 (col,) = _parse_column_defs(base)
                 if mchg and _unquote(mchg.group(1)) != col.name:
                     unsupported.append("CHANGE")
@@ -302,32 +318,51 @@ def parse_alter(sql: str) -> AlterTable | None:
 
 _AFTER_ATTR = re.compile(r"\s+AFTER\s+(" + _IDENT + r")", re.IGNORECASE)
 _FIRST_ATTR = re.compile(r"\s+FIRST\b", re.IGNORECASE)
+_DEFAULT_ATTR = re.compile(r"\s+DEFAULT\s+(.+)", re.IGNORECASE | re.DOTALL)
+_LITERAL_DEFAULT = re.compile(
+    r"^(?:'(?:[^']|'')*'|[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|TRUE|FALSE)$",
+    re.IGNORECASE,
+)
 
 
-def _strip_attrs(coldef: str) -> tuple[str, bool, str | None]:
+def _strip_attrs(coldef: str) -> tuple[str, bool, str | None, str | None, bool]:
     """Trim trailing column attributes so only ``name type`` remains;
-    return (base, first, after) with any FIRST / AFTER <col> placement
-    extracted (not discarded — mid-table insertion changes positional
-    decode for MINIMAL-metadata streams, so it must be threaded)."""
+    return (base, first, after, default, default_is_expr) with any
+    FIRST / AFTER <col> placement and DEFAULT value extracted (neither is
+    discarded — mid-table insertion changes positional decode for
+    MINIMAL-metadata streams, and an instant ADD COLUMN's DEFAULT is what
+    pre-ALTER events must decode the column as)."""
     m = _COLUMN_DEF.match(coldef)
     if not m:
-        return coldef, False, None
+        return coldef, False, None, None, False
     rest = coldef[m.end() :]
     pos = 0
     first = False
     after: str | None = None
+    default: str | None = None
+    default_is_expr = False
     while True:
         ma = _ATTR.match(rest, pos)
         if not ma:
             break
         attr = ma.group(0)
         maft = _AFTER_ATTR.fullmatch(attr)
+        mdef = None if maft else _DEFAULT_ATTR.fullmatch(attr)
         if maft:
             after = _unquote(maft.group(1))
+        elif mdef:
+            lit = mdef.group(1).strip()
+            if lit.upper() == "NULL":
+                default, default_is_expr = None, False
+            elif _LITERAL_DEFAULT.match(lit):
+                default, default_is_expr = lit, False
+            else:
+                # expression default — value is ALTER-execution-time state
+                default, default_is_expr = lit, True
         elif _FIRST_ATTR.fullmatch(attr):
             first = True
         pos = ma.end()
-    return coldef[: m.end()], first, after
+    return coldef[: m.end()], first, after, default, default_is_expr
 
 
 _DECIMAL_DDL = re.compile(r"^decimal\((\d+),(\d+)\)$", re.IGNORECASE)
@@ -380,6 +415,7 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
 
     cols = list(spec.columns)
     have = {c[0] for c in cols}
+    defaults = dict(getattr(spec, "defaults", ()) or ())
     changed = False
     for alter in alters:
         if alter is None:
@@ -440,6 +476,14 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
         for add in alter.adds:
             if add.name in have:  # IF NOT EXISTS / redelivered DDL
                 continue
+            if add.default_is_expr:
+                raise UnsupportedDdl(
+                    f"ADD COLUMN {add.name!r} DEFAULT {add.default} on "
+                    f"tracked table {spec.table!r}: expression defaults "
+                    "backfill with the ALTER's execution-time value, "
+                    "which the stream does not carry (literal defaults "
+                    "only)"
+                )
             if add.first:
                 idx = 0
             elif add.after is not None:
@@ -466,6 +510,9 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
                 )
             cols.insert(idx, (add.name, add.spark_ddl, add.kind))
             have.add(add.name)
+            if add.default is not None:
+                defaults[add.name] = add.default
+                changed = True
     if len(cols) == len(spec.columns) and not changed:
         return spec
     return TableSpec(
@@ -473,6 +520,7 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
         table=spec.table,
         columns=tuple(cols),
         primary_key=spec.primary_key,
+        defaults=tuple(sorted(defaults.items())),
     )
 
 

@@ -84,6 +84,12 @@ class TableSpec:
     table: str
     columns: tuple[tuple[str, str, str], ...]  # (name, spark_type_ddl, kind)
     primary_key: tuple[str, ...]
+    # non-NULL column DEFAULTs as SQL literal text, (name, literal) pairs —
+    # MySQL's instant ADD COLUMN backfills existing rows with the DEFAULT,
+    # so events logged while the column did not yet exist must read it as
+    # the default, not NULL; populated by the DDL registry (binlog/ddl.py)
+    # and applied at the replay tier (Replayer.run_batch)
+    defaults: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self):
         # the canonical presence masks (before_present / after_present /

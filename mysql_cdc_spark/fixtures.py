@@ -506,6 +506,7 @@ def write_binlog_files(
     text_wire: str = "varchar",
     server_id_by_seq: dict[int, int] | None = None,
     widen_after_seq: int | None = None,
+    evolution_ddl: str = EVOLUTION_DDL,
 ) -> list[str]:
     """Encode transactions into rotating binlog files.
 
@@ -624,6 +625,7 @@ def write_binlog_files(
                 source_uuid, server_id, write_begin_query, provider, row_image,
                 row_metadata, alter_before_seq, widen_after_seq, rows_query,
                 partitions, failover, sidecar, text_wire, server_id_by_seq,
+                evolution_ddl,
                 xa_plan, head_verdicts[fidx], tail_verdicts[fidx],
             )
             for fidx in range(n_files)
@@ -640,6 +642,7 @@ def write_binlog_files(
                  source_uuid, server_id, write_begin_query, provider, row_image,
                  row_metadata, alter_before_seq, widen_after_seq, rows_query,
                  partitions, failover, sidecar, text_wire, server_id_by_seq,
+                 evolution_ddl,
                  xa_plan, head_verdicts[fidx], tail_verdicts[fidx])
             )
         )
@@ -651,6 +654,7 @@ def _write_one_file(job) -> str:
      source_uuid, server_id, write_begin_query, provider, row_image,
      row_metadata, alter_before_seq, widen_after_seq, rows_query,
      partitions, failover, sidecar, text_wire, server_id_by_seq,
+     evolution_ddl,
      *xa_extra) = job
     xa_plan, head_verdicts, tail_verdicts = (
         xa_extra if xa_extra else (None, [], [])
@@ -701,7 +705,7 @@ def _write_one_file(job) -> str:
         if alter_before_seq is not None and txn.seq == alter_before_seq:
             # autocommit DDL, written once stream-wide (this txn is the
             # global first evolved one and lives in exactly one chunk)
-            writer.write_query(EVOLUTION_DDL, database="chat",
+            writer.write_query(evolution_ddl, database="chat",
                                timestamp=txn.timestamp)
         if widen_after_seq is not None and txn.seq == widen_after_seq:
             # widening retype: the MODIFY is logged once; every TABLE_MAP
@@ -976,6 +980,7 @@ def changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
                         "tool": None,
                         "ts_ms": 0,
                         "before_text": None,
+                        "evolved": False,
                     }
                 )
                 continue
@@ -994,13 +999,14 @@ def changelog_to_pandas(txns: list[Txn]) -> pd.DataFrame:
                     "tool": None if is_del else (src[5] if len(src) > 5 else None),
                     "ts_ms": None if is_del else src[4],
                     "before_text": op.before[3] if op.kind != "insert" else None,
+                    "evolved": len(src) > 5,
                 }
             )
     pdf = pd.DataFrame(
         rows,
         columns=[
             "txn_ord", "seq", "op_ord", "kind", "conv_id", "turn_idx",
-            "role", "text", "tool", "ts_ms", "before_text",
+            "role", "text", "tool", "ts_ms", "before_text", "evolved",
         ],
     )
     pdf["ts_ms"] = pdf["ts_ms"].astype("Int64")

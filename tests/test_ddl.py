@@ -609,3 +609,106 @@ def test_minimal_metadata_resume(spark, minimal_stream, tmp_path):
     )
     assert state["text"].tolist() == oracle["text"].tolist()
     assert state["tool"].tolist() == oracle["tool"].tolist()
+
+
+class TestColumnDefaults:
+    """ADD COLUMN ... DEFAULT: instant-ADD-COLUMN backfill semantics —
+    pre-ALTER events decode the added column as the literal default."""
+
+    def test_parse_literal_defaults(self):
+        a = parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN tool VARCHAR(64) "
+            "NULL DEFAULT 'none'"
+        )
+        assert a.adds[0].default == "'none'"
+        assert not a.adds[0].default_is_expr
+        b = parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN score INT DEFAULT -3"
+        )
+        assert b.adds[0].default == "-3"
+        c = parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN note TEXT DEFAULT NULL"
+        )
+        assert c.adds[0].default is None
+
+    def test_expression_default_unsupported_on_tracked_table(self):
+        from mysql_cdc_spark.binlog.ddl import UnsupportedDdl, evolve_spec
+
+        a = parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN created TIMESTAMP "
+            "DEFAULT CURRENT_TIMESTAMP"
+        )
+        assert a.adds[0].default_is_expr
+        with pytest.raises(UnsupportedDdl, match="expression defaults"):
+            evolve_spec(transcripts_pre_spec(), [a])
+        # same statement on an untracked table is ignored
+        b = parse_alter(
+            "ALTER TABLE other.t ADD COLUMN created TIMESTAMP "
+            "DEFAULT CURRENT_TIMESTAMP"
+        )
+        spec = evolve_spec(transcripts_pre_spec(), [b])
+        assert spec == transcripts_pre_spec()
+
+    def test_evolve_spec_threads_defaults(self):
+        from mysql_cdc_spark.binlog.ddl import evolve_spec
+
+        a = parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN tool VARCHAR(64) "
+            "DEFAULT 'none'"
+        )
+        spec = evolve_spec(transcripts_pre_spec(), [a])
+        assert spec.defaults == (("tool", "'none'"),)
+
+    def test_replay_applies_default_to_pre_alter_rows(self, spark, tmp_path):
+        """Full MINIMAL-metadata replay with a DEFAULT on the evolution
+        column: keys whose winning write predates the ALTER read 'none';
+        post-ALTER writes keep their values including explicit NULLs."""
+        txns = generate_changelog(
+            n_conversations=12, max_turns=4, n_extra_ops=40, seed=29,
+            evolve_after_frac=0.5, duplicate_txns=2,
+        )
+        outdir = str(tmp_path / "binlog")
+        write_binlog_files(
+            txns, outdir, txns_per_file=20, row_metadata="minimal",
+            evolution_ddl=(
+                "ALTER TABLE `chat`.`transcripts` ADD COLUMN `tool` "
+                "VARCHAR(64) NULL DEFAULT 'none'"
+            ),
+        )
+        rep = Replayer(
+            spark, outdir, str(tmp_path / "store"),
+            spec=transcripts_pre_spec(), discover_ddl=True,
+        )
+        rep.replay(files_per_batch=2)
+        state = (
+            rep.read_state()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        # expected: the sequential oracle with the default applied to
+        # winning pre-evolution rows (dual-written evolved flag)
+        from mysql_cdc_spark.fixtures import changelog_to_pandas
+
+        ops = changelog_to_pandas(txns)
+        first = ops.groupby("seq")["txn_ord"].min().rename("first_ord")
+        ops = ops.join(first, on="seq")
+        ops = ops[ops["txn_ord"] == ops["first_ord"]]
+        ops = ops.sort_values(["seq", "op_ord"])
+        final = {}
+        for _, r in ops.iterrows():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["kind"] == "delete":
+                final.pop(k, None)
+            else:
+                tool = r["tool"]
+                if not r["evolved"] and tool is None:
+                    tool = "none"
+                final[k] = tool
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["tool"]
+            for _, r in state.iterrows()
+        }
+        want = {k: v for k, v in final.items()}
+        assert got == want
+        assert sum(1 for v in got.values() if v == "none") > 0
