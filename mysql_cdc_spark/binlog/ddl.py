@@ -151,6 +151,7 @@ _ATTR = re.compile(
     r"\s+(?:NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^']|'')*'|[^,\s(]+(?:\([^)]*\))?)"
     r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|COMMENT\s+'(?:[^']|'')*'"
     r"|COLLATE\s+\S+|CHARACTER\s+SET\s+\S+|AFTER\s+" + _IDENT + r"|FIRST"
+    r"|INVISIBLE|VISIBLE"
     r"|ON\s+UPDATE\s+\S+(?:\([^)]*\))?)",
     re.IGNORECASE,
 )

@@ -712,3 +712,14 @@ class TestColumnDefaults:
         want = {k: v for k, v in final.items()}
         assert got == want
         assert sum(1 for v in got.values() if v == "none") > 0
+
+    def test_invisible_column_attribute_accepted(self):
+        """MySQL 8.0.23 invisible columns ARE in row images — the
+        attribute must parse through, not fail the clause."""
+        a = parse_alter(
+            "ALTER TABLE chat.transcripts ADD COLUMN tag VARCHAR(32) "
+            "INVISIBLE DEFAULT 'x'"
+        )
+        assert a.adds[0].name == "tag"
+        assert a.adds[0].default == "'x'"
+        assert not a.errors and not a.unsupported
