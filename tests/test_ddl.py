@@ -723,3 +723,49 @@ class TestColumnDefaults:
         assert a.adds[0].name == "tag"
         assert a.adds[0].default == "'x'"
         assert not a.errors and not a.unsupported
+
+    def test_default_applies_under_minimal_row_image(self, spark, tmp_path):
+        """MINIMAL row images + MINIMAL metadata + DEFAULT: pre-ALTER
+        inserts take the default (and its carried bit), so the per-column
+        LWW falls back to the defaulted insert for updates that don't
+        touch the column."""
+        txns = generate_changelog(
+            n_conversations=10, max_turns=4, n_extra_ops=30, seed=31,
+            evolve_after_frac=0.5,
+        )
+        outdir = str(tmp_path / "binlog")
+        write_binlog_files(
+            txns, outdir, txns_per_file=20, row_metadata="minimal",
+            row_image="minimal",
+            evolution_ddl=(
+                "ALTER TABLE `chat`.`transcripts` ADD COLUMN `tool` "
+                "VARCHAR(64) NULL DEFAULT 'none'"
+            ),
+        )
+        rep = Replayer(
+            spark, outdir, str(tmp_path / "store"),
+            spec=transcripts_pre_spec(), discover_ddl=True,
+            row_image="minimal",
+        )
+        rep.replay(files_per_batch=2)
+        state = rep.read_state().toPandas()
+        from mysql_cdc_spark.fixtures import changelog_to_pandas
+
+        ops = changelog_to_pandas(txns)
+        ops = ops.sort_values(["seq", "op_ord"])
+        final = {}
+        for _, r in ops.iterrows():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["kind"] == "delete":
+                final.pop(k, None)
+            else:
+                tool = r["tool"]
+                if not r["evolved"] and tool is None:
+                    tool = "none"
+                final[k] = tool
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["tool"]
+            for _, r in state.iterrows()
+        }
+        assert got == final
+        assert "none" in got.values()
