@@ -95,6 +95,48 @@ def last_writer_wins(
     return phase2.select(*key_cols, *[F.col(f"_win.{c}").alias(c) for c in payload_cols])
 
 
+def apply_column_defaults(
+    df: DataFrame, spec, row_image: str = "full"
+) -> DataFrame:
+    """MySQL instant-ADD-COLUMN semantics over decoded change rows: a
+    column added with a literal ``DEFAULT`` (``TableSpec.defaults``)
+    reads as that default for events logged while it did not yet exist —
+    its ``after_present`` bit clear. FULL images fill every non-delete op
+    (the server logs whole rows, so a clear bit means the column was
+    absent from the table); MINIMAL images fill inserts only (updates
+    legitimately omit unchanged columns; the per-column LWW then falls
+    back to the insert's defaulted value). Sets the presence bit so the
+    carried mask treats the default as carried. Pure codegen
+    projections, no exchange. Shared by the batch Replayer and the
+    streaming apply tier."""
+    defaults = tuple(getattr(spec, "defaults", ()) or ())
+    if not defaults:
+        return df
+    name_to_ci = {c: i for i, (c, _, _) in enumerate(spec.columns)}
+    ddl = {n: d for n, d, _ in spec.columns}
+    for col, lit in defaults:
+        ci = name_to_ci[col]
+        absent = (
+            F.shiftright(F.col("after_present"), ci).bitwiseAND(F.lit(1)) == 0
+        )
+        if row_image == "minimal":
+            cond = absent & (F.col("op") == "insert")
+        else:
+            cond = absent & (F.col("op") != "delete")
+        df = df.withColumn(
+            f"after_{col}",
+            F.when(cond, F.expr(f"CAST({lit} AS {ddl[col]})")).otherwise(
+                F.col(f"after_{col}")
+            ),
+        ).withColumn(
+            "after_present",
+            F.when(
+                cond, F.col("after_present").bitwiseOR(F.lit(1 << ci))
+            ).otherwise(F.col("after_present")),
+        )
+    return df
+
+
 def last_writer_wins_partial(
     df: DataFrame,
     key_cols: list[str],

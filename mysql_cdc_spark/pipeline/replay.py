@@ -705,47 +705,13 @@ class Replayer:
         )
 
     def _apply_column_defaults(self, changes: DataFrame) -> DataFrame:
-        """MySQL instant-ADD-COLUMN semantics: a column added with a
-        literal ``DEFAULT`` reads as that default for every row that
-        existed before the ALTER — so change events logged while the
-        column did not yet exist (its ``after_present`` bit clear) decode
-        it as the default, not NULL. Spec defaults come from the DDL
+        """Instant-ADD-COLUMN DEFAULT decode (see
+        ``order.apply_column_defaults``); spec defaults come from the DDL
         registry (``binlog/ddl.py``, MINIMAL-metadata streams) or a
-        user-supplied ``TableSpec.defaults``. FULL images fill every
-        non-delete op (the server logs whole rows, so a clear bit means
-        the column was absent from the table); MINIMAL images fill
-        inserts only (updates legitimately omit unchanged columns — the
-        per-column LWW then falls back to the insert's defaulted value).
-        Pure codegen projections, no exchange."""
-        defaults = tuple(getattr(self.spec, "defaults", ()) or ())
-        if not defaults:
-            return changes
-        spec = self.spec
-        name_to_ci = {c: i for i, (c, _, _) in enumerate(spec.columns)}
-        ddl = {n: d for n, d, _ in spec.columns}
-        for col, lit in defaults:
-            ci = name_to_ci[col]
-            absent = (
-                F.shiftright(F.col("after_present"), ci).bitwiseAND(F.lit(1))
-                == 0
-            )
-            if self.row_image == "minimal":
-                cond = absent & (F.col("op") == "insert")
-            else:
-                cond = absent & (F.col("op") != "delete")
-            changes = changes.withColumn(
-                f"after_{col}",
-                F.when(
-                    cond, F.expr(f"CAST({lit} AS {ddl[col]})")
-                ).otherwise(F.col(f"after_{col}")),
-            ).withColumn(
-                "after_present",
-                F.when(
-                    cond,
-                    F.col("after_present").bitwiseOR(F.lit(1 << ci)),
-                ).otherwise(F.col("after_present")),
-            )
-        return changes
+        user-supplied ``TableSpec.defaults``."""
+        from .order import apply_column_defaults
+
+        return apply_column_defaults(changes, self.spec, self.row_image)
 
     def run_batch(self, files: list[str]) -> BatchMetrics:
         spark = self.spark

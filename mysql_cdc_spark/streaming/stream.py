@@ -130,6 +130,11 @@ def stream_apply(
         for col, expr in column_transforms.items():
             stream = stream.withColumn(f"after_{col}", F.expr(expr))
         stream = stream.drop(*temps)
+    # instant-ADD-COLUMN DEFAULTs (TableSpec.defaults), same fill as the
+    # batch path — the streaming tier applies FULL images only
+    from ..pipeline.order import apply_column_defaults
+
+    stream = apply_column_defaults(stream, spec, "full")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         net = last_writer_wins(
