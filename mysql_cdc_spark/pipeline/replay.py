@@ -1746,9 +1746,11 @@ class Replayer:
           persist the key itself past the merge, so field-level erasure
           doesn't hold — purge through the batch tier that owns the store.
 
-        The quarantine DLQ is untouched: its records are *undecodable
-        bytes* (no key to match); audit its contents separately via
-        ``read_quarantine`` before relying on a purge for compliance.
+        The quarantine DLQ is untouched but holds no row data — records
+        are (position, gtid, error) metadata only; the undecodable BYTES
+        live in the source binlog segments, whose retention is the
+        upstream system's concern (a purge of lake state cannot erase
+        the source of record).
 
         Scale shape at 10^10 rows: one predicate scan of current state
         (O(table) read — a compliance op, not a hot path), then a delete
