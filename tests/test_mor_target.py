@@ -446,3 +446,47 @@ class TestAutoCompact:
             Replayer(
                 spark, outdir, str(tmp_path / "cow"), auto_compact=2,
             )
+
+
+class TestCrashSafety:
+    def test_torn_snapshot_is_invisible_and_overwritten(self, spark, tmp_path):
+        """A crash after the delta write but before the manifest leaves a
+        snapshot dir without a manifest: readers never see it (the
+        manifest is the internal commit point) and the retry's merge
+        overwrites it cleanly."""
+        from mysql_cdc_spark.fixtures import Op, Txn, _row
+
+        txns = [Txn(seq=1, ops=[Op("insert", None, _row("c1", 0, "user", "v1", 100))])]
+        outdir = str(tmp_path / "b")
+        write_binlog_files(txns, outdir, txns_per_file=1)
+        store = str(tmp_path / "torn")
+        tgt = _mor(store, buckets=2)
+        rep = Replayer(spark, outdir, store, target=tgt)
+        rep.replay()
+        v = rep.ledger.current_snapshot_version()
+        # simulate the torn v+1: data on disk, no manifest
+        torn = tgt.snapshot_path(v + 1)
+        os.makedirs(os.path.join(torn, "delta", "_bucket=0"), exist_ok=True)
+        with open(os.path.join(torn, "delta", "_bucket=0", "junk"), "w") as f:
+            f.write("torn")
+        # reads at the committed version are unaffected
+        assert tgt.read(spark, v).count() == 1
+        # the retry merge claims v+1, removing the orphan
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        net = spark.createDataFrame(
+            pd.DataFrame([{"conv_id": "c2", "turn_idx": 0, "op": "insert",
+                           "after_role": "user", "after_text": "v2",
+                           "after_tool": None, "after_ts_ms": 200}])
+        ).select(
+            "conv_id", "turn_idx", "op", "after_role", "after_text",
+            "after_tool",
+            F.timestamp_millis(F.col("after_ts_ms")).alias("after_ts"),
+        )
+        v2 = tgt.merge(spark, net, v)
+        assert v2 == v + 1
+        assert not os.path.exists(
+            os.path.join(torn, "delta", "_bucket=0", "junk")
+        )
+        assert tgt.read(spark, v2).count() == 2
