@@ -53,6 +53,7 @@ def stream_apply(
     ignore_server_ids: tuple[int, ...] = (),
     column_transforms: dict[str, str] | None = None,
     audit: object | None = None,
+    auto_compact: int | None = None,
 ):
     """Run the apply tier as a Structured Streaming query; returns the
     StreamingQuery (caller awaits termination). Applies FULL row images
@@ -80,7 +81,14 @@ def stream_apply(
     tombstones on the bucket-pruned CoW layout, so a steady-state trigger
     touching K conversations rewrites K buckets, not the table. Pass
     ``target=OrderedParquetMergeTarget(...)`` for the plain full-rewrite
-    form."""
+    form, or ``target=OrderedMergeOnReadTarget(...)`` for the
+    delta-append form (measured ~4× cheaper per trigger,
+    tools/bench_ordered_mor.py) — then set ``auto_compact=N`` so any
+    bucket whose delta chain reaches N folds back into base right after
+    the trigger (no ledger here: the compacted version simply becomes
+    the store's latest, which the next trigger's ``_current_version``
+    picks up; a crash between merge and compact just leaves the chain
+    one trigger longer)."""
     keys = list(spec.primary_key)
     if column_transforms:
         key_hits = set(column_transforms) & set(keys)
@@ -102,6 +110,14 @@ def stream_apply(
             "audit requires a snapshot target: an internally-committing "
             "sink has no staged version to audit or roll back"
         )
+    if auto_compact is not None:
+        if not hasattr(target, "compact"):
+            raise TypeError(
+                "auto_compact needs a merge-on-read target "
+                "(OrderedMergeOnReadTarget)"
+            )
+        if auto_compact < 1:
+            raise ValueError("auto_compact must be >= 1")
     payload_cols = list(
         dict.fromkeys(
             ["op"]
@@ -166,6 +182,13 @@ def stream_apply(
                     target.snapshot_path(new_version), ignore_errors=True
                 )
                 raise  # fail the query: the trigger is never checkpointed
+        if auto_compact is not None:
+            stats = target.delta_stats(new_version)
+            if any(n >= auto_compact for n in stats.values()):
+                target.compact(
+                    batch_df.sparkSession, new_version,
+                    min_deltas=auto_compact,
+                )
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -318,3 +318,46 @@ class TestProperty:
                 .sort_values(cols).reset_index(drop=True)
             )
             assert c.equals(m), f"case {case}: MoR state diverged from CoW"
+
+
+class TestStreamingAutoCompact:
+    def test_stream_auto_compact_bounds_chains(self, spark, tmp_path):
+        from mysql_cdc_spark.binlog.decoder import decode_binlog_dir
+        from mysql_cdc_spark.fixtures import (
+            apply_changelog_oracle,
+            generate_changelog,
+            write_binlog_files,
+        )
+        from mysql_cdc_spark.streaming.stream import (
+            read_stream_state,
+            stream_apply,
+            write_changelog,
+        )
+
+        txns = generate_changelog(
+            n_conversations=12, max_turns=4, n_extra_ops=40, seed=37,
+        )
+        binlog = str(tmp_path / "binlog")
+        write_binlog_files(txns, binlog, txns_per_file=10)
+        changes = decode_binlog_dir(spark, binlog, TRANSCRIPTS)
+        changelog = str(tmp_path / "changelog")
+        write_changelog(changes, changelog)
+        store = str(tmp_path / "store")
+        tgt = _mor(store, buckets=4)
+        q = stream_apply(
+            spark, changelog, store, available_now=True,
+            max_files_per_trigger=1, target=tgt, auto_compact=2,
+        )
+        q.awaitTermination(180)
+        from mysql_cdc_spark.streaming.stream import _current_version
+
+        stats = tgt.delta_stats(_current_version(store))
+        assert max(stats.values(), default=0) < 2
+        oracle = apply_changelog_oracle(txns)
+        state = (
+            read_stream_state(spark, store)
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        assert state["text"].tolist() == oracle["text"].tolist()
