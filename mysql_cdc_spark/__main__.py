@@ -10,6 +10,8 @@ Subcommands:
                (parquet path) at a source position, then `replay` catches up
     state      print the current merged table state row count + sample
     ledger     print the checkpoint ledger (GTID set, positions, metrics)
+    purge      right-to-be-forgotten removal (state + history + files)
+    compact    fold a merge-on-read store's delta chains into base
 """
 
 from __future__ import annotations
@@ -52,6 +54,28 @@ def main(argv: list[str] | None = None) -> int:
         if name == "state":
             sp.add_argument("--binlog-dir", default=".")
             sp.add_argument("--limit", type=int, default=10)
+
+    sp = sub.add_parser(
+        "purge",
+        help="right-to-be-forgotten: remove matching rows from state, "
+        "history, and (default) every retained file",
+    )
+    sp.add_argument("--binlog-dir", required=True)
+    sp.add_argument("--store-dir", required=True)
+    sp.add_argument("--predicate", required=True,
+                    help="SQL boolean over the table's columns, e.g. "
+                    "\"conv_id IN ('c1','c2')\"")
+    sp.add_argument("--no-erase", action="store_true",
+                    help="defer physical erasure to routine gc (keeps "
+                    "time travel; purged rows remain in old snapshots)")
+
+    sp = sub.add_parser(
+        "compact",
+        help="fold a merge-on-read store's delta chains into base files",
+    )
+    sp.add_argument("--binlog-dir", required=True)
+    sp.add_argument("--store-dir", required=True)
+    sp.add_argument("--min-deltas", type=int, default=1)
 
     args = p.parse_args(argv)
 
@@ -97,6 +121,37 @@ def main(argv: list[str] | None = None) -> int:
                     "max_file": entry.max_file,
                     "max_pos": entry.max_pos,
                 }
+            )
+        )
+        return 0
+
+    if args.cmd == "purge":
+        rep = Replayer(spark, args.binlog_dir, args.store_dir)
+        before = rep.ledger.current_snapshot_version()
+        version = rep.purge_keys(args.predicate, erase=not args.no_erase)
+        entry = rep.ledger.last()
+        print(
+            json.dumps(
+                {
+                    "snapshot_version": version,
+                    "rows_purged": (
+                        entry.metrics.get("rows_purged", 0)
+                        if version != before
+                        else 0
+                    ),
+                    "erased": not args.no_erase and version != before,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "compact":
+        rep = Replayer(spark, args.binlog_dir, args.store_dir)
+        before = rep.ledger.current_snapshot_version()
+        version = rep.compact(min_deltas=args.min_deltas)
+        print(
+            json.dumps(
+                {"snapshot_version": version, "compacted": version != before}
             )
         )
         return 0

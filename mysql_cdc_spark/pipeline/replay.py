@@ -354,10 +354,7 @@ class Replayer:
         # file moves are a serial cost per bucket, so a 2-core session
         # shouldn't pay for 32 output dirs) with a floor that keeps
         # pruning meaningful.
-        self.target = target or BucketedParquetMergeTarget(
-            store_dir, spec,
-            buckets=max(16, spark.sparkContext.defaultParallelism),
-        )
+        self.target = target or self._detect_target(store_dir, spec, spark)
         self.views = list(views) if views else []
         self.order_cols = list(order_cols) if order_cols else list(ORDER_COLS)
         if history is not None and row_image == "minimal":
@@ -412,6 +409,42 @@ class Replayer:
             from .start import seed_ledger
 
             seed_ledger(start, binlog_dir, store_dir)
+
+    @staticmethod
+    def _detect_target(store_dir: str, spec, spark):
+        """Default sink, layout-aware: a fresh store gets the bucket-pruned
+        copy-on-write target; an EXISTING store is opened with the target
+        class matching its manifest shape (dict-valued entries = the
+        merge-on-read layout) — a resume must never read a store through
+        the wrong loader (the CoW reader would treat a MoR manifest's
+        entry dicts as paths). Explicit ``target=`` always wins."""
+        import json as _json
+        import re as _re
+
+        snapdir = os.path.join(store_dir, "snapshots")
+        latest = None
+        if os.path.isdir(snapdir):
+            versions = [
+                int(m.group(1))
+                for n in os.listdir(snapdir)
+                if (m := _re.match(r"v(\d+)$", n))
+            ]
+            for v in sorted(versions, reverse=True):
+                mp = os.path.join(snapdir, f"v{v:08d}", "manifest.json")
+                if os.path.exists(mp):
+                    latest = mp
+                    break
+        if latest is not None:
+            with open(latest) as f:
+                entries = _json.load(f)
+            if any(isinstance(e, dict) for e in entries.values()):
+                from .mor import MergeOnReadBucketedTarget
+
+                return MergeOnReadBucketedTarget(store_dir, spec)
+        return BucketedParquetMergeTarget(
+            store_dir, spec,
+            buckets=max(16, spark.sparkContext.defaultParallelism),
+        )
 
     # -- planning ----------------------------------------------------------
 

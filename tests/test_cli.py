@@ -105,3 +105,44 @@ def test_cli_bootstrap_then_replay(spark, fixture_dirs, tmp_path, capsys):
     final = Replayer(spark, binlog, store).read_state()
     got = final.orderBy("conv_id", "turn_idx").toPandas()
     assert got["text"].tolist() == apply_changelog_oracle(txns)["text"].tolist()
+
+
+def test_cli_purge_and_compact(spark, tmp_path, capsys):
+    """Operator surface for the compliance + maintenance ops: replay a
+    merge-on-read store via the library, purge one conversation and
+    compact through the CLI (which must autodetect the MoR layout), and
+    verify the row is gone and chains folded."""
+    from mysql_cdc_spark.pipeline.mor import MergeOnReadBucketedTarget
+    from mysql_cdc_spark.pipeline.replay import Replayer
+
+    txns = generate_changelog(
+        n_conversations=10, max_turns=4, n_extra_ops=30, seed=41,
+    )
+    binlog = str(tmp_path / "binlog")
+    write_binlog_files(txns, binlog, txns_per_file=10)
+    store = str(tmp_path / "store")
+    rep = Replayer(
+        spark, binlog, store,
+        target=MergeOnReadBucketedTarget(store, buckets=4),
+    )
+    rep.replay(files_per_batch=1)
+    victim = rep.read_state().toPandas()["conv_id"].iloc[0]
+
+    rc = main([
+        "compact", "--binlog-dir", binlog, "--store-dir", store,
+        "--min-deltas", "1",
+    ])
+    assert rc == 0
+    out = _first_json(capsys.readouterr().out)
+    assert out["compacted"] is True
+
+    rc = main([
+        "purge", "--binlog-dir", binlog, "--store-dir", store,
+        "--predicate", f"conv_id = '{victim}'",
+    ])
+    assert rc == 0
+    out = _first_json(capsys.readouterr().out)
+    assert out["rows_purged"] > 0 and out["erased"] is True
+
+    state = Replayer(spark, binlog, store).read_state().toPandas()
+    assert victim not in set(state["conv_id"])
