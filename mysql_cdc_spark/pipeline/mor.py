@@ -122,8 +122,20 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
             delta_paths = [p for e in folded.values() for p in e["deltas"]]
             sides = []
             if base_paths:
+                base = self._scan(spark, base_paths)
+                # adopted copy-on-write base files (str-entry manifest
+                # conversion) carry no _seq; every delta outranks them —
+                # seq 0. Row-level coalesce, NOT a column-presence check:
+                # mergeSchema may surface the column as NULL when adopted
+                # and native base files mix in one scan.
+                if "_seq" in base.columns:
+                    base = base.withColumn(
+                        "_seq", F.coalesce(F.col("_seq"), F.lit(0).cast("long"))
+                    )
+                else:
+                    base = base.withColumn("_seq", F.lit(0).cast("long"))
                 sides.append(
-                    self._scan(spark, base_paths).select(
+                    base.select(
                         *spec_cols, "_seq",
                         F.lit("upsert").alias("_op"),
                         F.lit(-1).cast("long").alias("_cm"),
@@ -447,7 +459,22 @@ class OrderedMergeOnReadTarget(MergeOnReadBucketedTarget):
         for o in self._ord_names():
             if o not in df.columns:
                 df = df.withColumn(o, F.lit(None).cast("long"))
-        return df
+        # adopted CoW base rows (str-entry manifest conversion) carry no
+        # _op: an ordered-CoW base stores tombstones as a _deleted flag
+        # (which must stay deletes — blanket 'upsert' would resurrect
+        # them); a plain-CoW base is all live rows. Row-level coalesce,
+        # NOT a column-presence check — mergeSchema surfaces the missing
+        # column as NULL when adopted and native files mix in one scan.
+        from_flag = (
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert"))
+            if "_deleted" in df.columns
+            else F.lit("upsert")
+        )
+        if "_op" in df.columns:
+            df = df.withColumn("_op", F.coalesce(F.col("_op"), from_flag))
+        else:
+            df = df.withColumn("_op", from_flag)
+        return df.drop("_deleted") if "_deleted" in df.columns else df
 
     def read(self, spark: SparkSession, version: int, bucket_ids=None) -> DataFrame:
         return (

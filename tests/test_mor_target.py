@@ -579,3 +579,28 @@ class TestDerivedConsumers:
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestStoreConversion:
+    def test_cow_store_continues_as_mor(self, spark, changelog, tmp_path):
+        """A store written by the copy-on-write target can be adopted by
+        the MoR target mid-history (the str-entry manifest conversion):
+        subsequent merges append deltas over the adopted base and the
+        fold treats the base as seq-0 — final state equals a pure-CoW
+        continuation."""
+        _, outdir, oracle = changelog
+        store = str(tmp_path / "conv")
+        cow_rep = Replayer(
+            spark, outdir, store,
+            target=BucketedParquetMergeTarget(store, TRANSCRIPTS, buckets=8),
+        )
+        files = cow_rep.pending_files()
+        half = max(1, len(files) // 2)
+        cow_rep.run_batch(files[:half])
+        # adopt: same store, merge-on-read target (explicit — autodetect
+        # keeps CoW for CoW-shaped manifests)
+        mor_rep = Replayer(spark, outdir, store, target=_mor(store))
+        mor_rep.replay(files_per_batch=1)
+        state = _state_pdf(mor_rep)
+        assert state["text"].tolist() == oracle["text"].tolist()
+        assert state["tool"].fillna("-").tolist() == oracle["tool"].fillna("-").tolist()

@@ -361,3 +361,47 @@ class TestStreamingAutoCompact:
             .reset_index(drop=True)
         )
         assert state["text"].tolist() == oracle["text"].tolist()
+
+
+class TestStoreConversion:
+    def test_ordered_cow_store_continues_as_ordered_mor(self, spark, tmp_path):
+        """Adopting an ordered-CoW store: its base tombstones must stay
+        deletes (a blanket upsert conversion would resurrect them), its
+        order tuples must keep outranking late deltas."""
+        cow = OrderedBucketedMergeTarget(
+            str(tmp_path / "st"), TRANSCRIPTS, buckets=4
+        )
+        v1 = cow.merge(
+            spark,
+            _net(spark, [
+                ("live", 0, "insert", "user", "x", None, TS, 20, 200, 0),
+                ("gone", 0, "insert", "user", "y", None, TS, 5, 50, 0),
+            ]),
+            0,
+        )
+        v2 = cow.merge(
+            spark,
+            _net(spark, [("gone", 0, "delete", None, None, None, None, 9, 90, 0)]),
+            v1,
+        )
+        mor = _mor(tmp_path / "st", buckets=4)
+        # a late out-of-order insert below both the tombstone's rank and
+        # live's stored rank: nothing may change
+        v3 = mor.merge(
+            spark,
+            _net(spark, [
+                ("gone", 0, "insert", "user", "Z", None, TS, 7, 70, 0),
+                ("live", 0, "update", "user", "OLD", None, TS, 10, 100, 0),
+            ]),
+            v2,
+        )
+        state = mor.read(spark, v3).toPandas().sort_values("conv_id")
+        assert state["conv_id"].tolist() == ["live"]
+        assert state["text"].tolist() == ["x"]
+        # and a genuinely newer delta wins
+        v4 = mor.merge(
+            spark,
+            _net(spark, [("live", 0, "update", "user", "NEW", None, TS, 30, 300, 0)]),
+            v3,
+        )
+        assert mor.read(spark, v4).toPandas()["text"].tolist() == ["NEW"]
