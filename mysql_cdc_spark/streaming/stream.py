@@ -302,9 +302,38 @@ def read_stream_state(spark: SparkSession, store_dir: str, spec: TableSpec = TRA
         with open(manifest) as f:
             entries = json.load(f)
         if any(isinstance(v, dict) for v in entries.values()):
-            from ..pipeline.mor import OrderedMergeOnReadTarget
+            # merge-on-read layout; ordered vs plain (_seq) resolution is
+            # a property of the FILES — sniff one referenced parquet's
+            # schema for the _ord_* columns the ordered sink writes
+            import glob as _glob
 
-            cls = OrderedMergeOnReadTarget
+            import pyarrow.parquet as _pq
+
+            ordered = True
+            for e in entries.values():
+                rels = (
+                    ([e["base"]] if isinstance(e, dict) and e.get("base") else [])
+                    + (e.get("deltas", []) if isinstance(e, dict) else [])
+                )
+                files = [
+                    f
+                    for rel in rels
+                    for f in _glob.glob(
+                        os.path.join(store_dir, rel, "*.parquet")
+                    )
+                ]
+                if files:
+                    names = _pq.read_schema(files[0]).names
+                    ordered = any(n.startswith("_ord_") for n in names)
+                    break
+            if ordered:
+                from ..pipeline.mor import OrderedMergeOnReadTarget
+
+                cls = OrderedMergeOnReadTarget
+            else:
+                from ..pipeline.mor import MergeOnReadBucketedTarget
+
+                cls = MergeOnReadBucketedTarget
         else:
             cls = OrderedBucketedMergeTarget
     else:
