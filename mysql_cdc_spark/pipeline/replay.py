@@ -438,6 +438,33 @@ class Replayer:
             with open(latest) as f:
                 entries = _json.load(f)
             if any(isinstance(e, dict) for e in entries.values()):
+                # ordered vs plain merge-on-read is a property of the
+                # files — sniff a referenced parquet for _ord_* columns
+                import glob as _glob
+
+                import pyarrow.parquet as _pq
+
+                ordered = False
+                for e in entries.values():
+                    rels = (
+                        ([e["base"]] if isinstance(e, dict) and e.get("base") else [])
+                        + (e.get("deltas", []) if isinstance(e, dict) else [])
+                    )
+                    files = [
+                        f
+                        for rel in rels
+                        for f in _glob.glob(
+                            os.path.join(store_dir, rel, "*.parquet")
+                        )
+                    ]
+                    if files:
+                        names = _pq.read_schema(files[0]).names
+                        ordered = any(n.startswith("_ord_") for n in names)
+                        break
+                if ordered:
+                    from .mor import OrderedMergeOnReadTarget
+
+                    return OrderedMergeOnReadTarget(store_dir, spec)
                 from .mor import MergeOnReadBucketedTarget
 
                 return MergeOnReadBucketedTarget(store_dir, spec)
