@@ -71,6 +71,10 @@ class AddColumn:
     # backfill value is the ALTER's execution-time result, which the
     # stream does not carry; unsupported on the tracked table
     default_is_expr: bool = False
+    # NOT NULL without an explicit DEFAULT: MySQL backfills existing
+    # rows with the type's IMPLICIT default ('' / 0), so pre-ALTER
+    # events must decode the column as that value, not NULL
+    not_null: bool = False
 
 
 @dataclass(frozen=True)
@@ -148,7 +152,13 @@ def map_mysql_type(type_text: str) -> tuple[str, str]:
 # column attributes that may trail the type in an ADD COLUMN clause;
 # consumed (not interpreted) so the clause boundary is found correctly
 _ATTR = re.compile(
-    r"\s+(?:NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^']|'')*'|[^,\s(]+(?:\([^)]*\))?)"
+    # DEFAULT value forms: quoted string, MySQL 8 parenthesized
+    # expression — possibly holding strings and one nested call level,
+    # e.g. DEFAULT (uuid()) / DEFAULT (concat('a','b')) — or a bare
+    # token with an optional call tail
+    r"\s+(?:NOT\s+NULL|NULL|DEFAULT\s+(?:'(?:[^']|'')*'"
+    r"|\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\)"
+    r"|[^,\s(]+(?:\([^)]*\))?)"
     r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|COMMENT\s+'(?:[^']|'')*'"
     r"|COLLATE\s+\S+|CHARACTER\s+SET\s+\S+|AFTER\s+" + _IDENT + r"|FIRST"
     r"|INVISIBLE|VISIBLE"
@@ -269,12 +279,15 @@ def parse_alter(sql: str) -> AlterTable | None:
                     # MySQL grammar allows no FIRST/AFTER in the grouped form
                     adds.extend(_parse_column_defs(rest[1 : rest.rindex(")")]))
                 else:
-                    base, first, after, default, is_expr = _strip_attrs(rest)
+                    base, first, after, default, is_expr, not_null = (
+                        _strip_attrs(rest)
+                    )
                     (col,) = _parse_column_defs(base)
                     adds.append(
                         replace(
                             col, first=first, after=after,
                             default=default, default_is_expr=is_expr,
+                            not_null=not_null,
                         )
                     )
             except UnsupportedDdl as exc:
@@ -292,7 +305,7 @@ def parse_alter(sql: str) -> AlterTable | None:
             try:
                 # MODIFY's DEFAULT changes future inserts only (no
                 # backfill of existing rows) — extracted and dropped
-                base, first, after, _default, _is_expr = _strip_attrs(rest)
+                base, first, after, _default, _is_expr, _nn = _strip_attrs(rest)
                 (col,) = _parse_column_defs(base)
                 if mchg and _unquote(mchg.group(1)) != col.name:
                     unsupported.append("CHANGE")
@@ -326,22 +339,43 @@ _LITERAL_DEFAULT = re.compile(
 )
 
 
-def _strip_attrs(coldef: str) -> tuple[str, bool, str | None, str | None, bool]:
+_NOT_NULL_ATTR = re.compile(r"\s+NOT\s+NULL\b", re.IGNORECASE)
+
+# implicit defaults MySQL backfills for NOT-NULL-without-DEFAULT adds,
+# as SQL literals (kinds absent here — temporal zero-dates, JSON,
+# VECTOR — have no lake-representable implicit default and are refused)
+_IMPLICIT_DEFAULTS: dict[str, str] = {
+    "int": "0",
+    "decimal": "0",
+    "double": "0",
+    "str": "''",
+    "binary": "''",
+}
+
+
+def _strip_attrs(
+    coldef: str,
+) -> tuple[str, bool, str | None, str | None, bool, bool]:
     """Trim trailing column attributes so only ``name type`` remains;
-    return (base, first, after, default, default_is_expr) with any
-    FIRST / AFTER <col> placement and DEFAULT value extracted (neither is
-    discarded — mid-table insertion changes positional decode for
-    MINIMAL-metadata streams, and an instant ADD COLUMN's DEFAULT is what
-    pre-ALTER events must decode the column as)."""
+    return (base, first, after, default, default_is_expr, not_null) with
+    any FIRST / AFTER <col> placement, DEFAULT value, and NOT NULL flag
+    extracted (none is discarded — mid-table insertion changes positional
+    decode for MINIMAL-metadata streams, an instant ADD COLUMN's DEFAULT
+    is what pre-ALTER events must decode the column as, and NOT NULL
+    without DEFAULT implies the type's implicit default). Raises
+    ``UnsupportedDdl`` if an unrecognized attribute remains — silently
+    dropping the tail would also drop a trailing FIRST/AFTER and bypass
+    the mid-table-placement guard."""
     m = _COLUMN_DEF.match(coldef)
     if not m:
-        return coldef, False, None, None, False
+        return coldef, False, None, None, False, False
     rest = coldef[m.end() :]
     pos = 0
     first = False
     after: str | None = None
     default: str | None = None
     default_is_expr = False
+    not_null = False
     while True:
         ma = _ATTR.match(rest, pos)
         if not ma:
@@ -355,15 +389,27 @@ def _strip_attrs(coldef: str) -> tuple[str, bool, str | None, str | None, bool]:
             lit = mdef.group(1).strip()
             if lit.upper() == "NULL":
                 default, default_is_expr = None, False
+            elif lit.startswith("("):
+                # MySQL 8 parenthesized expression default — the backfill
+                # value is ALTER-execution-time state the stream lacks
+                default, default_is_expr = lit, True
             elif _LITERAL_DEFAULT.match(lit):
                 default, default_is_expr = lit, False
             else:
                 # expression default — value is ALTER-execution-time state
                 default, default_is_expr = lit, True
+        elif _NOT_NULL_ATTR.fullmatch(attr):
+            not_null = True
         elif _FIRST_ATTR.fullmatch(attr):
             first = True
         pos = ma.end()
-    return coldef[: m.end()], first, after, default, default_is_expr
+    tail = rest[pos:].strip()
+    if tail:
+        raise UnsupportedDdl(
+            f"unrecognized column attribute in DDL: {tail!r} "
+            f"(column definition {coldef!r})"
+        )
+    return coldef[: m.end()], first, after, default, default_is_expr, not_null
 
 
 _DECIMAL_DDL = re.compile(r"^decimal\((\d+),(\d+)\)$", re.IGNORECASE)
@@ -411,7 +457,15 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
     the Iceberg type-promotion rule (int→long, decimal precision growth)
     expressed over MySQL DDL. Raises ``UnsupportedDdl`` on a
     non-additive clause, a narrowing/kind-changing MODIFY, or a column
-    def the decode tier cannot map, for the tracked table."""
+    def the decode tier cannot map, for the tracked table.
+
+    Grouped-statement policy (multi-clause ALTER): schema-NEUTRAL
+    clauses (ADD INDEX/KEY/CONSTRAINT, table options, ...) are skipped
+    and the statement's adds/modifies apply — an index never changes row
+    decode. But a statement mixing adds with any NON-ADDITIVE clause
+    (DROP, RENAME, a true CHANGE, ...) is rejected ATOMICALLY: MySQL
+    executes the ALTER as one atomic statement, so applying half of it
+    would track a schema the server never had."""
     from .decoder import TableSpec
 
     cols = list(spec.columns)
@@ -485,6 +539,20 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
                     "which the stream does not carry (literal defaults "
                     "only)"
                 )
+            implicit: str | None = None
+            if add.not_null and add.default is None:
+                # MySQL backfills a NOT NULL column added without DEFAULT
+                # with the type's implicit default ('' / 0); temporal and
+                # structured kinds would need a zero-date the lake cannot
+                # represent — refuse those loudly instead of diverging
+                implicit = _IMPLICIT_DEFAULTS.get(add.kind)
+                if implicit is None:
+                    raise UnsupportedDdl(
+                        f"ADD COLUMN {add.name!r} {add.type_text} NOT NULL "
+                        f"without DEFAULT on tracked table {spec.table!r}: "
+                        f"the {add.kind!r} kind's implicit default is not "
+                        "representable (add an explicit literal DEFAULT)"
+                    )
             if add.first:
                 idx = 0
             elif add.after is not None:
@@ -513,6 +581,9 @@ def evolve_spec(spec, alters) -> "TableSpec":  # noqa: F821 (import cycle)
             have.add(add.name)
             if add.default is not None:
                 defaults[add.name] = add.default
+                changed = True
+            elif implicit is not None:
+                defaults[add.name] = implicit
                 changed = True
     if len(cols) == len(spec.columns) and not changed:
         return spec

@@ -74,6 +74,8 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
     # manifest entry per bucket: {"base": relpath|None, "deltas": [relpath]}
     # (apply order = list order; each file's rows carry their own _seq)
 
+    FAMILY = "mor"
+
     def _load_manifest(self, version: int) -> dict:
         if version <= 0:
             return {}
@@ -254,6 +256,7 @@ class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
     def _write_meta(self, version: int, manifest: dict) -> None:
         """Layout first, manifest last (atomic rename) — the manifest write
         stays the snapshot's internal commit point, same as the parent."""
+        self._record_family()
         snap = self.snapshot_path(version)
         os.makedirs(snap, exist_ok=True)
         with open(self._layout_path(version), "w") as f:
@@ -369,17 +372,25 @@ class OrderedMergeOnReadTarget(MergeOnReadBucketedTarget):
     spec columns + ``_op`` (upsert/delete) + ``_ord_<col>`` longs — so a
     compacted base is literally a folded delta chain (winning row per key,
     tombstones included), and resolution is ONE ``max_by`` over the order
-    tuple per key: later triggers' deltas do not outrank by arrival (no
-    ``_seq``), they outrank only if their order tuple says so, which is
-    what makes redelivered old decode outputs harmless however late they
-    arrive. Ties (exact redelivery) carry identical payloads, so
-    ``max_by``'s tie choice is immaterial.
+    tuple per key: later triggers' deltas do not outrank by arrival,
+    they outrank only if their order tuple says so, which is what makes
+    redelivered old decode outputs harmless however late they arrive.
+    Exact-tie resolution is still deterministic: each delta carries its
+    write generation (``_gen`` = the commit's version) as the rank's
+    LAST component, so two contributions sharing an order tuple (possible
+    with NULL / non-unique order columns, e.g. gtid-less streams) resolve
+    to the latest-written one — matching the ordered CoW sink's
+    incoming-row-wins behavior on equal rank. Compacted base rows drop
+    ``_gen`` (they rank as generation -1), so a later redelivered tie
+    again resolves to the newer write.
 
     MINIMAL row images are refused like the ordered CoW sink (the outrank
     guard replaces whole rows; per-column carried-bit folding under
     reordering would need per-column order tuples). ``prune_tombstones``
     ages tombstones below the caller's redelivery low-watermark out via a
     full compacting rewrite, same contract as the CoW ordered sinks."""
+
+    FAMILY = "ordered_mor"
 
     def __init__(
         self,
@@ -431,7 +442,12 @@ class OrderedMergeOnReadTarget(MergeOnReadBucketedTarget):
             paths = [e["base"] for e in folded.values() if e["base"]]
             paths += [p for e in folded.values() for p in e["deltas"]]
             u = self._scan_ordered(spark, paths)
-            rank = F.struct(*[F.col(o) for o in ords])
+            # order tuple first; write generation LAST so only exact ties
+            # fall through to latest-written-wins (CoW incoming-wins twin)
+            rank = F.struct(
+                *[F.col(o) for o in ords],
+                F.coalesce(F.col("_gen"), F.lit(-1)).alias("_gen"),
+            )
             payload = F.struct(
                 F.col("_op"),
                 *[F.col(c) for c in spec_cols],
@@ -459,6 +475,8 @@ class OrderedMergeOnReadTarget(MergeOnReadBucketedTarget):
         for o in self._ord_names():
             if o not in df.columns:
                 df = df.withColumn(o, F.lit(None).cast("long"))
+        if "_gen" not in df.columns:  # compacted/adopted base: generation -1
+            df = df.withColumn("_gen", F.lit(None).cast("long"))
         # adopted CoW base rows (str-entry manifest conversion) carry no
         # _op: an ordered-CoW base stores tombstones as a _deleted flag
         # (which must stay deletes — blanket 'upsert' would resurrect
@@ -506,6 +524,7 @@ class OrderedMergeOnReadTarget(MergeOnReadBucketedTarget):
                 F.col(c).cast("long").alias(o)
                 for c, o in zip(self.order_cols, self._ord_names())
             ],
+            F.lit(current_version + 1).cast("long").alias("_gen"),
         )
         return self._commit_delta(delta, current_version)
 

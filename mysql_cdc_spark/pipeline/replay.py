@@ -414,12 +414,21 @@ class Replayer:
     def _detect_target(store_dir: str, spec, spark):
         """Default sink, layout-aware: a fresh store gets the bucket-pruned
         copy-on-write target; an EXISTING store is opened with the target
-        class matching its manifest shape (dict-valued entries = the
-        merge-on-read layout) — a resume must never read a store through
-        the wrong loader (the CoW reader would treat a MoR manifest's
-        entry dicts as paths). Explicit ``target=`` always wins."""
+        class matching its stamped family (``target_family.json``, written
+        at first commit) — a resume must never read a store through the
+        wrong loader (the CoW reader would treat a MoR manifest's entry
+        dicts as paths, and a truncated MoR store's empty {} manifest is
+        indistinguishable from CoW by sniffing). Stores from before family
+        stamping fall back to the manifest-shape + file-schema sniff.
+        Explicit ``target=`` always wins."""
         import json as _json
         import re as _re
+
+        from .target import load_target_family, target_class_for_family
+
+        family = load_target_family(store_dir)
+        if family is not None:
+            return target_class_for_family(family)(store_dir, spec)
 
         snapdir = os.path.join(store_dir, "snapshots")
         latest = None

@@ -105,6 +105,13 @@ def snapshot_diff(
 class ParquetMergeTarget:
     """Versioned-snapshot parquet table with MERGE-equivalent upsert."""
 
+    # persisted store-level family tag (``<store>/target_family.json``),
+    # written at first commit: resuming a store MUST reopen it with the
+    # same target family, and sniffing the manifest/file shapes cannot
+    # distinguish e.g. a truncated merge-on-read store (empty {} manifest)
+    # from copy-on-write. Subclasses override.
+    FAMILY = "cow"
+
     def __init__(self, store_dir: str, spec: TableSpec = TRANSCRIPTS, buckets: int = 32):
         self.store_dir = store_dir
         self.spec = spec
@@ -113,6 +120,20 @@ class ParquetMergeTarget:
 
     def snapshot_path(self, version: int) -> str:
         return os.path.join(self.store_dir, "snapshots", f"v{version:08d}")
+
+    def _record_family(self) -> None:
+        """Stamp the store's target family at first commit (write-once:
+        an existing stamp is preserved — a store written by one family
+        and continued by another is a caller bug the stamp surfaces)."""
+        import json
+
+        p = os.path.join(self.store_dir, "target_family.json")
+        if os.path.exists(p):
+            return
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"family": self.FAMILY}, f)
+        os.replace(tmp, p)
 
     def read(self, spark: SparkSession, version: int) -> DataFrame:
         if version <= 0:
@@ -136,6 +157,7 @@ class ParquetMergeTarget:
         ``net`` columns: key cols + ``op`` + ``after_<col>`` for every spec
         column.
         """
+        self._record_family()
         spec = self.spec
         keys = list(spec.primary_key)
         state = self.read(spark, current_version)
@@ -194,6 +216,7 @@ class ParquetMergeTarget:
         the per-column form of Iceberg's ``UPDATE SET c = s.c`` clause
         list. Plan shape: one full-outer key join (same class as the
         anti-join ∪ union of the full-image path)."""
+        self._record_family()
         spec = self.spec
         keys = list(spec.primary_key)
         state = self.read(spark, current_version)
@@ -296,6 +319,8 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
     stored row, which any PK-subset satisfies.
     """
 
+    FAMILY = "bucketed_cow"
+
     def __init__(
         self,
         store_dir: str,
@@ -394,6 +419,7 @@ class BucketedParquetMergeTarget(ParquetMergeTarget):
         live bucket of the new layout is written fresh."""
         import json
 
+        self._record_family()
         new_version = current_version + 1
         snap = self.snapshot_path(new_version)
         if os.path.exists(snap):
@@ -700,6 +726,8 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
     reordering window.) Plan shape: one union + one ``max_by`` aggregate
     per merge — same shuffle class as the plain anti-join MERGE."""
 
+    FAMILY = "ordered_cow"
+
     def __init__(
         self,
         store_dir: str,
@@ -744,6 +772,7 @@ class OrderedParquetMergeTarget(ParquetMergeTarget):
         """``net`` must carry key cols + ``op`` + ``after_<col>`` + the
         order columns. Winner per key = max over (order tuple, incoming
         priority); a winning delete removes the key."""
+        self._record_family()
         spec = self.spec
         keys = list(spec.primary_key)
         value_cols = [n for n, _, _ in spec.columns if n not in keys]
@@ -840,6 +869,8 @@ class OrderedBucketedMergeTarget(BucketedParquetMergeTarget):
     over touched buckets. Same layout persistence / ``rebucket`` /
     ``gc`` / change-feed machinery as the parent (a rebucket carries
     order tuples and tombstones forward verbatim via ``_read_full``)."""
+
+    FAMILY = "ordered_bucketed_cow"
 
     def __init__(
         self,
@@ -1083,3 +1114,32 @@ class IcebergMergeTarget:
             """
         )
         return current_version + 1
+
+
+def load_target_family(store_dir: str) -> str | None:
+    """The target family stamped at the store's first commit
+    (``target_family.json``), or None for stores written before family
+    stamping existed (callers fall back to layout sniffing for those)."""
+    import json
+
+    p = os.path.join(store_dir, "target_family.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("family")
+
+
+def target_class_for_family(family: str):
+    """Dispatch a stamped family back to its target class. Raises
+    KeyError for an unknown stamp — opening a store through a guessed
+    loader is exactly the failure the stamp exists to prevent."""
+    from . import mor  # lazy: mor imports this module
+
+    return {
+        "cow": ParquetMergeTarget,
+        "bucketed_cow": BucketedParquetMergeTarget,
+        "ordered_cow": OrderedParquetMergeTarget,
+        "ordered_bucketed_cow": OrderedBucketedMergeTarget,
+        "mor": mor.MergeOnReadBucketedTarget,
+        "ordered_mor": mor.OrderedMergeOnReadTarget,
+    }[family]

@@ -287,14 +287,23 @@ def _current_version(store_dir: str) -> int:
 
 
 def read_stream_state(spark: SparkSession, store_dir: str, spec: TableSpec = TRANSCRIPTS) -> DataFrame:
-    """Current streamed state, auto-detecting the snapshot layout: a
-    bucketed store's snapshots carry a manifest.json (dict-valued entries
-    mean the merge-on-read layout), a plain ordered store's are bare
-    parquet directories."""
+    """Current streamed state. The store's target family is read from the
+    ``target_family.json`` stamp its first commit wrote; stores from
+    before family stamping fall back to layout sniffing (a bucketed
+    store's snapshots carry a manifest.json — dict-valued entries mean
+    the merge-on-read layout — a plain ordered store's are bare parquet
+    directories)."""
     import json
     import os
 
+    from ..pipeline.target import load_target_family, target_class_for_family
+
     version = _current_version(store_dir)
+    family = load_target_family(store_dir)
+    if family is not None:
+        return target_class_for_family(family)(store_dir, spec).read(
+            spark, version
+        )
     manifest = os.path.join(
         store_dir, "snapshots", f"v{version:08d}", "manifest.json"
     )

@@ -769,3 +769,109 @@ class TestColumnDefaults:
         }
         assert got == final
         assert "none" in got.values()
+
+
+# --------------------------------------- round-5 attribute hardening
+
+def test_parse_parenthesized_expression_default():
+    """MySQL 8 DEFAULT (expr): must be recognized as an expression
+    default (not silently dropped), and trailing placement attrs after
+    it must survive — a dropped AFTER would bypass the mid-table guard
+    and silently mis-position positional MINIMAL-metadata decode."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN x varchar(10) "
+        "DEFAULT (uuid()) AFTER role"
+    )
+    (add,) = a.adds
+    assert add.default_is_expr and add.default == "(uuid())"
+    assert add.after == "role"
+    with pytest.raises(UnsupportedDdl, match="expression defaults"):
+        evolve_spec(TRANSCRIPTS, [a])
+
+
+def test_parse_nested_parenthesized_default():
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN y varchar(20) "
+        "DEFAULT (concat('a', 'b')) NULL"
+    )
+    (add,) = a.adds
+    assert add.default_is_expr and add.default == "(concat('a', 'b'))"
+
+
+def test_unrecognized_attribute_is_loud_not_silent():
+    """An attribute _ATTR can't consume must be recorded as an error —
+    breaking out silently would drop everything after it (incl. a
+    trailing FIRST/AFTER)."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN y INT SRID 4326 AFTER role"
+    )
+    assert a.adds == ()
+    assert any("SRID" in e for e in a.errors)
+    with pytest.raises(UnsupportedDdl):
+        evolve_spec(TRANSCRIPTS, [a])
+
+
+def test_not_null_without_default_threads_implicit_default():
+    """MySQL backfills NOT-NULL-without-DEFAULT adds with the type's
+    implicit default ('' / 0) — pre-ALTER events must decode that, not
+    NULL."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN score INT NOT NULL"
+    )
+    assert a.adds[0].not_null and a.adds[0].default is None
+    s = evolve_spec(TRANSCRIPTS, [a])
+    assert ("score", "0") in s.defaults
+    b = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN tag VARCHAR(8) NOT NULL"
+    )
+    s2 = evolve_spec(TRANSCRIPTS, [b])
+    assert ("tag", "''") in s2.defaults
+
+
+def test_not_null_explicit_default_wins_over_implicit():
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN n INT NOT NULL DEFAULT 7"
+    )
+    s = evolve_spec(TRANSCRIPTS, [a])
+    assert ("n", "7") in s.defaults
+
+
+def test_not_null_temporal_without_default_refused():
+    """Temporal kinds have no lake-representable implicit default
+    (zero-date) — refuse loudly instead of silently diverging."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN seen DATETIME NOT NULL"
+    )
+    with pytest.raises(UnsupportedDdl, match="implicit default"):
+        evolve_spec(TRANSCRIPTS, [a])
+
+
+# ----------------------------------------- grouped-statement policy
+
+def test_grouped_alter_neutral_clauses_apply_adds():
+    """ADD COLUMN mixed with schema-neutral clauses (indexes) applies:
+    an index never changes row decode."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN a INT, ADD INDEX idx(b)"
+    )
+    assert [c.name for c in a.adds] == ["a"] and a.unsupported == ()
+    s = evolve_spec(TRANSCRIPTS, [a])
+    assert s.columns[-1][0] == "a"
+
+
+def test_grouped_alter_non_additive_rejects_atomically():
+    """ADD COLUMN mixed with a non-additive clause rejects the WHOLE
+    statement — MySQL runs the ALTER atomically, so applying half of it
+    would track a schema the server never had."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN a INT, DROP COLUMN role"
+    )
+    assert [c.name for c in a.adds] == ["a"]
+    assert "DROP" in a.unsupported
+    before = TRANSCRIPTS
+    with pytest.raises(UnsupportedDdl, match="non-additive"):
+        evolve_spec(before, [a])
+    # and nothing was applied (frozen spec unchanged by the failed call)
+    assert [c[0] for c in before.columns] == [
+        c[0] for c in TRANSCRIPTS.columns
+    ]

@@ -405,3 +405,46 @@ class TestStoreConversion:
             v3,
         )
         assert mor.read(spark, v4).toPandas()["text"].tolist() == ["NEW"]
+
+
+class TestTieBreakDeterminism:
+    def test_exact_order_tie_resolves_to_latest_written(self, spark, tmp_path):
+        """Two contributions sharing an order tuple but differing in
+        payload (NULL/non-unique order columns, e.g. gtid-less streams)
+        must resolve deterministically to the LATEST-WRITTEN one — the
+        MoR twin of the ordered CoW sink's incoming-row-wins tie rule."""
+        tgt = _mor(tmp_path / "st")
+        v1 = tgt.merge(
+            spark,
+            _net(spark, [("c", 0, "insert", "user", "FIRST", None, TS, 10, 100, 0)]),
+            0,
+        )
+        v2 = tgt.merge(
+            spark,
+            _net(spark, [("c", 0, "update", "user", "SECOND", None, TS, 10, 100, 0)]),
+            v1,
+        )
+        assert tgt.read(spark, v2).toPandas()["text"].tolist() == ["SECOND"]
+        # and the rule survives compaction: the compacted base ranks as
+        # generation -1, so a post-compact tie again goes to the new write
+        v3 = tgt.compact(spark, v2, min_deltas=1)
+        v4 = tgt.merge(
+            spark,
+            _net(spark, [("c", 0, "update", "user", "THIRD", None, TS, 10, 100, 0)]),
+            v3,
+        )
+        assert tgt.read(spark, v4).toPandas()["text"].tolist() == ["THIRD"]
+
+    def test_null_order_tie_resolves_to_latest_written(self, spark, tmp_path):
+        tgt = _mor(tmp_path / "st2")
+        v1 = tgt.merge(
+            spark,
+            _net(spark, [("c", 1, "insert", "user", "A", None, TS, None, None, None)]),
+            0,
+        )
+        v2 = tgt.merge(
+            spark,
+            _net(spark, [("c", 1, "update", "user", "B", None, TS, None, None, None)]),
+            v1,
+        )
+        assert tgt.read(spark, v2).toPandas()["text"].tolist() == ["B"]
