@@ -8,11 +8,16 @@ statements, dump commands, event-frame dispatch — already lives in
 missing channel:
 
 - ``SocketPacketChannel`` — blocking-socket packet reader/writer with
-  16 MiB continuation reassembly (packet_channel.rs:21-40);
+  16 MiB continuation reassembly (packet_channel.rs:21-40) and a real
+  TLS upgrade (the reference's ``upgrade_to_ssl`` is
+  ``unimplemented!()``);
 - ``BinlogSocketClient`` — the reference's exact connect sequence
-  (binlog_client.rs:19-65 + configure.rs): handshake → authenticate
-  (incl. auth-plugin switch) → heartbeat/checksum negotiation →
-  provider dump dispatch → an iterator of raw binlog event frames;
+  (binlog_client.rs:19-65 + configure.rs): handshake → optional
+  SSLRequest/TLS upgrade per ``ssl_mode`` (ssl_mode.rs) → authenticate
+  (auth-plugin switch; caching_sha2_password fast auth AND full
+  authentication — clear password over TLS, RSA public-key exchange
+  over plaintext, connect.rs:117-156) → heartbeat/checksum negotiation
+  → provider dump dispatch → an iterator of raw binlog event frames;
 - ``mirror_stream`` / ``MirrorWriter`` — land the frame stream as
   rotation segment files (ROTATE switches files), the bridge from one
   tailing connection to the distributed file-based Replayer: the
@@ -38,18 +43,27 @@ from typing import Iterator, Optional
 
 from .constants import ChecksumType, EventType, MAGIC_NUMBER
 from .wire import (
+    CACHING_SHA2_PASSWORD,
     MAX_PACKET_BODY,
     PACKET_HEADER_SIZE,
+    RESPONSE_AUTH_MORE_DATA,
     RESPONSE_AUTH_PLUGIN_SWITCH,
     RESPONSE_END_OF_FILE,
     RESPONSE_ERROR,
     RESPONSE_OK,
+    SHA2_FAST_AUTH_SUCCESS,
+    SHA2_FULL_AUTH_REQUEST,
+    SHA2_REQUEST_PUBLIC_KEY,
+    SSL as SSL_CAPABILITY,
     check_error_packet,
+    clear_password_payload,
     encode_auth_plugin_switch_command,
     encode_authenticate_command,
+    encode_ssl_request_command,
     parse_auth_switch_packet,
     parse_error_packet,
     parse_handshake_packet,
+    rsa_encrypt_sha2_password,
     write_packets,
 )
 from .connect import (
@@ -66,6 +80,18 @@ from .connect import (
 
 class TransportError(ConnectionError):
     pass
+
+
+# ssl_mode.rs — strategy names and their escalation order. The reference
+# declares the enum but leaves ``upgrade_to_ssl`` unimplemented
+# (packet_channel.rs:44-46); here the upgrade is real (stdlib ``ssl``).
+SSL_MODES = {
+    "disabled": 0,  # unencrypted
+    "if_available": 1,  # TLS when the server offers it, else plaintext
+    "require": 2,  # TLS, no CA/host verification
+    "require_verify_ca": 3,  # TLS + CA verification
+    "require_verify_full": 4,  # TLS + CA + hostname verification
+}
 
 
 class SocketPacketChannel:
@@ -104,6 +130,23 @@ class SocketPacketChannel:
     def write_payload(self, payload: bytes, first_seq: int = 0) -> None:
         self._sock.sendall(write_packets(payload, first_seq))
 
+    def upgrade_to_ssl(self, context=None, server_hostname=None) -> None:
+        """Wrap the connected socket in TLS — the client side of the
+        MySQL STARTTLS-style upgrade: called right after the SSLRequest
+        preamble is written, before the handshake response
+        (connect.rs:44-50; the reference's ``upgrade_to_ssl`` is
+        ``unimplemented!()``). Packet framing/sequence state is carried
+        by the caller, so the channel just swaps its transport."""
+        import ssl as _ssl
+
+        if context is None:  # ssl_mode=require: encrypt, don't verify
+            context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+            context.check_hostname = False
+            context.verify_mode = _ssl.CERT_NONE
+        self._sock = context.wrap_socket(
+            self._sock, server_hostname=server_hostname
+        )
+
     def close(self) -> None:
         try:
             self._sock.close()
@@ -128,16 +171,44 @@ class BinlogSocketClient:
         options: ReplicaOptions | None = None,
         provider: str = "mysql",
         connect_timeout_s: float = 10.0,
+        ssl_mode: str = "disabled",
+        ssl_ca: str | None = None,
     ):
+        if ssl_mode not in SSL_MODES:
+            raise ValueError(
+                f"ssl_mode must be one of {sorted(SSL_MODES)}, "
+                f"got {ssl_mode!r}"
+            )
+        if SSL_MODES[ssl_mode] >= SSL_MODES["require_verify_ca"] and not ssl_ca:
+            raise ValueError(f"ssl_mode={ssl_mode!r} needs ssl_ca")
         self.host = host
         self.port = port
         self.options = options or ReplicaOptions()
         self.provider = provider
         self.connect_timeout_s = connect_timeout_s
+        self.ssl_mode = ssl_mode
+        self.ssl_ca = ssl_ca
         self.channel: Optional[SocketPacketChannel] = None
         self.handshake: Optional[dict] = None
 
     # -- connection ---------------------------------------------------------
+
+    def _ssl_context(self):
+        """Client TLS context per ssl_mode (ssl_mode.rs semantics):
+        ``require`` encrypts without verification, ``require_verify_ca``
+        pins the CA, ``require_verify_full`` also matches the host."""
+        import ssl as _ssl
+
+        level = SSL_MODES[self.ssl_mode]
+        ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_CLIENT)
+        if level >= SSL_MODES["require_verify_ca"]:
+            ctx.load_verify_locations(cafile=self.ssl_ca)
+            ctx.verify_mode = _ssl.CERT_REQUIRED
+            ctx.check_hostname = level >= SSL_MODES["require_verify_full"]
+        else:
+            ctx.check_hostname = False
+            ctx.verify_mode = _ssl.CERT_NONE
+        return ctx
 
     def connect(self) -> dict:
         sock = socket.create_connection(
@@ -149,22 +220,62 @@ class BinlogSocketClient:
         check_error_packet(payload, "Initial handshake error.")
         hs = parse_handshake_packet(payload)
         self.handshake = hs
+        seq += 1
+        # TLS upgrade (connect.rs:38-52): SSLRequest preamble, then wrap;
+        # the handshake response and everything after ride encrypted
+        use_ssl = False
+        level = SSL_MODES[self.ssl_mode]
+        if level > SSL_MODES["disabled"]:
+            available = bool(hs["server_capabilities"] & SSL_CAPABILITY)
+            if not available and level >= SSL_MODES["require"]:
+                raise TransportError(
+                    "the server does not support SSL encryption "
+                    f"(ssl_mode={self.ssl_mode})"
+                )
+            if available:
+                self.channel.write_payload(
+                    encode_ssl_request_command(), first_seq=seq
+                )
+                seq += 1
+                self.channel.upgrade_to_ssl(
+                    self._ssl_context(),
+                    server_hostname=(
+                        self.host
+                        if level >= SSL_MODES["require_verify_full"]
+                        else None
+                    ),
+                )
+                use_ssl = True
+        plugin = hs["auth_plugin_name"] or "mysql_native_password"
         auth = encode_authenticate_command(
             self.options.username,
             self.options.password,
             hs["scramble"],
-            hs["auth_plugin_name"] or "mysql_native_password",
+            plugin,
             database=self.options.database,
         )
-        self.channel.write_payload(auth, first_seq=seq + 1)
+        self.channel.write_payload(auth, first_seq=seq)
         reply, rseq = self.channel.read_packet()
+        self._finish_auth(reply, rseq, hs["scramble"], plugin, use_ssl)
+        return hs
+
+    def _finish_auth(
+        self, reply: bytes, rseq: int, scramble: str, plugin: str,
+        use_ssl: bool,
+    ) -> None:
+        """Authentication continuation dispatch (connect.rs:55-110):
+        OK / ERR / auth-plugin switch / caching_sha2 extra rounds."""
         if reply and reply[0] == RESPONSE_ERROR:
             err = parse_error_packet(reply[1:])
             raise TransportError(
                 f"authentication failed {err['error_code']}: "
                 f"{err['error_message']}"
             )
-        if reply and reply[0] == RESPONSE_AUTH_PLUGIN_SWITCH and len(reply) > 1:
+        if not reply:
+            raise TransportError("empty authentication reply")
+        if reply[0] == RESPONSE_OK:
+            return
+        if reply[0] == RESPONSE_AUTH_PLUGIN_SWITCH and len(reply) > 1:
             switch = parse_auth_switch_packet(reply[1:])
             self.channel.write_payload(
                 encode_auth_plugin_switch_command(
@@ -174,15 +285,81 @@ class BinlogSocketClient:
                 ),
                 first_seq=rseq + 1,
             )
-            reply, _ = self.channel.read_packet()
+            reply, rseq = self.channel.read_packet()
             check_error_packet(reply, "Authentication switch error.")
-        if not reply or reply[0] != RESPONSE_OK:
+            if switch["auth_plugin_name"] == CACHING_SHA2_PASSWORD:
+                self._sha2_continue(
+                    reply, rseq, switch["auth_plugin_data"], use_ssl
+                )
+                return
+            if reply[0] != RESPONSE_OK:
+                raise TransportError(
+                    f"unexpected auth-switch reply 0x{reply[0]:02x}"
+                )
+            return
+        # neither OK nor switch: the caching_sha2 continuation
+        self._sha2_continue(reply, rseq, scramble, use_ssl)
+
+    def _auth_check(self, packet: bytes, context: str) -> None:
+        """ERR during an authentication round → TransportError with the
+        server's message (the transport's uniform auth failure type)."""
+        if packet and packet[0] == RESPONSE_ERROR:
+            err = parse_error_packet(packet[1:])
             raise TransportError(
-                f"unexpected authentication reply 0x{reply[0]:02x}"
-                if reply
-                else "empty authentication reply"
+                f"{context} {err['error_code']}: {err['error_message']}"
             )
-        return hs
+
+    def _sha2_continue(
+        self, reply: bytes, rseq: int, scramble: str, use_ssl: bool
+    ) -> None:
+        """caching_sha2_password fast/full rounds (connect.rs:117-156):
+        0x01 0x03 = fast-auth success (cached scramble matched; OK
+        follows); 0x01 0x04 = full authentication — the clear password
+        over TLS, or the RSA-public-key exchange (XOR-obfuscated
+        password, PKCS#1 OAEP) over an insecure channel."""
+        if reply[0] == RESPONSE_OK:
+            return
+        if len(reply) < 2 or reply[0] != RESPONSE_AUTH_MORE_DATA:
+            raise TransportError(
+                f"unexpected caching_sha2 reply 0x{reply[0]:02x}"
+            )
+        if reply[1] == SHA2_FAST_AUTH_SUCCESS:
+            final, _ = self.channel.read_packet()
+            self._auth_check(final, "authentication failed")
+            if not final or final[0] != RESPONSE_OK:
+                raise TransportError("expected OK after fast-auth success")
+            return
+        if reply[1] != SHA2_FULL_AUTH_REQUEST:
+            raise TransportError(
+                f"unexpected caching_sha2 state 0x{reply[1]:02x}"
+            )
+        if use_ssl:
+            # the channel is encrypted: send the password in the clear
+            self.channel.write_payload(
+                clear_password_payload(self.options.password),
+                first_seq=rseq + 1,
+            )
+            final, _ = self.channel.read_packet()
+            self._auth_check(final, "authentication failed")
+            if not final or final[0] != RESPONSE_OK:
+                raise TransportError("expected OK after clear-password auth")
+            return
+        # insecure channel: request the server's RSA public key
+        self.channel.write_payload(SHA2_REQUEST_PUBLIC_KEY, first_seq=rseq + 1)
+        keypkt, kseq = self.channel.read_packet()
+        self._auth_check(
+            keypkt, "caching_sha2_password public key request failed"
+        )
+        if not keypkt or keypkt[0] != RESPONSE_AUTH_MORE_DATA:
+            raise TransportError("expected AuthMoreData with RSA public key")
+        encrypted = rsa_encrypt_sha2_password(
+            self.options.password, scramble, bytes(keypkt[1:])
+        )
+        self.channel.write_payload(encrypted, first_seq=kseq + 1)
+        final, _ = self.channel.read_packet()
+        self._auth_check(final, "authentication failed")
+        if not final or final[0] != RESPONSE_OK:
+            raise TransportError("expected OK after RSA full authentication")
 
     def _require_channel(self) -> SocketPacketChannel:
         if self.channel is None:

@@ -28,6 +28,13 @@ RESPONSE_ERROR = 0xFF
 RESPONSE_END_OF_FILE = 0xFE
 RESPONSE_AUTH_PLUGIN_SWITCH = 0xFE
 
+# caching_sha2_password continuation protocol (connect.rs:117-156;
+# https://mariadb.com/kb/en/caching_sha2_password-authentication-plugin/)
+RESPONSE_AUTH_MORE_DATA = 0x01  # server→client extra-data wrapper
+SHA2_FAST_AUTH_SUCCESS = 0x03  # cached scramble matched; OK follows
+SHA2_FULL_AUTH_REQUEST = 0x04  # server needs the full password
+SHA2_REQUEST_PUBLIC_KEY = b"\x02"  # client asks for the server RSA key
+
 # constants/capability_flags.rs:19,23
 SECURE_CONNECTION = 1 << 15
 PLUGIN_AUTH = 1 << 19
@@ -376,4 +383,35 @@ def encode_ssl_request_command(
     return (
         struct.pack("<IIB", caps, max_packet_size, client_collation)
         + bytes(23)
+    )
+
+
+def clear_password_payload(password: str) -> bytes:
+    """caching_sha2 full-auth over a TLS channel: the password in the
+    clear, null-terminated (connect.rs:130-139 — safe only because the
+    channel is already encrypted)."""
+    return password.encode("utf-8") + b"\x00"
+
+
+def rsa_encrypt_sha2_password(
+    password: str, scramble: str, public_key_pem: bytes
+) -> bytes:
+    """caching_sha2 full-auth over an INSECURE channel
+    (connect.rs:141-156): the null-terminated password is XOR-obfuscated
+    with the cycled scramble (so the RSA input is never the bare
+    password), then encrypted with the server's RSA public key under
+    PKCS#1 OAEP — the padding mysqld uses for
+    sha256_password_public_key exchanges."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding as _pad
+
+    plain = _xor(clear_password_payload(password), scramble.encode())
+    key = serialization.load_pem_public_key(public_key_pem)
+    return key.encrypt(
+        plain,
+        _pad.OAEP(
+            mgf=_pad.MGF1(algorithm=hashes.SHA1()),
+            algorithm=hashes.SHA1(),
+            label=None,
+        ),
     )

@@ -1,12 +1,15 @@
 """In-process MySQL replication fake server for transport tests.
 
 Speaks the real wire protocol over a real loopback TCP socket —
-handshake, mysql_native_password auth (optionally via an auth-plugin
-switch), text-protocol result sets, and COM_BINLOG_DUMP streaming of an
-actual binlog segment directory (synthetic ROTATE between files, OK-
-wrapped event frames, EOF at end — the non-blocking dump shape). The
-engine's client (binlog/transport.py) is exercised against these exact
-bytes; only the credential store and the SQL surface are fake.
+handshake, mysql_native_password AND caching_sha2_password auth
+(fast-auth, plus full authentication via clear-password-over-TLS or the
+RSA public-key exchange), the SSLRequest/TLS upgrade, optional
+auth-plugin switch, text-protocol result sets, and COM_BINLOG_DUMP
+streaming of an actual binlog segment directory (synthetic ROTATE
+between files, OK-wrapped event frames, EOF at end — the non-blocking
+dump shape). The engine's client (binlog/transport.py) is exercised
+against these exact bytes; only the credential store and the SQL
+surface are fake.
 """
 
 from __future__ import annotations
@@ -21,14 +24,23 @@ from mysql_cdc_spark.binlog.decoder import _segment_sort_key
 from mysql_cdc_spark.binlog.encoder import BinlogWriter
 from mysql_cdc_spark.binlog.frames import split_segment_frames
 from mysql_cdc_spark.binlog.wire import (
+    CACHING_SHA2_PASSWORD,
     COM_BINLOG_DUMP,
     COM_BINLOG_DUMP_GTID,
     COM_QUERY,
     COM_REGISTER_SLAVE,
     LONG_FLAG,
+    MYSQL_NATIVE_PASSWORD,
     PLUGIN_AUTH,
     PROTOCOL_41,
+    RESPONSE_AUTH_MORE_DATA,
     SECURE_CONNECTION,
+    SHA2_FAST_AUTH_SUCCESS,
+    SHA2_FULL_AUTH_REQUEST,
+    SHA2_REQUEST_PUBLIC_KEY,
+    SSL as SSL_CAPABILITY,
+    _xor,
+    clear_password_payload,
     encrypt_password,
     write_packets,
 )
@@ -63,6 +75,58 @@ def rotate_frame(next_name: str, checksum: int = ChecksumType.CRC32) -> bytes:
     return split_segment_frames(w.getvalue())[-1][1]
 
 
+def make_ssl_material(tmp_dir: str, hostname: str = "127.0.0.1"):
+    """Self-signed server certificate + key for the fake server's TLS
+    side. Returns (server_ssl_context, ca_pem_path) — the cert is its
+    own CA, so clients verify against the same PEM; SAN carries the
+    loopback IP for ssl_mode=require_verify_full."""
+    import datetime
+    import ipaddress
+    import ssl
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "fake-mysql")]
+    )
+    now = datetime.datetime(2024, 1, 1)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now)
+        .not_valid_after(now + datetime.timedelta(days=36500))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address(hostname))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = os.path.join(tmp_dir, "server-cert.pem")
+    key_path = os.path.join(tmp_dir, "server-key.pem")
+    with open(cert_path, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(key_path, "wb") as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert_path, key_path)
+    return ctx, cert_path
+
+
 class FakeMySqlServer:
     def __init__(
         self,
@@ -73,6 +137,9 @@ class FakeMySqlServer:
         checksum_text: str = "CRC32",
         server_version: str = "8.0.99-fake",
         fail_after_frames: list[int] | None = None,
+        auth_plugin: str = MYSQL_NATIVE_PASSWORD,
+        sha2_cached: bool = False,
+        ssl_context=None,
     ):
         self.binlog_dir = binlog_dir
         self.user = user
@@ -87,6 +154,20 @@ class FakeMySqlServer:
         self._fail_lock = threading.Lock()
         self.scramble = "abcdefghij0123456789"  # 20 chars, ASCII
         self.switch_scramble = "zyxwvutsrq9876543210"
+        # caching_sha2: sha2_cached=True drives the fast path (0x03 +
+        # OK); False drives full authentication (0x04 → clear password
+        # over TLS, or the RSA public-key exchange over plaintext)
+        self.auth_plugin = auth_plugin
+        self.sha2_cached = sha2_cached
+        self.ssl_context = ssl_context  # server context; also gates the
+        # SSL capability bit in the handshake
+        self._rsa_key = None
+        if auth_plugin == CACHING_SHA2_PASSWORD and not sha2_cached:
+            from cryptography.hazmat.primitives.asymmetric import rsa
+
+            self._rsa_key = rsa.generate_private_key(
+                public_exponent=65537, key_size=2048
+            )
         self._srv: socket.socket | None = None
         self._thread: threading.Thread | None = None
         self.port = 0
@@ -145,6 +226,8 @@ class FakeMySqlServer:
 
     def _handshake_payload(self) -> bytes:
         caps = LONG_FLAG | PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH
+        if self.ssl_context is not None:
+            caps |= SSL_CAPABILITY
         cb = caps.to_bytes(8, "little")
         out = bytearray([10])
         out += self.server_version.encode() + b"\x00"
@@ -158,7 +241,7 @@ class FakeMySqlServer:
         out += b"\x00" * 6  # filler
         out += cb[4:8]  # capability word 3
         out += self.scramble[8:].encode() + b"\x00"  # SECURE_CONNECTION tail
-        out += b"mysql_native_password\x00"  # PLUGIN_AUTH name
+        out += self.auth_plugin.encode() + b"\x00"  # PLUGIN_AUTH name
         return bytes(out)
 
     @staticmethod
@@ -177,30 +260,48 @@ class FakeMySqlServer:
 
     def _serve(self, conn: socket.socket) -> None:
         try:
-            seq = self._send(conn, self._handshake_payload(), 0)
+            self._send(conn, self._handshake_payload(), 0)
             payload, seq_in = _read_packet(conn)
+            # SSLRequest preamble: same head as the handshake response but
+            # only 32 bytes (caps + max-packet + collation + reserved, no
+            # credentials) — upgrade to TLS, then read the real response
+            if self.ssl_context is not None and len(payload) == 32:
+                conn = self.ssl_context.wrap_socket(conn, server_side=True)
+                payload, seq_in = _read_packet(conn)
             username, token = self._parse_auth_response(payload)
             scramble = self.scramble
+            plugin = self.auth_plugin
             if self.use_auth_switch:
-                seq = self._send(
+                self._send(
                     conn,
-                    b"\xfemysql_native_password\x00"
+                    b"\xfe" + plugin.encode() + b"\x00"
                     + self.switch_scramble.encode() + b"\x00",
                     seq_in + 1,
                 )
                 token, seq_in = _read_packet(conn)
                 scramble = self.switch_scramble
-            expected = encrypt_password(
-                self.password, scramble, "mysql_native_password"
-            )
-            if username != self.user or token != expected:
+            if username != self.user:
                 self._send(
                     conn,
                     _err_payload(1045, f"Access denied for user '{username}'"),
                     seq_in + 1,
                 )
                 return
-            self._send(conn, OK_PAYLOAD, seq_in + 1)
+            if plugin == CACHING_SHA2_PASSWORD:
+                if not self._sha2_auth(conn, token, seq_in, scramble):
+                    return
+            else:
+                expected = encrypt_password(self.password, scramble, plugin)
+                if token != expected:
+                    self._send(
+                        conn,
+                        _err_payload(
+                            1045, f"Access denied for user '{username}'"
+                        ),
+                        seq_in + 1,
+                    )
+                    return
+                self._send(conn, OK_PAYLOAD, seq_in + 1)
             self._command_loop(conn)
         except (ConnectionError, OSError):
             pass
@@ -209,6 +310,80 @@ class FakeMySqlServer:
                 conn.close()
             except OSError:
                 pass
+
+    def _sha2_auth(
+        self, conn: socket.socket, token: bytes, seq_in: int, scramble: str
+    ) -> bool:
+        """caching_sha2_password server side: cached entry → verify the
+        scramble response, fast-auth success marker, OK. Cache miss →
+        request full authentication and verify the clear password (TLS
+        channel) or the RSA-decrypted XOR-obfuscated password
+        (plaintext channel)."""
+        import ssl as _ssl
+
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding as _pad
+
+        if self.sha2_cached:
+            expected = encrypt_password(
+                self.password, scramble, CACHING_SHA2_PASSWORD
+            )
+            if token != expected:
+                self._send(conn, _err_payload(1045, "Access denied"), seq_in + 1)
+                return False
+            seq = self._send(
+                conn,
+                bytes([RESPONSE_AUTH_MORE_DATA, SHA2_FAST_AUTH_SUCCESS]),
+                seq_in + 1,
+            )
+            self._send(conn, OK_PAYLOAD, seq)
+            return True
+        # cache miss → full authentication round
+        self._send(
+            conn,
+            bytes([RESPONSE_AUTH_MORE_DATA, SHA2_FULL_AUTH_REQUEST]),
+            seq_in + 1,
+        )
+        payload, pseq = _read_packet(conn)
+        expected = clear_password_payload(self.password)
+        if isinstance(conn, _ssl.SSLSocket):
+            # encrypted channel: the client sends the password in clear
+            if payload != expected:
+                self._send(conn, _err_payload(1045, "Access denied"), pseq + 1)
+                return False
+            self._send(conn, OK_PAYLOAD, pseq + 1)
+            return True
+        if payload != SHA2_REQUEST_PUBLIC_KEY:
+            self._send(
+                conn, _err_payload(1047, "expected public key request"),
+                pseq + 1,
+            )
+            return False
+        pem = self._rsa_key.public_key().public_bytes(
+            serialization.Encoding.PEM,
+            serialization.PublicFormat.SubjectPublicKeyInfo,
+        )
+        self._send(
+            conn, bytes([RESPONSE_AUTH_MORE_DATA]) + pem, pseq + 1
+        )
+        blob, bseq = _read_packet(conn)
+        try:
+            plain = self._rsa_key.decrypt(
+                blob,
+                _pad.OAEP(
+                    mgf=_pad.MGF1(algorithm=hashes.SHA1()),
+                    algorithm=hashes.SHA1(),
+                    label=None,
+                ),
+            )
+        except Exception:
+            self._send(conn, _err_payload(1045, "RSA decrypt failed"), bseq + 1)
+            return False
+        if _xor(plain, scramble.encode()) != expected:
+            self._send(conn, _err_payload(1045, "Access denied"), bseq + 1)
+            return False
+        self._send(conn, OK_PAYLOAD, bseq + 1)
+        return True
 
     def _command_loop(self, conn: socket.socket) -> None:
         while True:
