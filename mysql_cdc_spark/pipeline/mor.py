@@ -65,6 +65,14 @@ from pyspark.sql import functions as F
 
 from .target import BucketedParquetMergeTarget, empty_state_df
 
+# Default per-bucket delta-chain length at which the batch Replayer /
+# streaming apply tier folds the chain back into base (auto-compact):
+# fold cost at read time grows linearly with chain length
+# (tools/bench_mor_chain.py), so an unmaintained store must bound it by
+# default; callers pass auto_compact=0 to opt out or another threshold
+# to tune the write/read amplification trade.
+DEFAULT_AUTO_COMPACT = 16
+
 
 class MergeOnReadBucketedTarget(BucketedParquetMergeTarget):
     """Bucketed snapshot store whose merges append per-bucket delta files

@@ -395,7 +395,17 @@ class Replayer:
         # auto_compact: for merge-on-read targets, fold any bucket whose
         # delta chain reached this length after each batch — bounds read
         # amplification without an external maintenance scheduler; each
-        # fold is the ledger-coordinated zero-event batch compact() runs
+        # fold is the ledger-coordinated zero-event batch compact() runs.
+        # DEFAULT for MoR targets: DEFAULT_AUTO_COMPACT (mor.py) — an
+        # unmaintained store's fold cost grows linearly with chain length
+        # (tools/bench_mor_chain.py), so bounding it is opt-OUT
+        # (auto_compact=0), not opt-in.
+        if auto_compact is None and hasattr(self.target, "delta_stats"):
+            from .mor import DEFAULT_AUTO_COMPACT
+
+            auto_compact = DEFAULT_AUTO_COMPACT
+        if auto_compact == 0:
+            auto_compact = None
         if auto_compact is not None:
             if not hasattr(self.target, "compact"):
                 raise TypeError(

@@ -110,6 +110,14 @@ def stream_apply(
             "audit requires a snapshot target: an internally-committing "
             "sink has no staged version to audit or roll back"
         )
+    # MoR targets default to the bounded-chain policy (see mor.py
+    # DEFAULT_AUTO_COMPACT); auto_compact=0 opts out
+    if auto_compact is None and hasattr(target, "delta_stats"):
+        from ..pipeline.mor import DEFAULT_AUTO_COMPACT
+
+        auto_compact = DEFAULT_AUTO_COMPACT
+    if auto_compact == 0:
+        auto_compact = None
     if auto_compact is not None:
         if not hasattr(target, "compact"):
             raise TypeError(

@@ -447,6 +447,47 @@ class TestAutoCompact:
                 spark, outdir, str(tmp_path / "cow"), auto_compact=2,
             )
 
+    def test_default_on_for_mor_targets(self, spark, changelog, tmp_path):
+        """Auto-compact is opt-OUT on merge-on-read targets: an
+        unmaintained store's read fold grows with chain length
+        (tools/bench_mor_chain.py), so the bounded-chain policy is the
+        default; auto_compact=0 disables, CoW targets stay None."""
+        from mysql_cdc_spark.pipeline.mor import DEFAULT_AUTO_COMPACT
+
+        _, outdir, _ = changelog
+        rep = Replayer(
+            spark, outdir, str(tmp_path / "d1"),
+            target=_mor(str(tmp_path / "d1")),
+        )
+        assert rep.auto_compact == DEFAULT_AUTO_COMPACT
+        rep0 = Replayer(
+            spark, outdir, str(tmp_path / "d2"),
+            target=_mor(str(tmp_path / "d2")), auto_compact=0,
+        )
+        assert rep0.auto_compact is None
+        cow = Replayer(spark, outdir, str(tmp_path / "d3"))
+        assert cow.auto_compact is None
+
+    def test_default_policy_bounds_replay_chains(
+        self, spark, changelog, tmp_path, monkeypatch
+    ):
+        """With no auto_compact argument at all, a one-file-per-batch
+        replay must keep every chain under the default threshold
+        (shrunk here so the fixture-sized corpus crosses it)."""
+        import mysql_cdc_spark.pipeline.mor as mor_mod
+
+        monkeypatch.setattr(mor_mod, "DEFAULT_AUTO_COMPACT", 2)
+        _, outdir, oracle = changelog
+        store = str(tmp_path / "dflt")
+        tgt = _mor(store)
+        rep = Replayer(spark, outdir, store, target=tgt)
+        assert rep.auto_compact == 2
+        rep.replay(files_per_batch=1)
+        stats = tgt.delta_stats(rep.ledger.current_snapshot_version())
+        assert max(stats.values(), default=0) < 2
+        state = _state_pdf(rep)
+        assert state["text"].tolist() == oracle["text"].tolist()
+
 
 class TestCrashSafety:
     def test_torn_snapshot_is_invisible_and_overwritten(self, spark, tmp_path):
