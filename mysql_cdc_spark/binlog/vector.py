@@ -958,12 +958,25 @@ def _jsonb_texts_from_slices(
                 out[idx[sub[plain]]] = quoted
                 handled[idx[sub[plain]]] = True
 
-    # top-level SMALL objects whose members are all inlined scalars,
-    # fixed-width numerics, doubles, or escape-free strings — the flat
-    # single-level shape a transcript metadata column has
+    # top-level SMALL objects/arrays whose members are scalars — plus ONE
+    # nesting level (array/object-of-scalar values decode through the
+    # same flat kernels) — the document shapes a transcript metadata
+    # column has; only deeper nesting falls through
     idx = np.nonzero(valid & (tb == J.SMALL_OBJECT) & (lens >= 5) & ~handled)[0]
     if len(idx):
-        texts, ok = _flat_small_object_texts(data, starts[idx] + 1, lens[idx] - 1)
+        texts, ok = _flat_small_object_texts(
+            data, starts[idx] + 1, lens[idx] - 1, depth=_FLAT_MAX_DEPTH
+        )
+        sub = np.nonzero(ok)[0]
+        if len(sub):
+            out[idx[sub]] = texts[sub]
+            handled[idx[sub]] = True
+
+    idx = np.nonzero(valid & (tb == J.SMALL_ARRAY) & (lens >= 5) & ~handled)[0]
+    if len(idx):
+        texts, ok = _flat_small_array_texts(
+            data, starts[idx] + 1, lens[idx] - 1, depth=_FLAT_MAX_DEPTH
+        )
         sub = np.nonzero(ok)[0]
         if len(sub):
             out[idx[sub]] = texts[sub]
@@ -980,93 +993,33 @@ def _jsonb_texts_from_slices(
 
 
 _FLAT_OBJ_MAX_MEMBERS = 64
+# container levels BELOW the document root the batch lanes decode before
+# deferring to the recursive fallback (2 covers the typical metadata
+# document: {"meta": {"tags": [...]}}); recursion is bounded by this
+_FLAT_MAX_DEPTH = 2
 
 
-def _flat_small_object_texts(
-    data: np.ndarray, bases: np.ndarray, sizes: np.ndarray
+def _entry_value_texts(
+    data: np.ndarray,
+    base_e: np.ndarray,
+    size_e: np.ndarray,
+    vtype: np.ndarray,
+    vval: np.ndarray,
+    depth: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Batch decode of top-level SMALL-object payloads (``bases`` points
-    at each object's count word) into canonical JSON text. Objects are
-    flattened to element level — one numpy gather per entry field, one
-    type-grouped conversion per scalar lane, ``reduceat`` joins back per
-    object — so the per-object Python cost is zero. Returns
-    (texts, ok); ``ok=False`` rows (nested containers, opaque values,
-    escape-carrying or duplicate keys, >2-byte string headers, bound
-    overruns) are left for the recursive fallback, whose output the fuzz
-    corpus pins this lane against."""
+    """Batch decode of container VALUE ENTRIES (type u8 + u16
+    inlined-or-offset, both the object and array forms) into canonical
+    JSON texts: one lane per scalar type, zero per-entry Python.
+    ``depth`` > 0 additionally recurses ONE level into small-container
+    values (arrays/objects of scalars) via the flat kernels; deeper
+    nesting, large containers, opaque values, and escape-carrying
+    strings stay undone (``v_done=False``) for the recursive fallback.
+    Returns (vtexts, v_done)."""
     import pandas as pd
 
     from . import jsonb as J
 
-    n = len(bases)
-    texts = np.empty(n, dtype=object)
-    ok = np.ones(n, dtype=bool)
-
-    def _u16(pos: np.ndarray) -> np.ndarray:
-        return data[pos].astype(np.int64) | (data[pos + 1].astype(np.int64) << 8)
-
-    count = _u16(bases)
-    size = _u16(bases + 2)
-    ok &= (size <= sizes) & (size >= 4) & (count <= _FLAT_OBJ_MAX_MEMBERS)
-    # entry tables must fit inside the declared container size
-    ok &= 4 + count * 6 <= size
-    texts[ok & (count == 0)] = "{}"
-
-    live = ok & (count > 0)
-    obj = np.nonzero(live)[0]
-    if not len(obj):
-        return texts, ok
-
-    cnt = count[obj]
-    e_start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-    E = int(cnt.sum())
-    oi = np.repeat(np.arange(len(obj)), cnt)  # element → local object row
-    ek = np.arange(E, dtype=np.int64) - np.repeat(e_start, cnt)
-    base_e = bases[obj][oi]
-    size_e = size[obj][oi]
-
-    # key entries: (offset u16, length u16) at base + 4 + 4k
-    kpos = base_e + 4 + 4 * ek
-    koff = _u16(kpos)
-    klen = _u16(kpos + 2)
-    e_ok = (koff + klen <= size_e) & (klen > 0)
-    kstart = base_e + koff
-    key_bytes_ok = e_ok.copy()
-    # escape scan over all key payloads in one pass
-    ktotal = int(klen[e_ok].sum()) if e_ok.any() else 0
-    keys = np.empty(E, dtype=object)
-    if ktotal:
-        sel = np.nonzero(e_ok)[0]
-        ks, kl = kstart[sel], klen[sel]
-        offs = np.zeros(len(kl) + 1, dtype=np.int64)
-        np.cumsum(kl, out=offs[1:])
-        within = np.arange(int(kl.sum()), dtype=np.int64) - np.repeat(offs[:-1], kl)
-        payload = data[np.repeat(ks, kl) + within]
-        esc = (payload == 0x22) | (payload == 0x5C) | (payload < 0x20)
-        bad = np.add.reduceat(esc, offs[:-1]) > 0
-        key_bytes_ok[sel[bad]] = False
-        good = sel[~bad]
-        if len(good):
-            keys[good] = _strings_from_slices(
-                data, kstart[good], klen[good], np.zeros(len(good), dtype=bool)
-            )
-    e_ok &= key_bytes_ok
-
-    # duplicate stored keys would collapse through the recursive path's
-    # dict; keys are stored sorted, so duplicates are adjacent — defer
-    same_as_prev = np.zeros(E, dtype=bool)
-    if E > 1:
-        cand = (ek > 0) & e_ok
-        cand[1:] &= e_ok[:-1]
-        ci = np.nonzero(cand)[0]
-        if len(ci):
-            same_as_prev[ci] = keys[ci] == keys[ci - 1]
-    e_ok &= ~same_as_prev
-
-    # value entries: (type u8, inlined-or-offset u16) at base + 4 + 4c + 3k
-    vpos = base_e + 4 + 4 * cnt[oi] + 3 * ek
-    vtype = data[vpos]
-    vval = _u16(vpos + 1)
+    E = len(vtype)
     vtexts = np.empty(E, dtype=object)
     v_done = np.zeros(E, dtype=bool)
 
@@ -1159,6 +1112,191 @@ def _flat_small_object_texts(
                     '"' + pd.Series(sv, dtype=object) + '"'
                 ).to_numpy()
                 v_done[ssel[plain]] = True
+
+    # one nesting level: small-container values (arrays/objects of
+    # scalars) decode through the flat kernels with depth-1 — a second
+    # container level below them defers to the recursive path
+    if depth > 0:
+        for ctype, fn in (
+            (J.SMALL_ARRAY, _flat_small_array_texts),
+            (J.SMALL_OBJECT, _flat_small_object_texts),
+        ):
+            m = (vtype == ctype) & ~v_done & (vval + 4 <= size_e)
+            if not m.any():
+                continue
+            sel = np.nonzero(m)[0]
+            t, okc = fn(
+                data, base_e[sel] + vval[sel], size_e[sel] - vval[sel],
+                depth - 1,
+            )
+            good = np.nonzero(okc)[0]
+            if len(good):
+                vtexts[sel[good]] = t[good]
+                v_done[sel[good]] = True
+
+    return vtexts, v_done
+
+
+def _flat_small_array_texts(
+    data: np.ndarray, bases: np.ndarray, sizes: np.ndarray, depth: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch decode of SMALL-array payloads (``bases`` points at each
+    array's count word) into canonical JSON text — the array twin of
+    ``_flat_small_object_texts``: value entries are 3 bytes (no keys),
+    elements decode through the shared entry-value lanes, ``reduceat``
+    joins per array. Returns (texts, ok); failed rows defer to the
+    recursive fallback."""
+    import pandas as pd
+
+    from . import jsonb as J
+
+    n = len(bases)
+    bases = np.asarray(bases, dtype=np.int64)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    texts = np.empty(n, dtype=object)
+    ok = np.ones(n, dtype=bool)
+
+    def _u16(pos: np.ndarray) -> np.ndarray:
+        return data[pos].astype(np.int64) | (data[pos + 1].astype(np.int64) << 8)
+
+    ok &= sizes >= 4
+    count = np.zeros(n, dtype=np.int64)
+    size = np.zeros(n, dtype=np.int64)
+    vi = np.nonzero(ok)[0]
+    count[vi] = _u16(bases[vi])
+    size[vi] = _u16(bases[vi] + 2)
+    ok &= (size <= sizes) & (size >= 4) & (count <= _FLAT_OBJ_MAX_MEMBERS)
+    ok &= 4 + count * 3 <= size
+    texts[ok & (count == 0)] = "[]"
+
+    live = ok & (count > 0)
+    obj = np.nonzero(live)[0]
+    if not len(obj):
+        return texts, ok
+
+    cnt = count[obj]
+    e_start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    oi = np.repeat(np.arange(len(obj)), cnt)
+    ek = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(e_start, cnt)
+    base_e = bases[obj][oi]
+    size_e = size[obj][oi]
+
+    vpos = base_e + 4 + 3 * ek
+    vtype = data[vpos]
+    vval = _u16(vpos + 1)
+    vtexts, v_done = _entry_value_texts(
+        data, base_e, size_e, vtype, vval, depth
+    )
+
+    arr_ok = np.logical_and.reduceat(v_done, e_start)
+    ok[obj] &= arr_ok
+    good_obj = np.nonzero(arr_ok)[0]
+    if not len(good_obj):
+        return texts, ok
+
+    good_e = arr_ok[oi]
+    pieces = (
+        pd.Series(np.where(ek[good_e] == 0, "", ", "), dtype=object)
+        + pd.Series(vtexts[good_e], dtype=object)
+    ).to_numpy()
+    g_cnt = cnt[good_obj]
+    g_start = np.concatenate(([0], np.cumsum(g_cnt)[:-1]))
+    joined = np.add.reduceat(pieces, g_start)
+    texts[obj[good_obj]] = (
+        "[" + pd.Series(joined, dtype=object) + "]"
+    ).to_numpy()
+    return texts, ok
+
+
+
+def _flat_small_object_texts(
+    data: np.ndarray, bases: np.ndarray, sizes: np.ndarray, depth: int = 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch decode of top-level SMALL-object payloads (``bases`` points
+    at each object's count word) into canonical JSON text. Objects are
+    flattened to element level — one numpy gather per entry field, one
+    type-grouped conversion per scalar lane, ``reduceat`` joins back per
+    object — so the per-object Python cost is zero. Returns
+    (texts, ok); ``ok=False`` rows (nested containers, opaque values,
+    escape-carrying or duplicate keys, >2-byte string headers, bound
+    overruns) are left for the recursive fallback, whose output the fuzz
+    corpus pins this lane against."""
+    import pandas as pd
+
+    from . import jsonb as J
+
+    n = len(bases)
+    texts = np.empty(n, dtype=object)
+    ok = np.ones(n, dtype=bool)
+
+    def _u16(pos: np.ndarray) -> np.ndarray:
+        return data[pos].astype(np.int64) | (data[pos + 1].astype(np.int64) << 8)
+
+    count = _u16(bases)
+    size = _u16(bases + 2)
+    ok &= (size <= sizes) & (size >= 4) & (count <= _FLAT_OBJ_MAX_MEMBERS)
+    # entry tables must fit inside the declared container size
+    ok &= 4 + count * 6 <= size
+    texts[ok & (count == 0)] = "{}"
+
+    live = ok & (count > 0)
+    obj = np.nonzero(live)[0]
+    if not len(obj):
+        return texts, ok
+
+    cnt = count[obj]
+    e_start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    E = int(cnt.sum())
+    oi = np.repeat(np.arange(len(obj)), cnt)  # element → local object row
+    ek = np.arange(E, dtype=np.int64) - np.repeat(e_start, cnt)
+    base_e = bases[obj][oi]
+    size_e = size[obj][oi]
+
+    # key entries: (offset u16, length u16) at base + 4 + 4k
+    kpos = base_e + 4 + 4 * ek
+    koff = _u16(kpos)
+    klen = _u16(kpos + 2)
+    e_ok = (koff + klen <= size_e) & (klen > 0)
+    kstart = base_e + koff
+    key_bytes_ok = e_ok.copy()
+    # escape scan over all key payloads in one pass
+    ktotal = int(klen[e_ok].sum()) if e_ok.any() else 0
+    keys = np.empty(E, dtype=object)
+    if ktotal:
+        sel = np.nonzero(e_ok)[0]
+        ks, kl = kstart[sel], klen[sel]
+        offs = np.zeros(len(kl) + 1, dtype=np.int64)
+        np.cumsum(kl, out=offs[1:])
+        within = np.arange(int(kl.sum()), dtype=np.int64) - np.repeat(offs[:-1], kl)
+        payload = data[np.repeat(ks, kl) + within]
+        esc = (payload == 0x22) | (payload == 0x5C) | (payload < 0x20)
+        bad = np.add.reduceat(esc, offs[:-1]) > 0
+        key_bytes_ok[sel[bad]] = False
+        good = sel[~bad]
+        if len(good):
+            keys[good] = _strings_from_slices(
+                data, kstart[good], klen[good], np.zeros(len(good), dtype=bool)
+            )
+    e_ok &= key_bytes_ok
+
+    # duplicate stored keys would collapse through the recursive path's
+    # dict; keys are stored sorted, so duplicates are adjacent — defer
+    same_as_prev = np.zeros(E, dtype=bool)
+    if E > 1:
+        cand = (ek > 0) & e_ok
+        cand[1:] &= e_ok[:-1]
+        ci = np.nonzero(cand)[0]
+        if len(ci):
+            same_as_prev[ci] = keys[ci] == keys[ci - 1]
+    e_ok &= ~same_as_prev
+
+    # value entries: (type u8, inlined-or-offset u16) at base + 4 + 4c + 3k
+    vpos = base_e + 4 + 4 * cnt[oi] + 3 * ek
+    vtype = data[vpos]
+    vval = _u16(vpos + 1)
+    vtexts, v_done = _entry_value_texts(
+        data, base_e, size_e, vtype, vval, depth
+    )
 
     e_ok &= v_done
 

@@ -350,3 +350,59 @@ def test_json_scalar_vector_parity(tmp_path):
         assert len(sc) == len(fa)
         for col in ("before_doc_id", "after_doc_id", "before_body", "after_body", "op"):
             assert sc[col].tolist() == fa[col].tolist(), f"{col} differs"
+
+
+def test_nested_documents_decode_without_fallback(monkeypatch):
+    """Round-5 kernel extension: arrays of scalars and up to
+    _FLAT_MAX_DEPTH container levels below the root decode through the
+    BATCH lanes — the recursive per-value fallback must not fire for
+    these shapes (it is monkeypatched to explode)."""
+    import numpy as np
+
+    import mysql_cdc_spark.binlog.jsonb as jsonb_mod
+    from mysql_cdc_spark.binlog.vector import _jsonb_texts_from_slices
+
+    values = [
+        [1, 2, 3],
+        ["x", "y"],
+        [True, None, -7, 2.5, "s"],
+        [],
+        {"a": [1, 2], "b": 3},
+        {"m": {"k": 1, "l": "v"}, "n": "top"},
+        [{"a": 1}, [2, 3], 4],
+        {"empty": [], "eo": {}},
+        # two container levels below the root (the bench's nested shape)
+        {"meta": {"k": 5, "tags": ["a", "b"]}, "vals": [1, 2, {"deep": 1.5}]},
+    ]
+    blobs = [jsonb_mod.encode_jsonb(v) for v in values]
+    want = [jsonb_mod.jsonb_to_text(b) for b in blobs]
+    buf = bytearray()
+    starts, lens = [], []
+    for b in blobs:
+        buf += b"\xaa"
+        starts.append(len(buf))
+        lens.append(len(b))
+        buf += b
+    data = np.frombuffer(bytes(buf), dtype=np.uint8)
+
+    def _boom(_blob):
+        raise AssertionError("recursive fallback fired for a flat shape")
+
+    monkeypatch.setattr(jsonb_mod, "jsonb_to_text", _boom)
+    got = _jsonb_texts_from_slices(
+        data,
+        np.array(starts, dtype=np.int64),
+        np.array(lens, dtype=np.int64),
+        np.zeros(len(blobs), dtype=bool),
+    )
+    assert list(got) == want
+
+
+def test_beyond_max_depth_defers_to_fallback():
+    """Depth guard: container levels past _FLAT_MAX_DEPTH take the
+    recursive path (and stay correct)."""
+    _batch_parity([
+        {"a": {"b": {"c": {"d": 1}}}},
+        [[[[1], 2], 3], 4],
+        {"x": [{"y": [1]}]},
+    ])
