@@ -83,12 +83,15 @@ def stream_apply(
     ``target=OrderedParquetMergeTarget(...)`` for the plain full-rewrite
     form, or ``target=OrderedMergeOnReadTarget(...)`` for the
     delta-append form (measured ~4× cheaper per trigger,
-    tools/bench_ordered_mor.py) — then set ``auto_compact=N`` so any
-    bucket whose delta chain reaches N folds back into base right after
-    the trigger (no ledger here: the compacted version simply becomes
-    the store's latest, which the next trigger's ``_current_version``
-    picks up; a crash between merge and compact just leaves the chain
-    one trigger longer)."""
+    tools/bench_ordered_mor.py). For MoR targets ``auto_compact``
+    DEFAULTS to ``mor.DEFAULT_AUTO_COMPACT``: any bucket whose delta
+    chain reaches the threshold folds back into base right after the
+    trigger (read fold cost grows with chain length —
+    tools/bench_mor_chain.py); pass ``auto_compact=0`` to opt out or
+    another N to tune it. No ledger here: the compacted version simply
+    becomes the store's latest, which the next trigger's
+    ``_current_version`` picks up; a crash between merge and compact
+    just leaves the chain one trigger longer."""
     keys = list(spec.primary_key)
     if column_transforms:
         key_hits = set(column_transforms) & set(keys)
