@@ -162,6 +162,13 @@ _ATTR = re.compile(
     r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY|COMMENT\s+'(?:[^']|'')*'"
     r"|COLLATE\s+\S+|CHARACTER\s+SET\s+\S+|AFTER\s+" + _IDENT + r"|FIRST"
     r"|INVISIBLE|VISIBLE"
+    # decode-neutral attributes consumed (never interpreted): spatial
+    # SRID, storage/format hints, CHECK constraints (strings and one
+    # nested paren level; value decode is unaffected by any of them)
+    r"|SRID\s+\d+|COLUMN_FORMAT\s+(?:FIXED|DYNAMIC|DEFAULT)"
+    r"|STORAGE\s+(?:DISK|MEMORY)"
+    r"|(?:CONSTRAINT\s+" + _IDENT + r"\s+)?CHECK\s*"
+    r"\((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*\)(?:\s+(?:NOT\s+)?ENFORCED)?"
     r"|ON\s+UPDATE\s+\S+(?:\([^)]*\))?)",
     re.IGNORECASE,
 )

@@ -801,12 +801,15 @@ def test_parse_nested_parenthesized_default():
 def test_unrecognized_attribute_is_loud_not_silent():
     """An attribute _ATTR can't consume must be recorded as an error —
     breaking out silently would drop everything after it (incl. a
-    trailing FIRST/AFTER)."""
+    trailing FIRST/AFTER). Generated columns are the real-world case:
+    their value is computed server-side, so evolution cannot apply
+    them; they must refuse, not silently append a NULL column."""
     a = parse_alter(
-        "ALTER TABLE chat.transcripts ADD COLUMN y INT SRID 4326 AFTER role"
+        "ALTER TABLE chat.transcripts ADD COLUMN y INT "
+        "GENERATED ALWAYS AS (turn_idx + 1) STORED AFTER role"
     )
     assert a.adds == ()
-    assert any("SRID" in e for e in a.errors)
+    assert any("GENERATED" in e for e in a.errors)
     with pytest.raises(UnsupportedDdl):
         evolve_spec(TRANSCRIPTS, [a])
 
@@ -875,3 +878,26 @@ def test_grouped_alter_non_additive_rejects_atomically():
     assert [c[0] for c in before.columns] == [
         c[0] for c in TRANSCRIPTS.columns
     ]
+
+
+def test_decode_neutral_attributes_consumed():
+    """SRID / COLUMN_FORMAT / STORAGE / CHECK are legal MySQL column
+    attributes that never change row decode — they must be consumed
+    (not refused), and trailing placement after them must survive."""
+    a = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN n INT COLUMN_FORMAT DYNAMIC "
+        "STORAGE DISK CHECK (n > 0) NOT ENFORCED AFTER role"
+    )
+    (add,) = a.adds
+    assert add.name == "n" and add.after == "role" and not a.errors
+    b = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN g GEOMETRY SRID 4326 NOT NULL"
+    )
+    (gadd,) = b.adds
+    assert gadd.name == "g" and gadd.not_null and not b.errors
+    c = parse_alter(
+        "ALTER TABLE chat.transcripts ADD COLUMN m INT "
+        "CONSTRAINT chk_m CHECK (m IN (1, 2) AND m <> (3)) DEFAULT 1"
+    )
+    (cadd,) = c.adds
+    assert cadd.default == "1" and not c.errors
