@@ -221,3 +221,37 @@ def test_sha2_dump_roundtrip_over_tls(source_binlog, ssl_material, tmp_path):
             src = fh.read()
         with open(p, "rb") as fh:
             assert fh.read() == src
+
+
+def test_tail_mirror_over_tls_survives_drops(
+    source_binlog, ssl_material, tmp_path
+):
+    """Composition: the resilient tail reconnects THROUGH the full
+    TLS + caching_sha2 handshake on every retry, resumes the dump from
+    the last landed (file, position), and the mirrored segments stay
+    byte-identical to the source across injected mid-stream drops."""
+    from mysql_cdc_spark.binlog.transport import tail_mirror
+
+    outdir, names = source_binlog
+    ctx, ca_pem = ssl_material
+    with FakeMySqlServer(
+        outdir, auth_plugin="caching_sha2_password", sha2_cached=False,
+        ssl_context=ctx, fail_after_frames=[5, 9],
+    ) as srv:
+        def connect():
+            c = _client(srv, ssl_mode="require_verify_ca", ssl_ca=ca_pem)
+            c.connect()
+            assert c.negotiate() == "CRC32"
+            return c
+
+        landed = tail_mirror(
+            connect, str(tmp_path / "landing"),
+            start_file=names[0], start_pos=4,
+            sleep=lambda s: None,
+        )
+    assert [os.path.basename(p) for p in landed] == names
+    for p in landed:
+        with open(os.path.join(outdir, os.path.basename(p)), "rb") as fh:
+            src = fh.read()
+        with open(p, "rb") as fh:
+            assert fh.read() == src
