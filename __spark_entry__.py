@@ -241,7 +241,7 @@ def cdc_stream_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_apply(
         spark, changelog, store, available_now=True, max_files_per_trigger=8
     )
-    q.awaitTermination()
+    q.awaitTermination(600)
     # run 2: the older half arrives LATE against the same checkpoint —
     # rank-based merge must not let it regress any key
     write_changelog(
@@ -251,7 +251,7 @@ def cdc_stream_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = stream_apply(
         spark, changelog, store, available_now=True, max_files_per_trigger=8
     )
-    q2.awaitTermination()
+    q2.awaitTermination(600)
     changes.unpersist()
     return read_stream_state(spark, store).select(
         "conv_id", "turn_idx", "role", "text",
