@@ -68,15 +68,18 @@ _E2E_ORACLE_PARQUET = os.path.join(
 
 def _fixture_hash(*extra: object) -> str:
     """Cache key for the generated binlog corpora: a content hash of the
-    fixture writer's SOURCE plus the writer knobs, so editing fixtures.py
-    (or any knob) invalidates every cached corpus instead of silently
-    reusing bytes written by older code."""
+    fixture writer's SOURCE (plus the compressed-wire rewriters, which
+    some variants post-process corpora with) plus the writer knobs, so
+    editing the writer code or any knob invalidates every cached corpus
+    instead of silently reusing bytes written by older code."""
     import hashlib
     import inspect
 
     from mysql_cdc_spark import fixtures
+    from mysql_cdc_spark.binlog import compressed
 
     h = hashlib.sha256(inspect.getsource(fixtures).encode())
+    h.update(inspect.getsource(compressed).encode())
     for e in extra:
         h.update(repr(e).encode())
     return h.hexdigest()[:12]
