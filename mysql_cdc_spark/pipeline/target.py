@@ -122,14 +122,22 @@ class ParquetMergeTarget:
         return os.path.join(self.store_dir, "snapshots", f"v{version:08d}")
 
     def _record_family(self) -> None:
-        """Stamp the store's target family at first commit (write-once:
-        an existing stamp is preserved — a store written by one family
-        and continued by another is a caller bug the stamp surfaces)."""
+        """Stamp the store's target family at commit time — LAST writer
+        wins: a store is owned by whichever family last committed to it,
+        so an intentional migration (e.g. a merge-on-read target
+        ADOPTING a copy-on-write store's manifest) re-stamps on its
+        first commit and later auto-detection reopens through the new
+        family. Readers never write the stamp."""
         import json
 
         p = os.path.join(self.store_dir, "target_family.json")
         if os.path.exists(p):
-            return
+            with open(p) as f:
+                try:
+                    if json.load(f).get("family") == self.FAMILY:
+                        return
+                except ValueError:
+                    pass  # torn write: re-stamp below
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"family": self.FAMILY}, f)

@@ -4,7 +4,7 @@ A store must be REOPENED with the target family that wrote it; sniffing
 manifest value shapes / parquet schemas cannot distinguish every case
 (the canonical hole: a truncated merge-on-read store's empty ``{}``
 manifest looks exactly like copy-on-write). Each family stamps the store
-at its first commit and ``Replayer._detect_target`` /
+at commit time (last committing family wins — adoption re-stamps) and ``Replayer._detect_target`` /
 ``read_stream_state`` dispatch on the stamp, falling back to the legacy
 sniff only for pre-stamp stores.
 """
@@ -57,12 +57,30 @@ def test_first_commit_stamps_family(spark, tmp_path):
         assert target_class_for_family(family) is cls
 
 
-def test_stamp_is_write_once(spark, tmp_path):
+def test_stamp_is_stable_for_same_family(spark, tmp_path):
     store = str(tmp_path / "st")
     tgt = MergeOnReadBucketedTarget(store, TRANSCRIPTS, buckets=4)
     v = tgt.merge(spark, _net(spark, [_row()]), 0)
     tgt.merge(spark, _net(spark, [_row("u", 2)]), v)
     assert load_target_family(store) == "mor"
+
+
+def test_adoption_restamps_to_the_committing_family(spark, tmp_path):
+    """A CoW-started store ADOPTED by a merge-on-read target (the
+    documented str-entry manifest conversion) must re-stamp on the MoR
+    commit — last committing family owns the store — so a later resume
+    without explicit target= reopens it through the MoR loader (a stale
+    CoW stamp would read the dict-valued manifest as paths)."""
+    store = str(tmp_path / "st")
+    cow = BucketedParquetMergeTarget(store, TRANSCRIPTS, buckets=4)
+    v = cow.merge(spark, _net(spark, [_row("base", 1)]), 0)
+    assert load_target_family(store) == "bucketed_cow"
+    mor = MergeOnReadBucketedTarget(store, TRANSCRIPTS, buckets=4)
+    v2 = mor.merge(spark, _net(spark, [_row("delta", 2)]), v)
+    assert load_target_family(store) == "mor"
+    picked = Replayer._detect_target(store, TRANSCRIPTS, spark)
+    assert type(picked) is MergeOnReadBucketedTarget
+    assert picked.read(spark, v2).toPandas()["text"].tolist() == ["delta"]
 
 
 def test_truncated_mor_store_resumes_as_mor(spark, tmp_path):
