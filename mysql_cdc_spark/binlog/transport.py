@@ -16,7 +16,8 @@ missing channel:
   SSLRequest/TLS upgrade per ``ssl_mode`` (ssl_mode.rs) → authenticate
   (auth-plugin switch; caching_sha2_password fast auth AND full
   authentication — clear password over TLS, RSA public-key exchange
-  over plaintext, connect.rs:117-156) → heartbeat/checksum negotiation
+  over plaintext, connect.rs:117-156 — plus sha256_password, which the
+  reference refuses outright) → heartbeat/checksum negotiation
   → provider dump dispatch → an iterator of raw binlog event frames;
 - ``mirror_stream`` / ``MirrorWriter`` — land the frame stream as
   rotation segment files (ROTATE switches files), the bridge from one
@@ -44,6 +45,7 @@ from typing import Iterator, Optional
 from .constants import ChecksumType, EventType, MAGIC_NUMBER
 from .wire import (
     CACHING_SHA2_PASSWORD,
+    SHA256_PASSWORD,
     MAX_PACKET_BODY,
     PACKET_HEADER_SIZE,
     RESPONSE_AUTH_MORE_DATA,
@@ -253,6 +255,7 @@ class BinlogSocketClient:
             hs["scramble"],
             plugin,
             database=self.options.database,
+            use_ssl=use_ssl,
         )
         self.channel.write_payload(auth, first_seq=seq)
         reply, rseq = self.channel.read_packet()
@@ -282,6 +285,7 @@ class BinlogSocketClient:
                     self.options.password,
                     switch["auth_plugin_data"],
                     switch["auth_plugin_name"],
+                    use_ssl=use_ssl,
                 ),
                 first_seq=rseq + 1,
             )
@@ -292,13 +296,21 @@ class BinlogSocketClient:
                     reply, rseq, switch["auth_plugin_data"], use_ssl
                 )
                 return
+            if switch["auth_plugin_name"] == SHA256_PASSWORD:
+                self._sha256_continue(
+                    reply, rseq, switch["auth_plugin_data"], use_ssl
+                )
+                return
             if reply[0] != RESPONSE_OK:
                 raise TransportError(
                     f"unexpected auth-switch reply 0x{reply[0]:02x}"
                 )
             return
-        # neither OK nor switch: the caching_sha2 continuation
-        self._sha2_continue(reply, rseq, scramble, use_ssl)
+        # neither OK nor switch: the plugin-specific continuation
+        if plugin == SHA256_PASSWORD:
+            self._sha256_continue(reply, rseq, scramble, use_ssl)
+        else:
+            self._sha2_continue(reply, rseq, scramble, use_ssl)
 
     def _auth_check(self, packet: bytes, context: str) -> None:
         """ERR during an authentication round → TransportError with the
@@ -360,6 +372,31 @@ class BinlogSocketClient:
         self._auth_check(final, "authentication failed")
         if not final or final[0] != RESPONSE_OK:
             raise TransportError("expected OK after RSA full authentication")
+
+    def _sha256_continue(
+        self, reply: bytes, rseq: int, scramble: str, use_ssl: bool
+    ) -> None:
+        """sha256_password continuation (beyond-reference — the
+        reference's get_auth_plugin refuses the plugin): over TLS the
+        handshake response already carried the clear password, so the
+        reply is OK/ERR; over plaintext it carried the 1-byte public-key
+        request, the server answers AuthMoreData + PEM, and the client
+        sends the XOR-obfuscated password RSA-encrypted (same OAEP
+        exchange as caching_sha2 full auth)."""
+        if reply[0] == RESPONSE_OK:
+            return
+        if reply[0] != RESPONSE_AUTH_MORE_DATA or len(reply) < 2:
+            raise TransportError(
+                f"unexpected sha256_password reply 0x{reply[0]:02x}"
+            )
+        encrypted = rsa_encrypt_sha2_password(
+            self.options.password, scramble, bytes(reply[1:])
+        )
+        self.channel.write_payload(encrypted, first_seq=rseq + 1)
+        final, _ = self.channel.read_packet()
+        self._auth_check(final, "authentication failed")
+        if not final or final[0] != RESPONSE_OK:
+            raise TransportError("expected OK after sha256_password RSA auth")
 
     def _require_channel(self) -> SocketPacketChannel:
         if self.channel is None:

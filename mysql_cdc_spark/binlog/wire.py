@@ -4,7 +4,9 @@ decode library is complete even though this engine never opens a socket
 (the Spark source reads segments/frames; see decoder.py / frames.py).
 
 - password scramble (src/extensions.rs:11-44): sha1/sha256 challenge
-  response for mysql_native_password and caching_sha2_password
+  response for mysql_native_password and caching_sha2_password, plus
+  the sha256_password / caching_sha2 full-auth payloads (clear password
+  over TLS; RSA-OAEP-encrypted XOR-obfuscated password otherwise)
 - server response parsers (src/responses/*.rs): ERR packet, EOF packet,
   initial handshake, auth-plugin switch, text-protocol result-set row
 - response-type dispatch (responses/response_type.rs,
@@ -41,6 +43,11 @@ PLUGIN_AUTH = 1 << 19
 
 MYSQL_NATIVE_PASSWORD = "mysql_native_password"
 CACHING_SHA2_PASSWORD = "caching_sha2_password"
+# the pre-8.0.4 RSA-always plugin (default_authentication_plugin on many
+# 5.6-8.0 fleets); the reference refuses it (get_auth_plugin errors) —
+# supported here: clear password over TLS, RSA key request otherwise
+SHA256_PASSWORD = "sha256_password"
+SHA256_REQUEST_PUBLIC_KEY = b"\x01"
 
 
 def _xor(a: bytes, b: bytes) -> bytes:
@@ -346,18 +353,28 @@ def encode_authenticate_command(
     database: Optional[str] = None,
     client_collation: int = 33,
     max_packet_size: int = 0,
+    use_ssl: bool = False,
 ) -> bytes:
     """Client handshake response; authenticate_command.rs:49-70.
     Capabilities mirror the reference's fixed set (LONG_FLAG |
     PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH, plus CONNECT_WITH_DB
-    when a database is given)."""
+    when a database is given). ``sha256_password`` has no scramble
+    response: the auth data is the clear password over TLS, or the
+    1-byte RSA public-key request over an insecure channel."""
     caps = LONG_FLAG | PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH
     if database is not None:
         caps |= CONNECT_WITH_DB
     out = bytearray(struct.pack("<IIB", caps, max_packet_size, client_collation))
     out += bytes(23)  # reserved
     out += _null_term(username)
-    enc = encrypt_password(password, scramble, auth_plugin_name)
+    if auth_plugin_name == SHA256_PASSWORD:
+        enc = (
+            clear_password_payload(password)
+            if use_ssl
+            else SHA256_REQUEST_PUBLIC_KEY
+        )
+    else:
+        enc = encrypt_password(password, scramble, auth_plugin_name)
     out.append(len(enc))
     out += enc
     if database is not None:
@@ -367,10 +384,19 @@ def encode_authenticate_command(
 
 
 def encode_auth_plugin_switch_command(
-    password: str, scramble: str, auth_plugin_name: str
+    password: str, scramble: str, auth_plugin_name: str,
+    use_ssl: bool = False,
 ) -> bytes:
-    """Response to an auth-plugin-switch request: just the re-encrypted
-    password; auth_plugin_switch_command.rs:24-31."""
+    """Response to an auth-plugin-switch request: the re-encrypted
+    password (auth_plugin_switch_command.rs:24-31) — except
+    ``sha256_password``, whose switch response is the clear password
+    over TLS or the RSA public-key request otherwise."""
+    if auth_plugin_name == SHA256_PASSWORD:
+        return (
+            clear_password_payload(password)
+            if use_ssl
+            else SHA256_REQUEST_PUBLIC_KEY
+        )
     return encrypt_password(password, scramble, auth_plugin_name)
 
 

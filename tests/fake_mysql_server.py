@@ -25,6 +25,8 @@ from mysql_cdc_spark.binlog.encoder import BinlogWriter
 from mysql_cdc_spark.binlog.frames import split_segment_frames
 from mysql_cdc_spark.binlog.wire import (
     CACHING_SHA2_PASSWORD,
+    SHA256_PASSWORD,
+    SHA256_REQUEST_PUBLIC_KEY,
     COM_BINLOG_DUMP,
     COM_BINLOG_DUMP_GTID,
     COM_QUERY,
@@ -162,7 +164,9 @@ class FakeMySqlServer:
         self.ssl_context = ssl_context  # server context; also gates the
         # SSL capability bit in the handshake
         self._rsa_key = None
-        if auth_plugin == CACHING_SHA2_PASSWORD and not sha2_cached:
+        if auth_plugin == SHA256_PASSWORD or (
+            auth_plugin == CACHING_SHA2_PASSWORD and not sha2_cached
+        ):
             from cryptography.hazmat.primitives.asymmetric import rsa
 
             self._rsa_key = rsa.generate_private_key(
@@ -290,6 +294,9 @@ class FakeMySqlServer:
             if plugin == CACHING_SHA2_PASSWORD:
                 if not self._sha2_auth(conn, token, seq_in, scramble):
                     return
+            elif plugin == SHA256_PASSWORD:
+                if not self._sha256_auth(conn, token, seq_in, scramble):
+                    return
             else:
                 expected = encrypt_password(self.password, scramble, plugin)
                 if token != expected:
@@ -366,6 +373,55 @@ class FakeMySqlServer:
         self._send(
             conn, bytes([RESPONSE_AUTH_MORE_DATA]) + pem, pseq + 1
         )
+        blob, bseq = _read_packet(conn)
+        try:
+            plain = self._rsa_key.decrypt(
+                blob,
+                _pad.OAEP(
+                    mgf=_pad.MGF1(algorithm=hashes.SHA1()),
+                    algorithm=hashes.SHA1(),
+                    label=None,
+                ),
+            )
+        except Exception:
+            self._send(conn, _err_payload(1045, "RSA decrypt failed"), bseq + 1)
+            return False
+        if _xor(plain, scramble.encode()) != expected:
+            self._send(conn, _err_payload(1045, "Access denied"), bseq + 1)
+            return False
+        self._send(conn, OK_PAYLOAD, bseq + 1)
+        return True
+
+    def _sha256_auth(
+        self, conn: socket.socket, token: bytes, seq_in: int, scramble: str
+    ) -> bool:
+        """sha256_password server side: over TLS the auth response IS the
+        clear password; over plaintext it is the 1-byte public-key
+        request — answer AuthMoreData + PEM, then verify the
+        RSA-decrypted XOR-obfuscated password."""
+        import ssl as _ssl
+
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding as _pad
+
+        expected = clear_password_payload(self.password)
+        if isinstance(conn, _ssl.SSLSocket):
+            if token != expected:
+                self._send(conn, _err_payload(1045, "Access denied"), seq_in + 1)
+                return False
+            self._send(conn, OK_PAYLOAD, seq_in + 1)
+            return True
+        if token != SHA256_REQUEST_PUBLIC_KEY:
+            self._send(
+                conn, _err_payload(1047, "expected public key request"),
+                seq_in + 1,
+            )
+            return False
+        pem = self._rsa_key.public_key().public_bytes(
+            serialization.Encoding.PEM,
+            serialization.PublicFormat.SubjectPublicKeyInfo,
+        )
+        self._send(conn, bytes([RESPONSE_AUTH_MORE_DATA]) + pem, seq_in + 1)
         blob, bseq = _read_packet(conn)
         try:
             plain = self._rsa_key.decrypt(

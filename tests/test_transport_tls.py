@@ -255,3 +255,60 @@ def test_tail_mirror_over_tls_survives_drops(
             src = fh.read()
         with open(p, "rb") as fh:
             assert fh.read() == src
+
+
+# ------------------------------------------------------ sha256_password
+
+
+def test_sha256_rsa_over_plaintext(source_binlog):
+    """sha256_password (beyond-reference — the reference's
+    get_auth_plugin refuses it): over an insecure channel the handshake
+    response requests the server's RSA key (1-byte 0x01) and the
+    XOR-obfuscated password goes back OAEP-encrypted."""
+    outdir, names = source_binlog
+    with FakeMySqlServer(outdir, auth_plugin="sha256_password") as srv:
+        client = _client(srv)
+        hs = client.connect()
+        assert hs["auth_plugin_name"] == "sha256_password"
+        assert client.master_status() == (names[0], 4)
+        client.close()
+
+
+def test_sha256_clear_password_over_tls(source_binlog, ssl_material):
+    outdir, names = source_binlog
+    ctx, _ = ssl_material
+    with FakeMySqlServer(
+        outdir, auth_plugin="sha256_password", ssl_context=ctx
+    ) as srv:
+        client = _client(srv, ssl_mode="require")
+        client.connect()
+        assert isinstance(client.channel._sock, ssl.SSLSocket)
+        assert client.master_status() == (names[0], 4)
+        client.close()
+
+
+def test_sha256_wrong_password_raises(source_binlog, ssl_material):
+    outdir, _ = source_binlog
+    ctx, _ = ssl_material
+    for srv_kw, cli_kw in [
+        (dict(), dict()),
+        (dict(ssl_context=ctx), dict(ssl_mode="require")),
+    ]:
+        with FakeMySqlServer(
+            outdir, auth_plugin="sha256_password", **srv_kw
+        ) as srv:
+            client = _client(srv, password="WRONG", **cli_kw)
+            with pytest.raises(TransportError, match="Access denied"):
+                client.connect()
+            client.close()
+
+
+def test_sha256_via_auth_plugin_switch(source_binlog):
+    outdir, names = source_binlog
+    with FakeMySqlServer(
+        outdir, auth_plugin="sha256_password", use_auth_switch=True
+    ) as srv:
+        client = _client(srv)
+        client.connect()
+        assert client.master_status() == (names[0], 4)
+        client.close()
