@@ -48,6 +48,11 @@ CACHING_SHA2_PASSWORD = "caching_sha2_password"
 # supported here: clear password over TLS, RSA key request otherwise
 SHA256_PASSWORD = "sha256_password"
 SHA256_REQUEST_PUBLIC_KEY = b"\x01"
+# PAM/LDAP backends (authentication_ldap_*, authentication_pam): the
+# server-side plugin needs the actual password, so the client sends it
+# in the clear — permitted only over an encrypted channel, matching
+# libmysqlclient's ENABLE_CLEARTEXT_PLUGIN-over-TLS posture
+MYSQL_CLEAR_PASSWORD = "mysql_clear_password"
 
 
 def _xor(a: bytes, b: bytes) -> bytes:
@@ -373,6 +378,13 @@ def encode_authenticate_command(
             if use_ssl
             else SHA256_REQUEST_PUBLIC_KEY
         )
+    elif auth_plugin_name == MYSQL_CLEAR_PASSWORD:
+        if not use_ssl:
+            raise ValueError(
+                "mysql_clear_password requires an encrypted channel "
+                "(ssl_mode=require or stronger)"
+            )
+        enc = clear_password_payload(password)
     else:
         enc = encrypt_password(password, scramble, auth_plugin_name)
     out.append(len(enc))
@@ -397,6 +409,13 @@ def encode_auth_plugin_switch_command(
             if use_ssl
             else SHA256_REQUEST_PUBLIC_KEY
         )
+    if auth_plugin_name == MYSQL_CLEAR_PASSWORD:
+        if not use_ssl:
+            raise ValueError(
+                "mysql_clear_password requires an encrypted channel "
+                "(ssl_mode=require or stronger)"
+            )
+        return clear_password_payload(password)
     return encrypt_password(password, scramble, auth_plugin_name)
 
 

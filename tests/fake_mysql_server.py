@@ -25,6 +25,7 @@ from mysql_cdc_spark.binlog.encoder import BinlogWriter
 from mysql_cdc_spark.binlog.frames import split_segment_frames
 from mysql_cdc_spark.binlog.wire import (
     CACHING_SHA2_PASSWORD,
+    MYSQL_CLEAR_PASSWORD,
     SHA256_PASSWORD,
     SHA256_REQUEST_PUBLIC_KEY,
     COM_BINLOG_DUMP,
@@ -297,6 +298,13 @@ class FakeMySqlServer:
             elif plugin == SHA256_PASSWORD:
                 if not self._sha256_auth(conn, token, seq_in, scramble):
                     return
+            elif plugin == MYSQL_CLEAR_PASSWORD:
+                if token != clear_password_payload(self.password):
+                    self._send(
+                        conn, _err_payload(1045, "Access denied"), seq_in + 1
+                    )
+                    return
+                self._send(conn, OK_PAYLOAD, seq_in + 1)
             else:
                 expected = encrypt_password(self.password, scramble, plugin)
                 if token != expected:

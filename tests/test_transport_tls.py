@@ -312,3 +312,29 @@ def test_sha256_via_auth_plugin_switch(source_binlog):
         client.connect()
         assert client.master_status() == (names[0], 4)
         client.close()
+
+
+# -------------------------------------------------- mysql_clear_password
+
+
+def test_clear_password_plugin_over_tls(source_binlog, ssl_material):
+    """PAM/LDAP shape: the server-side plugin needs the real password,
+    sent in the clear — over an encrypted channel only."""
+    outdir, names = source_binlog
+    ctx, _ = ssl_material
+    with FakeMySqlServer(
+        outdir, auth_plugin="mysql_clear_password", ssl_context=ctx
+    ) as srv:
+        client = _client(srv, ssl_mode="require")
+        client.connect()
+        assert client.master_status() == (names[0], 4)
+        client.close()
+
+
+def test_clear_password_plugin_refused_over_plaintext(source_binlog):
+    outdir, _ = source_binlog
+    with FakeMySqlServer(outdir, auth_plugin="mysql_clear_password") as srv:
+        client = _client(srv)
+        with pytest.raises(ValueError, match="encrypted channel"):
+            client.connect()
+        client.close()
