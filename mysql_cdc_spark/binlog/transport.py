@@ -569,6 +569,12 @@ class MirrorWriter:
 
     def write(self, frame: bytes) -> None:
         etype = frame[4] if len(frame) > 4 else -1
+        if etype in (EventType.HEARTBEAT, EventType.MYSQL_HEARTBEAT_V2):
+            # idle-connection keepalives on a blocking dump: the server
+            # never writes them to the binlog, so a mirrored segment must
+            # not carry them either — they would break byte-identity with
+            # the source file and corrupt the offset==position invariant
+            return
         if etype == EventType.ROTATE:
             target = rotate_target(frame, self.checksum_type)
             if self._skip_preamble and target == self._current_name:

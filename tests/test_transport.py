@@ -272,3 +272,44 @@ def test_tail_mirror_to_replayer_equals_oracle(spark, source_binlog, tmp_path):
     oracle = apply_changelog_oracle(txns)
     assert state["text"].tolist() == oracle["text"].tolist()
     assert state["tool"].tolist() == oracle["tool"].tolist()
+
+
+def test_mirror_skips_heartbeat_frames(source_binlog, tmp_path):
+    """Blocking dumps interleave HEARTBEAT (27) / HEARTBEAT_V2 (41)
+    keepalives with real events; the server never writes them to the
+    binlog, so the mirror must drop them — otherwise segments stop being
+    byte-identical and the offset==position resume invariant breaks."""
+    import struct
+
+    from mysql_cdc_spark.binlog.frames import split_segment_frames
+
+    _, outdir, names = source_binlog
+
+    def _hb(etype):
+        body = names[0].encode()
+        header = struct.pack(
+            "<IBIIIH", 0, etype, 1, 19 + len(body) + 4, 0, 0
+        )
+        return header + body + b"\x00" * 4
+
+    frames = []
+    for name in names:
+        with open(os.path.join(outdir, name), "rb") as f:
+            content = f.read()
+        # a rotate naming the file, then its frames with keepalives mixed in
+        from fake_mysql_server import rotate_frame
+
+        frames.append(rotate_frame(name))
+        for i, (_pos, fr) in enumerate(split_segment_frames(content)):
+            if i % 3 == 0:
+                frames.append(_hb(27))
+            frames.append(fr)
+            if i % 4 == 0:
+                frames.append(_hb(41))
+    mirrored = mirror_stream(iter(frames), str(tmp_path / "hb_landing"))
+    assert [os.path.basename(p) for p in mirrored] == names
+    for p in mirrored:
+        with open(os.path.join(outdir, os.path.basename(p)), "rb") as fh:
+            src = fh.read()
+        with open(p, "rb") as fh:
+            assert fh.read() == src
