@@ -525,11 +525,18 @@ class MirrorWriter:
         checksum_type: int = ChecksumType.CRC32,
         initial_filename: str = "mirror.000001",
         fsync: bool = False,
+        verify_checksum: bool = True,
     ):
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.checksum_type = checksum_type
         self.fsync = fsync
+        # replica-side CRC verification (slave_sql_verify_checksum
+        # semantics): a frame corrupted in flight must stop the tail
+        # with a positioned error, not land in the mirror
+        self.verify_checksum = verify_checksum and (
+            checksum_type == ChecksumType.CRC32
+        )
         self.paths: list[str] = []
         self._fh = None
         self._next_name = initial_filename
@@ -575,6 +582,21 @@ class MirrorWriter:
             # not carry them either — they would break byte-identity with
             # the source file and corrupt the offset==position invariant
             return
+        if self.verify_checksum and len(frame) >= 23:
+            import struct as _struct
+            import zlib as _zlib
+
+            want = _struct.unpack_from("<I", frame, len(frame) - 4)[0]
+            if _zlib.crc32(frame[:-4]) & 0xFFFFFFFF != want:
+                where = (
+                    f"{self._current_name}:{self._pos}"
+                    if self._current_name
+                    else self._next_name
+                )
+                raise TransportError(
+                    f"CRC32 mismatch on event type {etype} arriving at "
+                    f"{where}: frame corrupted in flight"
+                )
         if etype == EventType.ROTATE:
             target = rotate_target(frame, self.checksum_type)
             if self._skip_preamble and target == self._current_name:

@@ -313,3 +313,21 @@ def test_mirror_skips_heartbeat_frames(source_binlog, tmp_path):
             src = fh.read()
         with open(p, "rb") as fh:
             assert fh.read() == src
+
+
+def test_mirror_rejects_corrupt_frame(source_binlog, tmp_path):
+    """Replica-side CRC verification (slave_sql_verify_checksum): a
+    frame corrupted in flight stops the mirror with a positioned error
+    instead of landing poisoned bytes."""
+    from mysql_cdc_spark.binlog.frames import split_segment_frames
+
+    from fake_mysql_server import rotate_frame
+
+    _, outdir, names = source_binlog
+    with open(os.path.join(outdir, names[0]), "rb") as f:
+        frames = [fr for _p, fr in split_segment_frames(f.read())]
+    bad = bytearray(frames[2])
+    bad[len(bad) // 2] ^= 0xFF
+    stream = [rotate_frame(names[0]), frames[0], frames[1], bytes(bad)]
+    with pytest.raises(TransportError, match="CRC32 mismatch"):
+        mirror_stream(iter(stream), str(tmp_path / "crc_landing"))
