@@ -1,0 +1,202 @@
+"""Real multimodal payload codecs — stdlib + numpy only.
+
+The container has no PIL/libav, but two production formats are fully
+decodable with the standard library alone, so their decode paths are
+REAL here (not stubs): PNG (zlib-compressed scanlines + per-row filter
+reconstruction, ISO/IEC 15948) and WAV (RIFF PCM, via ``wave``).
+JPEG / interlaced PNG / video containers still need external codecs at
+deploy time and stay behind the clearly-marked fake in multimodal.py.
+
+Decoders are exact (bit-for-bit round-trip pinned in
+tests/test_codecs.py, including all five PNG filter types); encoders
+exist to build deterministic payload corpora without any imaging
+dependency — which is also what the Spark-side multimodal queries use
+to synthesize their inputs.
+
+Scale shape: DEFLATE is inherently sequential per payload, so decode
+is per-blob C calls (zlib) + vectorized numpy unfiltering inside an
+Arrow batch — the mapInPandas tier amortizes interpreter overhead and
+``repartition`` controls decode parallelism (CPU-bound, not
+scan-bound).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an 8-bit image — (H, W) greyscale or (H, W, C) with C in
+    {2, 3, 4} — as a non-interlaced PNG. ``filter_type`` selects the
+    per-scanline filter (0..4) so decode tests can exercise every
+    reconstruction path; 0 (None) is the fast default."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w, ch = img.shape[0], img.shape[1], 1
+        color_type = 0
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        h, w, ch = img.shape
+        color_type = {2: 4, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = img.reshape(h, w * ch).astype(np.int64)
+    prev = np.zeros(w * ch, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            filt = cur - _paeth(left, prev, upleft)
+        out.append(filter_type)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    idat = zlib.compress(bytes(out), 6)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit-depth PNG (greyscale / grey+alpha /
+    RGB / RGBA) to a uint8 array — (H, W) for greyscale, (H, W, C)
+    otherwise. All five scanline filters are reconstructed; palette,
+    16-bit, and interlaced images raise (external-codec territory)."""
+    if data[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    idat = bytearray()
+    w = h = None
+    ch = 1
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG needs an external codec")
+            ch = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y]
+        ft = int(ftypes[y])
+        if ft == 0:
+            line = cur
+        elif ft == 2:
+            line = (cur + prev) % 256
+        elif ft == 1:
+            # recon[x] = raw[x] + recon[x-ch]: per-channel prefix sum
+            line = np.cumsum(cur.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ft in (3, 4):
+            line = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ft == 3:
+                    line[x] = (cur[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        recon[y] = line
+        prev = line
+    out = recon.astype(np.uint8)
+    return out.reshape(h, w) if ch == 1 else out.reshape(h, w, ch)
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000
+) -> bytes:
+    """PCM16 WAV from an int16 array — (n,) mono or (n, ch)."""
+    samples = np.asarray(samples, dtype="<i2")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM16 WAV → (sample_rate, int16 array — (n,) mono, (n, ch) else)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV sample width {wf.getsampwidth()}"
+            )
+        ch = wf.getnchannels()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    arr = np.frombuffer(frames, dtype="<i2")
+    return rate, (arr if ch == 1 else arr.reshape(-1, ch))

@@ -1,19 +1,23 @@
 """Multimodal (binary-payload) column plumbing.
 
 Treats image/audio/video as opaque ``binary`` columns with typed metadata.
-The container has no image/audio libraries, so the *decode* step is a
-deterministic fake behind ``decode_payload_stub`` (clearly marked; swap in
-PIL/ffmpeg at deploy time) — but everything Spark-side is real and tested:
-schema, Arrow batch shape, ``mapInPandas`` plumbing, partitioning, and the
-metadata extraction path.
 
-The synthetic payloads derive deterministically from ``documents.text``
-(utf-8 bytes + a fake RIFF-style header), so the oracle can verify the
-metadata path end-to-end in SQL.
+Since round 5 the decode step is REAL for the formats the standard
+library can handle (analytics/codecs.py): ``multimodal_png_features``
+round-trips genuine PNGs (zlib scanlines + filter reconstruction) and
+``multimodal_wav_stats`` genuine RIFF/PCM WAVs — both built
+deterministically from ``documents.text`` so their pixel/sample content
+stays SQL-expressible and the DuckDB oracles hold exactly. JPEG /
+interlaced PNG / video still need external codecs at deploy time, so
+the original deterministic fake (``decode_payload_stub``, clearly
+marked) remains for the header-only plumbing queries.
 
-- multimodal_meta      binary metadata extraction (pure built-ins + oracle)
-- multimodal_features  mapInPandas feature extraction over Arrow batches
-                       (deterministic fake decode; rows-only check)
+- multimodal_meta          binary metadata extraction (built-ins + oracle)
+- multimodal_features      mapInPandas feature extraction over Arrow
+                           batches (deterministic fake decode)
+- multimodal_png_features  REAL PNG encode→decode→features (same exact
+                           feature contract, same oracle)
+- multimodal_wav_stats     REAL WAV encode→decode→sample stats
 """
 
 from __future__ import annotations
@@ -263,12 +267,148 @@ FROM ranked r JOIN samples s USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs (stdlib-only PNG / WAV, analytics/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def _to_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each doc's text bytes as a genuine greyscale PNG whose
+    pixel grid is the SAME 16×w layout the fake decoder exposes — so the
+    exact-feature oracle stays valid while the bytes on the wire are a
+    real zlib-compressed, filtered, CRC'd PNG."""
+    from .codecs import encode_png
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            body = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            w = max((len(body) + 15) // 16, 1)
+            img = np.zeros(16 * w, dtype=np.uint8)
+            img[: len(body)] = body
+            # filter varies per doc: exercises None/Sub/Up reconstruction
+            payloads.append(
+                encode_png(img.reshape(16, w), filter_type=len(body) % 3)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _png_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs import decode_png
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_png(bytes(payload))
+            mean, p99, samples = exact_image_features(img)
+            rows.append(
+                (
+                    doc_id, img.shape[0], img.shape[1], mean, p99,
+                    ",".join(map(str, samples)),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "height", "width", "mean_intensity",
+                "p99_scaled", "frame_samples",
+            ],
+        )
+
+
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: text bytes → genuine PNG binary
+    column (mapInPandas encode stage) → genuine PNG decode + exact
+    features (mapInPandas decode stage). Same feature contract as the
+    fake-decode twin, so the same SQL oracle pins it — any filter
+    mis-reconstruction, CRC slip, or shape error hash-mismatches."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        _to_png_payloads, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_png_features, schema=FEATURE_SCHEMA)
+
+
+_WAV_RATE = 8000
+
+
+def _to_wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs import encode_wav
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            payloads.append(encode_wav(b.astype(np.int16), _WAV_RATE))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs import decode_wav
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, samples = decode_wav(bytes(payload))
+            s = samples.astype(np.int64)
+            rows.append(
+                (
+                    doc_id, len(s), rate, float(s.sum() / len(s)),
+                    int(s.max()), int((s * s).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "sample_rate", "mean_amp", "peak",
+                "energy",
+            ],
+        )
+
+
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: text bytes as PCM16 samples →
+    genuine RIFF/WAV binary column → genuine WAV decode → exact sample
+    statistics, SQL-oracle-checked."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        _to_wav_payloads, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _wav_stats,
+        schema=(
+            "doc_id long, n_samples long, sample_rate int, "
+            "mean_amp double, peak long, energy long"
+        ),
+    )
+
+
+WAV_STATS_SQL = f"""
+WITH chars AS (
+  SELECT d.doc_id, ascii(substr(d.text, CAST(t.i AS INT), 1)) AS b
+  FROM documents d,
+       unnest(generate_series(1, octet_length(encode(d.text)))) AS t(i)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_samples,
+       {_WAV_RATE} AS sample_rate,
+       sum(b)::DOUBLE / count(*) AS mean_amp,
+       max(b)::BIGINT AS peak,
+       sum(b * b)::BIGINT AS energy
+FROM chars GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_png_features": multimodal_png_features,
+    "multimodal_wav_stats": multimodal_wav_stats,
 }
 
 ORACLES = {
     "multimodal_meta": META_SQL,
     "multimodal_features": FEATURES_SQL,
+    "multimodal_png_features": FEATURES_SQL,
+    "multimodal_wav_stats": WAV_STATS_SQL,
 }
