@@ -200,3 +200,30 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         frames = wf.readframes(wf.getnframes())
     arr = np.frombuffer(frames, dtype="<i2")
     return rate, (arr if ch == 1 else arr.reshape(-1, ch))
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) uint8 image: source
+    index = floor(dst_index · src / dst) per axis (the standard
+    half-open-grid mapping). Pure numpy fancy indexing — one gather."""
+    h, w = img.shape[:2]
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[np.ix_(rows, cols)]
+
+
+def frame_sample(
+    samples: np.ndarray, frame_len: int
+) -> np.ndarray:
+    """Audio frame sampling: split a mono int16 stream into consecutive
+    ``frame_len``-sample frames (the tail partial frame is kept) and
+    return each frame's energy (sum of squares) as int64 — the shape a
+    VAD / loudness-gate pipeline consumes."""
+    if frame_len <= 0:
+        raise ValueError("frame_len must be positive")
+    s = samples.astype(np.int64)
+    n_frames = (len(s) + frame_len - 1) // frame_len
+    seg = np.arange(len(s)) // frame_len
+    return np.bincount(seg, weights=s * s, minlength=n_frames).astype(np.int64)

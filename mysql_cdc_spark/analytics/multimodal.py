@@ -399,11 +399,80 @@ FROM chars GROUP BY doc_id
 """
 
 
+def _png_resize_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs import decode_png
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_png(bytes(payload))
+            small = img[::2, ::2]  # 2× decimation per axis
+            s64 = small.astype(np.int64)
+            rows.append(
+                (
+                    doc_id, small.shape[0], small.shape[1],
+                    float(s64.sum() / s64.size), int(s64.sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "height", "width", "mean_intensity", "pix_sum"],
+        )
+
+
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → downsample: genuine PNG payloads decode and
+    decimate 2× per axis (every even row/column — the classic stride-2
+    downsample), then exact stats over the RESIZED pixels. The
+    oracle recomputes the same stats from the text bytes by selecting
+    even (row, col) grid positions — a resize that picks wrong source
+    pixels, drops padding cells, or mis-shapes hash-mismatches."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        _to_png_payloads, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _png_resize_stats,
+        schema=(
+            "doc_id long, height int, width int, mean_intensity double, "
+            "pix_sum long"
+        ),
+    )
+
+
+# even rows × even cols of the 16×w grid; padded cells are zeros, so the
+# sum runs over real chars at selected positions while the denominator
+# is the full resized grid (8 × ceil(w/2))
+PNG_RESIZE_SQL = """
+WITH docs AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS len,
+         GREATEST(CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT), 1) AS w
+  FROM documents
+),
+sel AS (
+  SELECT d.doc_id, d.w,
+         sum(CASE WHEN ((t.i - 1) // d.w) % 2 = 0
+                   AND ((t.i - 1) % d.w) % 2 = 0
+                  THEN ascii(substr(d.text, CAST(t.i AS INT), 1))
+                  ELSE 0 END)::BIGINT AS pix_sum
+  FROM docs d, unnest(generate_series(1, d.len)) AS t(i)
+  GROUP BY d.doc_id, d.w
+)
+SELECT doc_id,
+       8 AS height,
+       CAST((w + 1) // 2 AS INT) AS width,
+       pix_sum::DOUBLE / (8 * ((w + 1) // 2)) AS mean_intensity,
+       pix_sum
+FROM sel
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_png_features": multimodal_png_features,
     "multimodal_wav_stats": multimodal_wav_stats,
+    "multimodal_png_resize": multimodal_png_resize,
 }
 
 ORACLES = {
@@ -411,4 +480,5 @@ ORACLES = {
     "multimodal_features": FEATURES_SQL,
     "multimodal_png_features": FEATURES_SQL,
     "multimodal_wav_stats": WAV_STATS_SQL,
+    "multimodal_png_resize": PNG_RESIZE_SQL,
 }

@@ -100,3 +100,34 @@ def test_wav_roundtrip_mono_and_stereo():
     rate, got = decode_wav(encode_wav(stereo, 44100))
     assert rate == 44100 and got.shape == (300, 2)
     assert np.array_equal(got, stereo)
+
+
+def test_resize_nearest_matches_naive():
+    img = _img(16, 10, 3, seed=11)
+    from mysql_cdc_spark.analytics.codecs import resize_nearest
+
+    for oh, ow in [(8, 5), (4, 4), (16, 10), (32, 20), (1, 1), (5, 7)]:
+        out = resize_nearest(img, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        for i in range(oh):
+            for j in range(ow):
+                assert np.array_equal(
+                    out[i, j], img[(i * 16) // oh, (j * 10) // ow]
+                )
+
+
+def test_resize_factor2_is_decimation():
+    from mysql_cdc_spark.analytics.codecs import resize_nearest
+
+    img = _img(16, 8, seed=5)
+    assert np.array_equal(resize_nearest(img, 8, 4), img[::2, ::2])
+
+
+def test_frame_sample_energy():
+    from mysql_cdc_spark.analytics.codecs import frame_sample
+
+    s = np.array([1, 2, 3, 4, 5], dtype=np.int16)
+    got = frame_sample(s, 2)
+    assert got.tolist() == [1 + 4, 9 + 16, 25]
+    with pytest.raises(ValueError):
+        frame_sample(s, 0)
