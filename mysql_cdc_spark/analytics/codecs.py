@@ -227,3 +227,50 @@ def frame_sample(
     n_frames = (len(s) + frame_len - 1) // frame_len
     seg = np.arange(len(s)) // frame_len
     return np.bincount(seg, weights=s * s, minlength=n_frames).astype(np.int64)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) from an (H, W, 3) RGB
+    uint8 array — rows bottom-up, BGR order, 4-byte-aligned, per the
+    Windows DIB spec."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"BMP encoder takes (H, W, 3) RGB, got {img.shape}")
+    h, w = img.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    body = bytearray()
+    for y in range(h):
+        body += bgr[y].tobytes() + b"\x00" * pad
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (H, W, 3) RGB uint8. Top-down (negative
+    height) and bottom-up rows both handled; compressed/paletted forms
+    raise."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR → RGB

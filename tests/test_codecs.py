@@ -131,3 +131,24 @@ def test_frame_sample_energy():
     assert got.tolist() == [1 + 4, 9 + 16, 25]
     with pytest.raises(ValueError):
         frame_sample(s, 0)
+
+
+def test_bmp_roundtrip():
+    from mysql_cdc_spark.analytics.codecs import decode_bmp, encode_bmp
+
+    for h, w in [(1, 1), (7, 5), (16, 31), (3, 4)]:  # odd widths hit padding
+        img = _img(h, w, 3, seed=h * 100 + w)
+        blob = encode_bmp(img)
+        assert blob[:2] == b"BM"
+        got = decode_bmp(blob)
+        assert got.shape == img.shape
+        assert np.array_equal(got, img)
+
+
+def test_bmp_refusals():
+    from mysql_cdc_spark.analytics.codecs import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="bad signature"):
+        decode_bmp(b"PNG?")
+    with pytest.raises(ValueError, match="RGB"):
+        encode_bmp(np.zeros((4, 4), dtype=np.uint8))
