@@ -1,9 +1,11 @@
 """Real multimodal payload codecs — stdlib + numpy only.
 
-The container has no PIL/libav, but two production formats are fully
+The container has no PIL/libav, but three production formats are fully
 decodable with the standard library alone, so their decode paths are
 REAL here (not stubs): PNG (zlib-compressed scanlines + per-row filter
-reconstruction, ISO/IEC 15948) and WAV (RIFF PCM, via ``wave``).
+reconstruction, ISO/IEC 15948), uncompressed 24-bit BMP (Windows DIB),
+and WAV (RIFF PCM, via ``wave``); plus nearest-neighbor resize and
+audio frame-energy sampling over the decoded arrays.
 JPEG / interlaced PNG / video containers still need external codecs at
 deploy time and stay behind the clearly-marked fake in multimodal.py.
 
